@@ -1,0 +1,294 @@
+"""Acquisition dataset model: scan, parse, index a Squid acquisition folder.
+
+This is the framework's single source of truth for acquisition structure,
+replacing the three divergent copies of metadata parsing in the reference
+(stitcher.py:121-280, stitcher_process.py:232-398, zarr_stitcher.py:75-220).
+Exposed as a first-class ``scan_acquisition()`` so frontends can introspect
+an acquisition without spinning up a pipeline (the reference GUIs resorted
+to throwaway pipeline objects for this, stitcher_process_gui.py:213-232).
+
+Layout expected on disk (reference README.md):
+
+    input_folder/
+      acquisition parameters.json
+      0/                       # numeric timepoint dirs
+        coordinates.csv        # region, fov, z_level, x (mm), y (mm), z (um)
+        {region}_{fov}_{z}_{channel}.{bmp|tiff|tif|jpg|jpeg|png}
+      1/
+        ...
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+
+from ..utils.colors import get_channel_color
+
+# Parity with reference stitcher.py:169: note the bare 'tif' entry makes any
+# filename *ending* in "tif" match, with or without a dot.
+IMAGE_SUFFIXES = ('.bmp', '.tiff', 'tif', 'jpg', 'jpeg', 'png')
+
+TileKey = Tuple[int, str, int, int, str]  # (t, region, fov, z_level, channel)
+
+
+@dataclass(frozen=True)
+class TileRecord:
+    """One image tile joined with its stage coordinates."""
+    filepath: str
+    x: float          # stage x in mm
+    y: float          # stage y in mm
+    z: float          # stage z in um
+    channel: str
+    z_level: int
+    region: str
+    fov_idx: int
+    t: int
+
+
+@dataclass
+class Acquisition:
+    """Fully-indexed acquisition: tile index + optics + derived dims."""
+    input_folder: str
+    timepoints: List[str]
+    acquisition_params: Dict
+    pixel_size_um: float
+    pixel_binning: int
+    tiles: Dict[TileKey, TileRecord]
+    regions: List[str]
+    channel_names: List[str]
+    monochrome_channels: List[str]
+    monochrome_colors: List[int]
+    num_t: int
+    num_z: int
+    num_c: int
+    num_fovs_per_region: int
+    input_height: int
+    input_width: int
+    dtype: np.dtype
+    rgb_channels: List[str] = field(default_factory=list)
+
+    @property
+    def dz_um(self) -> float:
+        """Z step in microns (reference stitcher.py:809 default 1.0)."""
+        return float(self.acquisition_params.get('dz(um)', 1.0))
+
+    def region_tiles(self, t: int, region: str) -> Dict[TileKey, TileRecord]:
+        """All tiles for one (timepoint, region), in index order.
+
+        Mirrors reference ``get_region_data`` (stitcher.py:260-280)
+        including the error on empty selections.
+        """
+        t = int(t)
+        data = {k: v for k, v in self.tiles.items() if k[0] == t and k[1] == region}
+        if not data:
+            raise ValueError(f"No data found for timepoint {t}, region {region}")
+        return data
+
+    def region_positions(self, t: int, region: str) -> Tuple[List[float], List[float]]:
+        """Sorted unique stage x and y positions for a region."""
+        data = self.region_tiles(t, region)
+        xs = sorted({rec.x for rec in data.values()})
+        ys = sorted({rec.y for rec in data.values()})
+        return xs, ys
+
+    def find_tile(self, t: int, region: str, x: float, y: float,
+                  channel: str, z_level: int) -> Optional[TileRecord]:
+        """Locate a tile by stage position (reference get_tile, stitcher.py:526-542)."""
+        for rec in self.region_tiles(int(t), str(region)).values():
+            if (rec.x == x and rec.y == y and rec.channel == channel
+                    and rec.z_level == z_level):
+                return rec
+        return None
+
+    def rows_and_columns(self) -> Tuple[List[str], List[str]]:
+        """HCS well rows/columns derived from region names
+        (reference stitcher.py:1220-1223: row = name[0], column = name[1:])."""
+        rows = sorted({r[0] for r in self.regions})
+        columns = sorted({r[1:] for r in self.regions})
+        return rows, columns
+
+
+def scan_timepoints(input_folder: str) -> List[str]:
+    """Numeric subdirectories sorted as integers (reference stitcher.py:121-124)."""
+    tps = [d for d in os.listdir(input_folder)
+           if os.path.isdir(os.path.join(input_folder, d)) and d.isdigit()]
+    tps.sort(key=int)
+    return tps
+
+
+def load_acquisition_params(input_folder: str) -> Dict:
+    """Load 'acquisition parameters.json' (reference stitcher.py:126-129)."""
+    path = os.path.join(input_folder, 'acquisition parameters.json')
+    with open(path, 'r') as f:
+        return json.load(f)
+
+
+def compute_pixel_size(acquisition_params: Dict) -> Tuple[float, int]:
+    """Physical pixel size (um) from optics metadata.
+
+    pixel_size = sensor_pixel_size_um / (tube_lens_mm / (obj_tube_lens_f_mm / mag))
+    Parity with reference stitcher.py:131-140.
+    """
+    obj_mag = acquisition_params['objective']['magnification']
+    obj_tube_lens_mm = acquisition_params['objective']['tube_lens_f_mm']
+    sensor_pixel_size_um = acquisition_params['sensor_pixel_size_um']
+    tube_lens_mm = acquisition_params['tube_lens_mm']
+    pixel_binning = acquisition_params.get('pixel_binning', 1)
+    obj_focal_length_mm = obj_tube_lens_mm / obj_mag
+    actual_mag = tube_lens_mm / obj_focal_length_mm
+    pixel_size_um = sensor_pixel_size_um / actual_mag
+    return pixel_size_um, pixel_binning
+
+
+def parse_tile_filename(filename: str) -> Optional[Tuple[str, int, int, str]]:
+    """Parse ``{region}_{fov}_{z_level}_{channel}.{ext}`` -> components.
+
+    Returns None for non-image / focus-camera files. Channel-name munging
+    parity with reference stitcher.py:171-174 (underscores become spaces,
+    'full ' prefix restored to 'full_').
+    """
+    if not filename.endswith(IMAGE_SUFFIXES) or 'focus_camera' in filename:
+        return None
+    if filename.startswith('.'):
+        return None
+    parts = filename.split('_', 3)
+    if len(parts) < 4:
+        return None
+    try:
+        region, fov, z_level = parts[0], int(parts[1]), int(parts[2])
+    except ValueError:
+        return None
+    channel = os.path.splitext(parts[3])[0]
+    channel = channel.replace("_", " ").replace("full ", "full_")
+    return region, fov, z_level, channel
+
+
+def read_image(filepath: str) -> np.ndarray:
+    """Read a tile image as (H, W) or (H, W, 3) RGB ndarray.
+
+    Uses OpenCV (native C++ decode path) with IMREAD_UNCHANGED to preserve
+    uint16; color images are converted BGR->RGB so channel order matches
+    the reference's PIL/tifffile-based readers.
+    """
+    import cv2
+    img = cv2.imread(filepath, cv2.IMREAD_UNCHANGED)
+    if img is None:
+        # Fall back to imageio for formats OpenCV can't handle.
+        import imageio.v2 as iio
+        return np.asarray(iio.imread(filepath))
+    if img.ndim == 3 and img.shape[2] == 3:
+        img = img[:, :, ::-1]  # BGR -> RGB
+    elif img.ndim == 3 and img.shape[2] == 4:
+        img = img[:, :, [2, 1, 0]]  # BGRA -> RGB (drop alpha)
+    return img
+
+
+def scan_acquisition(input_folder: str) -> Acquisition:
+    """Scan + index an acquisition folder (the introspection API).
+
+    Equivalent to the reference sequence get_timepoints /
+    extract_acquisition_parameters / get_pixel_size /
+    parse_acquisition_metadata (stitcher.py:121-257), as one call.
+    """
+    timepoints = scan_timepoints(input_folder)
+    acquisition_params = load_acquisition_params(input_folder)
+    pixel_size_um, pixel_binning = compute_pixel_size(acquisition_params)
+
+    tiles: Dict[TileKey, TileRecord] = {}
+    regions_set = set()
+    channels_set = set()
+    max_z = 0
+    max_fov = 0
+
+    for timepoint in timepoints:
+        image_folder = os.path.join(input_folder, timepoint)
+        coordinates_path = os.path.join(image_folder, 'coordinates.csv')
+        try:
+            coords = pd.read_csv(coordinates_path)
+        except FileNotFoundError:
+            continue
+
+        image_files = sorted(
+            f for f in os.listdir(image_folder)
+            if parse_tile_filename(f) is not None
+        )
+        for fname in image_files:
+            region, fov, z_level, channel = parse_tile_filename(fname)
+            row = coords[(coords['region'] == region)
+                         & (coords['fov'] == fov)
+                         & (coords['z_level'] == z_level)]
+            if row.empty:
+                continue
+            row = row.iloc[0]
+            key: TileKey = (int(timepoint), region, fov, z_level, channel)
+            tiles[key] = TileRecord(
+                filepath=os.path.join(image_folder, fname),
+                x=float(row['x (mm)']), y=float(row['y (mm)']), z=float(row['z (um)']),
+                channel=channel, z_level=z_level, region=region,
+                fov_idx=fov, t=int(timepoint),
+            )
+            regions_set.add(region)
+            channels_set.add(channel)
+            max_z = max(max_z, z_level)
+            max_fov = max(max_fov, fov)
+
+    if not tiles:
+        raise ValueError(f"No tiles found under {input_folder}")
+
+    regions = sorted(regions_set)
+    channel_names = sorted(channels_set)
+
+    # Probe the first image for dtype and frame geometry
+    # (reference stitcher.py:221-235).
+    first_key = next(iter(tiles))
+    first = tiles[first_key]
+    first_image = read_image(first.filepath)
+    dtype = first_image.dtype
+    if first_image.ndim == 2:
+        input_height, input_width = first_image.shape
+    elif first_image.ndim == 3:
+        input_height, input_width = first_image.shape[:2]
+    else:
+        raise ValueError(f"Unexpected image shape: {first_image.shape}")
+
+    # Expand RGB channels to monochrome planes
+    # (reference stitcher.py:237-249: base name keeps text before first '_').
+    monochrome_channels: List[str] = []
+    rgb_channels: List[str] = []
+    for channel in channel_names:
+        probe_key = (first.t, first.region, first.fov_idx, first.z_level, channel)
+        rec = tiles.get(probe_key)
+        img = read_image(rec.filepath) if rec is not None else None
+        if img is not None and img.ndim == 3 and img.shape[2] == 3:
+            base = channel.split('_')[0]
+            monochrome_channels.extend([f"{base}_R", f"{base}_G", f"{base}_B"])
+            rgb_channels.append(channel)
+        else:
+            monochrome_channels.append(channel)
+
+    return Acquisition(
+        input_folder=input_folder,
+        timepoints=timepoints,
+        acquisition_params=acquisition_params,
+        pixel_size_um=pixel_size_um,
+        pixel_binning=pixel_binning,
+        tiles=tiles,
+        regions=regions,
+        channel_names=channel_names,
+        monochrome_channels=monochrome_channels,
+        monochrome_colors=[get_channel_color(c) for c in monochrome_channels],
+        num_t=len(timepoints),
+        num_z=max_z + 1,
+        num_c=len(monochrome_channels),
+        num_fovs_per_region=max_fov + 1,
+        input_height=int(input_height),
+        input_width=int(input_width),
+        dtype=np.dtype(dtype),
+        rgb_channels=rgb_channels,
+    )

@@ -1,0 +1,154 @@
+"""Stitching parameters: validated config dataclass with JSON round-trip.
+
+Public schema kept compatible with the reference CLI/JSON surface
+(see reference stitcher_parameters.py:8-107): same field names, same
+defaults, same ``validate()`` rules, same timestamped ``stitched_folder``
+derivation, same ``from_dict``/``from_json``/``to_dict``/``to_json``.
+
+TPU-specific knobs live in :class:`EngineOptions` so the user-facing
+parameter schema stays drop-in compatible.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field, fields
+from datetime import datetime
+from typing import Any, Dict, Optional, Tuple
+
+VALID_OUTPUT_FORMATS = ('.ome.zarr', '.ome.tiff')
+VALID_SCAN_PATTERNS = ('Unidirectional', 'S-Pattern')
+
+
+@dataclass
+class StitchingParameters:
+    """Parameters for microscopy image stitching operations.
+
+    Field names and defaults mirror the reference schema
+    (stitcher_parameters.py:8-29) so that ``--params-json`` files written
+    for the reference work unchanged.
+    """
+
+    # Required
+    input_folder: str
+
+    # Output configuration
+    output_format: str = '.ome.zarr'
+
+    # Image processing options
+    apply_flatfield: bool = False
+
+    # Registration options
+    use_registration: bool = False
+    registration_channel: str = ''  # empty -> first available channel
+    registration_z_level: int = 0
+    dynamic_registration: bool = False
+
+    # Scanning / stitching configuration
+    scan_pattern: str = 'Unidirectional'  # or 'S-Pattern'
+    merge_timepoints: bool = False
+    merge_hcs_regions: bool = False
+
+    def __post_init__(self) -> None:
+        self.input_folder = os.path.abspath(self.input_folder)
+
+    def validate(self) -> None:
+        """Validate parameters; raises ValueError on invalid/incompatible ones.
+
+        Mirrors reference stitcher_parameters.py:36-58.
+        """
+        if not os.path.exists(self.input_folder):
+            raise ValueError(f"Input folder does not exist: {self.input_folder}")
+        if self.output_format not in VALID_OUTPUT_FORMATS:
+            raise ValueError("Output format must be either .ome.zarr or .ome.tiff")
+        if self.scan_pattern not in VALID_SCAN_PATTERNS:
+            raise ValueError("Scan pattern must be either 'Unidirectional' or 'S-Pattern'")
+        if self.use_registration:
+            if self.registration_z_level < 0:
+                raise ValueError("Registration Z-level must be non-negative")
+            # registration_channel may be empty -> first available channel
+
+    @property
+    def stitched_folder(self) -> str:
+        """Timestamped output folder next to the input folder.
+
+        Format parity with reference stitcher_parameters.py:61-64.
+        """
+        stamp = datetime.now().strftime('%Y-%m-%d_%H-%M-%S.%f')
+        return os.path.join(self.input_folder + "_stitched_" + stamp)
+
+    @classmethod
+    def from_dict(cls, data: Dict[str, Any]) -> 'StitchingParameters':
+        valid = {f.name for f in fields(cls)}
+        return cls(**{k: v for k, v in data.items() if k in valid})
+
+    @classmethod
+    def from_json(cls, json_path: str) -> 'StitchingParameters':
+        with open(json_path) as f:
+            return cls.from_dict(json.load(f))
+
+    def to_dict(self) -> Dict[str, Any]:
+        return {f.name: getattr(self, f.name) for f in fields(self)}
+
+    def to_json(self, json_path: str) -> None:
+        with open(json_path, 'w') as f:
+            json.dump(self.to_dict(), f, indent=2)
+
+
+@dataclass
+class EngineOptions:
+    """TPU-engine knobs that the reference hard-coded.
+
+    Every value here was an undocumented constant in the reference; we
+    surface them with reference-matching defaults so default runs stay
+    output-compatible. (Citations per field.)
+    """
+
+    # zarr chunk shape for the (T,C,Z,Y,X) output; reference used
+    # (1,1,1,2048,2048) in its production edition (stitcher_process.py:161).
+    chunks: Tuple[int, int, int, int, int] = (1, 1, 1, 2048, 2048)
+    # Overlap-estimate fudge factor (stitcher.py:451-452).
+    overlap_fudge: float = 1.05
+    # Fraction of the orthogonal axis trimmed off each side of a
+    # registration strip (stitcher.py:504,517).
+    registration_margin: float = 0.25
+    # Subpixel refinement upsampling (stitcher.py:510,523).
+    upsample_factor: int = 10
+    # Flatfield sampling budget (stitcher.py:389-394).
+    flatfield_tiles_per_timepoint: int = 32
+    flatfield_max_tiles: int = 48
+    # Blosc compressor settings (zarr_stitcher.py:409).
+    compressor_cname: str = 'zstd'
+    compressor_clevel: int = 1
+    compressor_shuffle: int = 1
+    # Fusion semantics: 'overwrite' = reference parity (stitcher.py:598,
+    # direct slice assignment, later tile wins); 'feather' = weighted
+    # blending in overlap zones (an upgrade the reference lacks).
+    blend_method: str = 'overwrite'
+    # Pyramid downsample: 'nearest' matches the reference zarr save path
+    # (ome_zarr Scaler.nearest, stitcher.py:797-798); 'mean' matches the
+    # reference merge paths (da.coarsen(np.mean), stitcher.py:893).
+    pyramid_downsample: str = 'nearest'
+    # Registration scope: 'center' = reference parity (one center pair per
+    # axis, stitcher.py:456-485); 'all-pairs' = robust full-grid estimate.
+    registration_scope: str = 'center'
+    # Host reader threads feeding the device.
+    reader_threads: int = 8
+    # Max tiles resident on device per fusion batch.
+    fusion_batch: int = 8
+    # Write registration-strip debug PNGs like the reference
+    # (stitcher.py:508,521,619-637).
+    debug_visuals: bool = False
+    # Device mesh axis sizes (data, canvas-y). None -> single device.
+    mesh_shape: Optional[Tuple[int, int]] = None
+
+    def validate(self) -> None:
+        if self.blend_method not in ('overwrite', 'feather'):
+            raise ValueError("blend_method must be 'overwrite' or 'feather'")
+        if self.pyramid_downsample not in ('nearest', 'mean'):
+            raise ValueError("pyramid_downsample must be 'nearest' or 'mean'")
+        if self.registration_scope not in ('center', 'all-pairs'):
+            raise ValueError("registration_scope must be 'center' or 'all-pairs'")
+        if len(self.chunks) != 5:
+            raise ValueError("chunks must be a 5-tuple (T,C,Z,Y,X)")

@@ -1,0 +1,127 @@
+import numpy as np
+import pytest
+
+from image_stitcher_tpu.io.acquisition import (
+    scan_acquisition, scan_timepoints, parse_tile_filename, compute_pixel_size,
+    read_image)
+from image_stitcher_tpu.utils.colors import get_channel_color
+
+from fixtures import write_synthetic_acquisition, DEFAULT_ACQ_PARAMS
+
+
+def test_parse_tile_filename():
+    assert parse_tile_filename("A1_3_0_Fluorescence_488_nm_Ex.tiff") == \
+        ("A1", 3, 0, "Fluorescence 488 nm Ex")
+    assert parse_tile_filename("B2_0_1_BF_LED_matrix_full.bmp") == \
+        ("B2", 0, 1, "BF LED matrix full")
+    # focus camera + hidden + non-image files skipped
+    assert parse_tile_filename("A1_0_0_focus_camera.bmp") is None
+    assert parse_tile_filename(".hidden_1_2_x.tiff") is None
+    assert parse_tile_filename("coordinates.csv") is None
+    # 'full ' prefix restored to 'full_' (reference stitcher.py:174)
+    assert parse_tile_filename("A1_0_0_full_0.tiff") == ("A1", 0, 0, "full_0")
+
+
+def test_pixel_size_math():
+    ps, binning = compute_pixel_size(DEFAULT_ACQ_PARAMS)
+    # 10.0 um sensor / (180 / (180/10)) = 1.0
+    assert ps == pytest.approx(1.0)
+    assert binning == 1
+    params = dict(DEFAULT_ACQ_PARAMS)
+    params["pixel_binning"] = 2
+    assert compute_pixel_size(params)[1] == 2
+
+
+def test_channel_colors():
+    assert get_channel_color("Fluorescence 405 nm Ex") == 0x0000FF
+    assert get_channel_color("Fluorescence 488 nm Ex") == 0x00FF00
+    assert get_channel_color("Fluorescence 561 nm Ex") == 0xFFCF00
+    assert get_channel_color("Fluorescence 638 nm Ex") == 0xFF0000
+    assert get_channel_color("Fluorescence 730 nm Ex") == 0x770000
+    assert get_channel_color("BF_R") == 0xFF0000
+    assert get_channel_color("BF LED matrix full") == 0xFFFFFF
+
+
+def test_scan_acquisition_basic(tmp_path):
+    acq_desc = write_synthetic_acquisition(
+        str(tmp_path / "acq"), grid_cols=2, grid_rows=2, tile_w=64, tile_h=48,
+        overlap=16, channels=["Fluorescence 488 nm Ex", "Fluorescence 561 nm Ex"],
+        timepoints=2, num_z=2)
+    acq = scan_acquisition(str(tmp_path / "acq"))
+    assert acq.timepoints == ["0", "1"]
+    assert acq.num_t == 2
+    assert acq.num_z == 2
+    assert acq.regions == ["A1"]
+    assert acq.channel_names == ["Fluorescence 488 nm Ex", "Fluorescence 561 nm Ex"]
+    assert acq.monochrome_channels == acq.channel_names  # no RGB expansion
+    assert acq.num_c == 2
+    assert acq.num_fovs_per_region == 4
+    assert (acq.input_height, acq.input_width) == (48, 64)
+    assert acq.dtype == np.uint16
+    assert acq.pixel_size_um == pytest.approx(1.0)
+    # 2 t * 1 region * 4 fov * 2 z * 2 ch tiles
+    assert len(acq.tiles) == 2 * 4 * 2 * 2
+    key = (0, "A1", 0, 0, "Fluorescence 488 nm Ex")
+    assert key in acq.tiles
+    rec = acq.tiles[key]
+    assert rec.x == 0.0 and rec.y == 0.0
+    xs, ys = acq.region_positions(0, "A1")
+    assert len(xs) == 2 and len(ys) == 2
+    # step = (64-16) px * 1um/px / 1000 = 0.048 mm
+    assert xs[1] - xs[0] == pytest.approx(0.048)
+
+
+def test_scan_timepoints_sorts_numerically(tmp_path):
+    for d in ["0", "2", "10", "notes"]:
+        (tmp_path / d).mkdir()
+    assert scan_timepoints(str(tmp_path)) == ["0", "2", "10"]
+
+
+def test_region_tiles_missing_raises(tmp_path):
+    write_synthetic_acquisition(str(tmp_path / "acq"), grid_cols=1, grid_rows=1,
+                                tile_w=32, tile_h=32, overlap=8)
+    acq = scan_acquisition(str(tmp_path / "acq"))
+    with pytest.raises(ValueError):
+        acq.region_tiles(0, "Z9")
+
+
+def test_find_tile(tmp_path):
+    write_synthetic_acquisition(str(tmp_path / "acq"), grid_cols=2, grid_rows=1,
+                                tile_w=32, tile_h=32, overlap=8)
+    acq = scan_acquisition(str(tmp_path / "acq"))
+    xs, ys = acq.region_positions(0, "A1")
+    rec = acq.find_tile(0, "A1", xs[1], ys[0], acq.channel_names[0], 0)
+    assert rec is not None and rec.fov_idx == 1
+    assert acq.find_tile(0, "A1", 99.0, 0.0, acq.channel_names[0], 0) is None
+
+
+def test_read_image_round_trip(tmp_path):
+    import cv2
+    img = (np.random.default_rng(0).random((16, 20)) * 65535).astype(np.uint16)
+    p = str(tmp_path / "x.tiff")
+    cv2.imwrite(p, img)
+    back = read_image(p)
+    np.testing.assert_array_equal(back, img)
+
+
+def test_rgb_expansion(tmp_path):
+    import cv2
+    # Write an RGB acquisition by hand
+    folder = tmp_path / "rgb"
+    (folder / "0").mkdir(parents=True)
+    import json
+    with open(folder / "acquisition parameters.json", "w") as f:
+        json.dump(DEFAULT_ACQ_PARAMS, f)
+    rgb = (np.random.default_rng(1).random((8, 8, 3)) * 255).astype(np.uint8)
+    cv2.imwrite(str(folder / "0" / "A1_0_0_BF_LED_matrix_full.png"), rgb[:, :, ::-1])
+    import pandas as pd
+    pd.DataFrame([{"region": "A1", "fov": 0, "z_level": 0,
+                   "x (mm)": 0.0, "y (mm)": 0.0, "z (um)": 0.0}]).to_csv(
+        folder / "0" / "coordinates.csv", index=False)
+    acq = scan_acquisition(str(folder))
+    # base = channel.split('_')[0]; munging already turned underscores into
+    # spaces, so the whole name survives (reference stitcher.py:174,243)
+    assert acq.monochrome_channels == [
+        "BF LED matrix full_R", "BF LED matrix full_G", "BF LED matrix full_B"]
+    assert acq.monochrome_colors == [0xFF0000, 0x00FF00, 0x0000FF]
+    assert acq.rgb_channels == ["BF LED matrix full"]

@@ -1,0 +1,116 @@
+#!/usr/bin/env python3
+"""Stitching CLI — flag surface parity with reference stitcher_cli.py:9-64.
+
+Usage:
+    python -m image_stitcher_tpu.cli -i /path/to/acquisition [-r] [-ff] ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .params import EngineOptions, StitchingParameters
+
+
+def parse_args(argv=None) -> argparse.Namespace:
+    parser = argparse.ArgumentParser(description="Microscopy Image Stitching CLI")
+    parser.add_argument('--input-folder', '-i', required=True,
+                        help="Input folder containing images to stitch")
+    parser.add_argument('--output-format', '-f',
+                        choices=['.ome.zarr', '.ome.tiff'], default='.ome.zarr',
+                        help="Output format for stitched data (default: .ome.zarr)")
+    parser.add_argument('--apply-flatfield', '-ff', action='store_true',
+                        help="Apply flatfield correction")
+    parser.add_argument('--use-registration', '-r', action='store_true',
+                        help="Enable image registration")
+    parser.add_argument('--registration-channel', '-rc',
+                        help="Channel to use for registration (default: first available channel)")
+    parser.add_argument('--registration-z-level', '-rz', type=int, default=0,
+                        help="Z-level to use for registration (default: 0)")
+    parser.add_argument('--dynamic-registration', action='store_true',
+                        help="Use dynamic registration for improved accuracy")
+    parser.add_argument('--scan-pattern', '-s',
+                        choices=['Unidirectional', 'S-Pattern'],
+                        default='Unidirectional',
+                        help="Microscope scanning pattern (default: Unidirectional)")
+    parser.add_argument('--merge-timepoints', '-mt', action='store_true',
+                        help="Merge all timepoints into a single dataset")
+    parser.add_argument('--merge-hcs-regions', '-mw', action='store_true',
+                        help="Merge all high-content screening regions (wells)")
+    parser.add_argument('--params-json',
+                        help="Path to a JSON file containing stitching parameters (overrides other arguments)")
+    # TPU-engine extensions (reference hard-coded these)
+    parser.add_argument('--blend-method', choices=['overwrite', 'feather'],
+                        default='overwrite',
+                        help="Fusion semantics: reference-parity overwrite or feathered blending")
+    parser.add_argument('--chunk-size', type=int, default=2048,
+                        help="Output zarr chunk edge in px (default: 2048)")
+    parser.add_argument('--fusion-batch', type=int, default=8,
+                        help="Tiles fused per device batch (default: 8)")
+    return parser.parse_args(argv)
+
+
+def create_params(args: argparse.Namespace) -> StitchingParameters:
+    """Build parameters (parity with reference stitcher_cli.py:66-85)."""
+    if args.params_json:
+        return StitchingParameters.from_json(args.params_json)
+    return StitchingParameters.from_dict({
+        'input_folder': args.input_folder,
+        'output_format': args.output_format,
+        'apply_flatfield': args.apply_flatfield,
+        'use_registration': args.use_registration,
+        'registration_channel': args.registration_channel or '',
+        'registration_z_level': args.registration_z_level,
+        'scan_pattern': args.scan_pattern,
+        'merge_timepoints': args.merge_timepoints,
+        'merge_hcs_regions': args.merge_hcs_regions,
+        'dynamic_registration': args.dynamic_registration,
+    })
+
+
+def create_options(args: argparse.Namespace) -> EngineOptions:
+    return EngineOptions(
+        blend_method=args.blend_method,
+        chunks=(1, 1, 1, args.chunk_size, args.chunk_size),
+        fusion_batch=args.fusion_batch,
+    )
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+    try:
+        params = create_params(args)
+        options = create_options(args)
+        from .models.pipeline import StitchPipeline
+        from .utils.progress import ProgressReporter
+
+        def show_progress(cur, total):
+            print(f"\rProgress: {cur}/{total}", end='', flush=True)
+
+        reporter = ProgressReporter(
+            update_progress=show_progress,
+            status=lambda msg, is_saving=False: print(f"\n{msg}"),
+            finished_saving=lambda path, dtype: print(f"\nSaved: {path}"),
+        )
+        pipeline = StitchPipeline(params, options, reporter)
+        print("Starting stitching with parameters:")
+        print(f"Input folder: {params.input_folder}")
+        print(f"Output format: {params.output_format}")
+        print(f"Apply flatfield: {params.apply_flatfield}")
+        print(f"Use registration: {params.use_registration}")
+        if params.use_registration:
+            print(f"Registration channel: {params.registration_channel}")
+            print(f"Registration Z-level: {params.registration_z_level}")
+        print(f"Scan pattern: {params.scan_pattern}")
+        print(f"Merge timepoints: {params.merge_timepoints}")
+        print(f"Merge HCS regions: {params.merge_hcs_regions}")
+        pipeline.run()
+        return 0
+    except Exception as e:
+        print(f"Error: {e}", file=sys.stderr)
+        return 1
+
+
+if __name__ == '__main__':
+    sys.exit(main())

@@ -1,0 +1,31 @@
+"""OME-TIFF output path (pyramidal BigTIFF).
+
+Counterpart of the reference's .ome.tiff writers (save_region_aics /
+save_region_vips, stitcher_process.py:958-1549). Implemented natively in
+io/tiffwriter.py; this module adapts the pipeline to it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def write_ome_tiff_region(pipeline, t, region: str, canvas, output_path: str) -> str:
+    from .tiffwriter import write_ome_tiff_pyramid
+    from ..ops import pyramid as pyr_ops
+
+    acq = pipeline.acq
+    levels = []
+    level = canvas
+    for lv in range(pipeline.num_pyramid_levels):
+        if lv > 0:
+            level = pyr_ops.downsample(level, pipeline.options.pyramid_downsample)
+        levels.append(np.asarray(level))
+    write_ome_tiff_pyramid(
+        output_path, levels,
+        image_name=f"{region}_t{t}",
+        channel_names=acq.monochrome_channels,
+        channel_colors=acq.monochrome_colors,
+        pixel_size_um=acq.pixel_size_um,
+        dz_um=acq.dz_um)
+    return output_path

@@ -1,0 +1,159 @@
+"""OME-Zarr v0.4 writer: multiscales, OMERO, and HCS plate/well metadata.
+
+Metadata trees structurally match what the reference emits through
+ome-zarr-py (stitcher.py:771-859 multiscales+omero; :1008-1218 plate/well)
+— same keys, same values, same axis definitions — written directly as
+JSON so the output is fully under our control.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .zarr_store import create_zarr_array, write_group, write_attrs
+
+# Axis definitions, parity with reference stitcher.py:825-831.
+OME_AXES = [
+    {"name": "t", "type": "time", "unit": "second"},
+    {"name": "c", "type": "channel"},
+    {"name": "z", "type": "space", "unit": "micrometer"},
+    {"name": "y", "type": "space", "unit": "micrometer"},
+    {"name": "x", "type": "space", "unit": "micrometer"},
+]
+
+
+def dataset_transforms(num_levels: int, dz_um: float, pixel_size_um: float) -> List[Dict]:
+    """Per-level scale transforms [1, 1, dz, px*2^l, px*2^l]
+    (reference stitcher.py:801-813)."""
+    return [
+        {
+            "path": str(level),
+            "coordinateTransformations": [{
+                "type": "scale",
+                "scale": [1, 1, float(dz_um),
+                          float(pixel_size_um * (2 ** level)),
+                          float(pixel_size_um * (2 ** level))],
+            }],
+        }
+        for level in range(num_levels)
+    ]
+
+
+def multiscales_attrs(name: str, num_levels: int, dz_um: float,
+                      pixel_size_um: float) -> Dict:
+    return {
+        "multiscales": [{
+            "axes": OME_AXES,
+            "datasets": dataset_transforms(num_levels, dz_um, pixel_size_um),
+            "name": name,
+            "version": "0.4",
+        }]
+    }
+
+
+def omero_attrs(name: str, channel_names: Sequence[str],
+                channel_colors: Sequence[int], dtype,
+                full: bool = True) -> Dict:
+    """OMERO display metadata (reference stitcher.py:839-856; the merge
+    paths write a reduced window dict, stitcher.py:955-963 -> full=False)."""
+    if np.issubdtype(np.dtype(dtype), np.integer):
+        lo, hi = int(np.iinfo(np.dtype(dtype)).min), int(np.iinfo(np.dtype(dtype)).max)
+    else:
+        lo, hi = 0, 1
+    channels = []
+    for cname, color in zip(channel_names, channel_colors):
+        ch = {
+            "label": cname,
+            "color": f"{color:06X}",
+            "window": ({"start": 0, "end": hi, "min": lo, "max": hi}
+                       if full else {"start": 0, "end": hi}),
+        }
+        if full:
+            ch.update({"active": True, "coefficient": 1, "family": "linear"})
+        channels.append(ch)
+    omero = {"name": name, "version": "0.4", "channels": channels}
+    if full:
+        omero["id"] = 1
+    return omero
+
+
+def plate_attrs(regions: Sequence[str], name: str, acquisition_name: str) -> Dict:
+    """HCS plate metadata: rows = region[0], columns = region[1:]
+    (reference stitcher.py:1017-1036)."""
+    rows = sorted({r[0] for r in regions})
+    columns = sorted({str(r[1:]) for r in regions})
+    wells = []
+    for well_id in sorted(regions):
+        row, col = well_id[0], well_id[1:]
+        wells.append({
+            "path": f"{row}/{col}",
+            "rowIndex": rows.index(row),
+            "columnIndex": columns.index(str(col)),
+        })
+    return {
+        "plate": {
+            "acquisitions": [{"id": 0, "maximumfieldcount": 1,
+                              "name": acquisition_name}],
+            "columns": [{"name": c} for c in columns],
+            "field_count": 1,
+            "name": name,
+            "rows": [{"name": r} for r in rows],
+            "version": "0.4",
+            "wells": wells,
+        }
+    }
+
+
+def well_attrs() -> Dict:
+    """Well group metadata (reference stitcher.py:1059-1062)."""
+    return {"well": {"images": [{"path": "0", "acquisition": 0}],
+                     "version": "0.4"}}
+
+
+class MultiscaleWriter:
+    """Streams one multiscale OME-Zarr image group level by level.
+
+    Usage: construct, then write_level(level, array or slabs), then close().
+    Level arrays are created eagerly so slab writes can land async.
+    """
+
+    def __init__(self, path: str, base_shape: Sequence[int],
+                 num_levels: int, dtype, chunks: Sequence[int],
+                 name: str, dz_um: float, pixel_size_um: float,
+                 channel_names: Sequence[str], channel_colors: Sequence[int],
+                 cname: str = 'zstd', clevel: int = 1, shuffle: int = 1,
+                 omero_full: bool = True, write_omero: bool = True):
+        from ..ops.pyramid import level_shapes
+        self.path = path
+        self.num_levels = num_levels
+        self.shapes = level_shapes(tuple(base_shape), num_levels)
+        attrs = multiscales_attrs(name, num_levels, dz_um, pixel_size_um)
+        if write_omero:
+            attrs["omero"] = omero_attrs(name, channel_names, channel_colors,
+                                         dtype, full=omero_full)
+        write_group(path, attrs)
+        self.arrays = [
+            create_zarr_array(os.path.join(path, str(level)),
+                              self.shapes[level], chunks, dtype,
+                              cname=cname, clevel=clevel, shuffle=shuffle)
+            for level in range(num_levels)
+        ]
+        self._pending = []
+
+    def write_level(self, level: int, data: np.ndarray, sel: Optional[Tuple] = None,
+                    block: bool = False):
+        """Write a full level or a slab (sel = tuple of slices)."""
+        target = self.arrays[level] if sel is None else self.arrays[level][sel]
+        fut = target.write(data)
+        if block:
+            fut.result()
+        else:
+            self._pending.append(fut)
+
+    def close(self):
+        for fut in self._pending:
+            fut.result()
+        self._pending = []

@@ -1,0 +1,139 @@
+"""Threaded host-side tile loading: disk -> pinned batches for the device.
+
+Replaces the reference's synchronous per-tile dask_imread calls inside the
+stitch loop (stitcher.py:654) with a prefetching reader pool: images decode
+on host threads (OpenCV releases the GIL) while the device fuses the
+previous batch — the host->HBM double-buffering from SURVEY.md §7.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .acquisition import read_image
+
+
+@dataclass(frozen=True)
+class TileJob:
+    """One monochrome plane destined for the canvas."""
+    filepath: str
+    plane: int            # -1 = grayscale file, 0/1/2 = RGB plane index
+    channel_idx: int      # index into monochrome channels
+    z_level: int
+    y: int                # pre-crop top-left in canvas coords
+    x: int
+    crops: Tuple[int, int, int, int]  # top, bottom, left, right
+
+
+@dataclass
+class TileBatch:
+    tiles: np.ndarray     # (N, th, tw) native dtype
+    info: np.ndarray      # (N, 4) int32 [c, z, y, x]
+    crops: np.ndarray     # (N, 4) int32
+    valid: np.ndarray     # (N,) bool
+    count: int            # number of real (non-padding) entries
+
+
+class TileBatchLoader:
+    """Iterates fixed-size TileBatches with background prefetch.
+
+    Batches have a static shape (batch_size, tile_h, tile_w) so the fusion
+    kernel compiles once; the trailing batch is padded with valid=False.
+    """
+
+    def __init__(self, jobs: Sequence[TileJob], batch_size: int,
+                 tile_h: int, tile_w: int, dtype,
+                 num_threads: int = 8, prefetch: int = 2):
+        self.jobs = list(jobs)
+        self.batch_size = batch_size
+        self.tile_h, self.tile_w = tile_h, tile_w
+        self.dtype = np.dtype(dtype)
+        self.num_threads = num_threads
+        self.prefetch = prefetch
+
+    def __len__(self) -> int:
+        return (len(self.jobs) + self.batch_size - 1) // self.batch_size
+
+    def _load_plane(self, job: TileJob) -> np.ndarray:
+        img = read_image(job.filepath)
+        if job.plane >= 0:
+            img = img[:, :, job.plane]
+        elif img.ndim == 3 and img.shape[0] == 1:
+            img = img[0]
+        tile = np.zeros((self.tile_h, self.tile_w), self.dtype)
+        h = min(img.shape[0], self.tile_h)
+        w = min(img.shape[1], self.tile_w)
+        tile[:h, :w] = img[:h, :w]
+        return tile
+
+    def _build_batch(self, chunk: List[TileJob], pool: ThreadPoolExecutor) -> TileBatch:
+        n = self.batch_size
+        tiles = np.zeros((n, self.tile_h, self.tile_w), self.dtype)
+        info = np.zeros((n, 4), np.int32)
+        crops = np.zeros((n, 4), np.int32)
+        valid = np.zeros((n,), bool)
+        planes = list(pool.map(self._load_plane, chunk))
+        for i, (job, plane) in enumerate(zip(chunk, planes)):
+            tiles[i] = plane
+            info[i] = (job.channel_idx, job.z_level, job.y, job.x)
+            crops[i] = job.crops
+            valid[i] = True
+        return TileBatch(tiles, info, crops, valid, len(chunk))
+
+    def __iter__(self) -> Iterator[TileBatch]:
+        chunks = [self.jobs[i:i + self.batch_size]
+                  for i in range(0, len(self.jobs), self.batch_size)]
+        if not chunks:
+            return
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer():
+            with ThreadPoolExecutor(max_workers=self.num_threads) as pool:
+                try:
+                    for chunk in chunks:
+                        out_q.put(self._build_batch(chunk, pool))
+                except Exception as e:  # surface in consumer
+                    out_q.put(e)
+                finally:
+                    out_q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = out_q.get()
+            if item is sentinel:
+                break
+            if isinstance(item, Exception):
+                raise item
+            yield item
+        t.join()
+
+
+def expand_tile_jobs(monochrome_channels: Sequence[str],
+                     rgb_channels: Sequence[str],
+                     positions_and_crops) -> List[TileJob]:
+    """Expand (TileRecord, (x, y), crops) triples into per-plane TileJobs.
+
+    RGB tiles become three jobs (R/G/B planes into consecutive channel
+    indices), matching reference place_tile (stitcher.py:550-556).
+    """
+    jobs: List[TileJob] = []
+    for rec, (x, y), crops in positions_and_crops:
+        if rec.channel in rgb_channels:
+            base = rec.channel.split('_')[0]
+            for plane, suffix in enumerate('RGB'):
+                cidx = monochrome_channels.index(f"{base}_{suffix}")
+                jobs.append(TileJob(rec.filepath, plane, cidx, rec.z_level,
+                                    y, x, tuple(crops)))
+        else:
+            cidx = monochrome_channels.index(rec.channel)
+            jobs.append(TileJob(rec.filepath, -1, cidx, rec.z_level,
+                                y, x, tuple(crops)))
+    return jobs

@@ -1,0 +1,239 @@
+"""Pyramidal OME-TIFF (BigTIFF) writer, implemented from the TIFF spec.
+
+The environment has no tifffile/pyvips, so this writes the container
+directly: BigTIFF (version 43, 8-byte offsets), tiled pages, Deflate
+compression, OME-XML in ImageDescription, and reduced-resolution pyramid
+levels attached via SubIFDs (the layout the reference produced through
+tifffile's ``subifds=`` API, stitcher_process.py:1344-1427).
+
+Layout: one top-level IFD per (C, Z) plane of level 0, chained; each
+carries SubIFDs pointing to its own pyramid levels (NewSubfileType=1).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+# TIFF tag ids
+T_NEWSUBFILETYPE = 254
+T_IMAGEWIDTH = 256
+T_IMAGELENGTH = 257
+T_BITSPERSAMPLE = 258
+T_COMPRESSION = 259
+T_PHOTOMETRIC = 262
+T_IMAGEDESCRIPTION = 270
+T_SAMPLESPERPIXEL = 277
+T_SOFTWARE = 305
+T_TILEWIDTH = 322
+T_TILELENGTH = 323
+T_TILEOFFSETS = 324
+T_TILEBYTECOUNTS = 325
+T_SUBIFDS = 330
+T_SAMPLEFORMAT = 339
+
+# TIFF types
+TY_SHORT = 3      # u16
+TY_LONG = 4       # u32
+TY_ASCII = 2
+TY_LONG8 = 16     # u64
+TY_IFD8 = 18
+
+_TY_SIZE = {TY_SHORT: 2, TY_LONG: 4, TY_ASCII: 1, TY_LONG8: 8, TY_IFD8: 8}
+_TY_FMT = {TY_SHORT: '<H', TY_LONG: '<I', TY_LONG8: '<Q', TY_IFD8: '<Q'}
+
+TILE_SIZE = 256
+
+
+def _sample_format(dtype: np.dtype) -> int:
+    if np.issubdtype(dtype, np.floating):
+        return 3
+    if np.issubdtype(dtype, np.signedinteger):
+        return 2
+    return 1
+
+
+class BigTiffWriter:
+    """Minimal streaming BigTIFF writer with SubIFD pyramid support."""
+
+    def __init__(self, path: str, compression: str = 'deflate',
+                 compression_level: int = 1, tile_size: int = TILE_SIZE):
+        self.f = open(path, 'wb')
+        self.compression = compression
+        self.level = compression_level
+        self.tile = tile_size
+        # BigTIFF header: II, 43, offsetsize 8, pad 0, first IFD offset (patched)
+        self.f.write(struct.pack('<2sHHHQ', b'II', 43, 8, 0, 0))
+        self._first_ifd_patch = 8
+        self._prev_next_patch: Optional[int] = None
+
+    def _align(self):
+        pos = self.f.tell()
+        if pos % 2:
+            self.f.write(b'\x00')
+
+    def _write_tiles(self, plane: np.ndarray):
+        """Compress and write tile data; returns (offsets, bytecounts)."""
+        h, w = plane.shape
+        ts = self.tile
+        offsets, counts = [], []
+        for ty in range(0, h, ts):
+            for tx in range(0, w, ts):
+                block = np.zeros((ts, ts), plane.dtype)
+                sub = plane[ty:ty + ts, tx:tx + ts]
+                block[:sub.shape[0], :sub.shape[1]] = sub
+                raw = block.tobytes()
+                data = zlib.compress(raw, self.level) \
+                    if self.compression == 'deflate' else raw
+                self._align()
+                offsets.append(self.f.tell())
+                counts.append(len(data))
+                self.f.write(data)
+        return offsets, counts
+
+    def _write_ifd(self, entries, chain: bool) -> int:
+        """entries: list of (tag, type, values:list|bytes). Returns IFD offset.
+
+        When ``chain`` is True the IFD is linked into the top-level chain;
+        otherwise (SubIFD) its next-pointer is left 0.
+        """
+        # First materialize out-of-line values
+        processed = []
+        for tag, ty, values in sorted(entries, key=lambda e: e[0]):
+            if ty == TY_ASCII:
+                data = values if isinstance(values, bytes) else values.encode()
+                if not data.endswith(b'\x00'):
+                    data += b'\x00'
+                count = len(data)
+                raw = data
+            else:
+                count = len(values)
+                raw = b''.join(struct.pack(_TY_FMT[ty], int(v)) for v in values)
+            if len(raw) <= 8:
+                processed.append((tag, ty, count, raw.ljust(8, b'\x00')))
+            else:
+                self._align()
+                off = self.f.tell()
+                self.f.write(raw)
+                processed.append((tag, ty, count, struct.pack('<Q', off)))
+
+        self._align()
+        ifd_offset = self.f.tell()
+        self.f.write(struct.pack('<Q', len(processed)))
+        for tag, ty, count, val8 in processed:
+            self.f.write(struct.pack('<HHQ', tag, ty, count) + val8)
+        next_patch_pos = self.f.tell()
+        self.f.write(struct.pack('<Q', 0))
+
+        if chain:
+            patch_at = self._prev_next_patch if self._prev_next_patch is not None \
+                else self._first_ifd_patch
+            end = self.f.tell()
+            self.f.seek(patch_at)
+            self.f.write(struct.pack('<Q', ifd_offset))
+            self.f.seek(end)
+            self._prev_next_patch = next_patch_pos
+        return ifd_offset
+
+    def add_plane(self, levels: Sequence[np.ndarray],
+                  description: Optional[str] = None):
+        """Write one plane: levels[0] as a top-level page, the rest as its
+        SubIFD reduced-resolution pages."""
+        sub_offsets = []
+        for lv in levels[1:]:
+            offs, cnts = self._write_tiles(lv)
+            sub_offsets.append(self._write_ifd(
+                self._plane_entries(lv, offs, cnts, subfile=1), chain=False))
+        plane = levels[0]
+        offs, cnts = self._write_tiles(plane)
+        entries = self._plane_entries(plane, offs, cnts, subfile=0)
+        if description is not None:
+            entries.append((T_IMAGEDESCRIPTION, TY_ASCII, description))
+        if sub_offsets:
+            entries.append((T_SUBIFDS, TY_IFD8, sub_offsets))
+        self._write_ifd(entries, chain=True)
+
+    def _plane_entries(self, plane: np.ndarray, offsets, counts, subfile: int):
+        h, w = plane.shape
+        bits = plane.dtype.itemsize * 8
+        comp = 8 if self.compression == 'deflate' else 1
+        return [
+            (T_NEWSUBFILETYPE, TY_LONG, [subfile]),
+            (T_IMAGEWIDTH, TY_LONG, [w]),
+            (T_IMAGELENGTH, TY_LONG, [h]),
+            (T_BITSPERSAMPLE, TY_SHORT, [bits]),
+            (T_COMPRESSION, TY_SHORT, [comp]),
+            (T_PHOTOMETRIC, TY_SHORT, [1]),
+            (T_SAMPLESPERPIXEL, TY_SHORT, [1]),
+            (T_SOFTWARE, TY_ASCII, 'image_stitcher_tpu'),
+            (T_TILEWIDTH, TY_SHORT, [self.tile]),
+            (T_TILELENGTH, TY_SHORT, [self.tile]),
+            (T_TILEOFFSETS, TY_LONG8, offsets),
+            (T_TILEBYTECOUNTS, TY_LONG8, counts),
+            (T_SAMPLEFORMAT, TY_SHORT, [_sample_format(plane.dtype)]),
+        ]
+
+    def close(self):
+        self.f.close()
+
+
+def ome_xml(image_name: str, size_x: int, size_y: int, size_z: int,
+            size_c: int, size_t: int, dtype: np.dtype,
+            channel_names: Sequence[str], channel_colors: Sequence[int],
+            pixel_size_um: float, dz_um: float) -> str:
+    """Minimal valid OME-XML 2016-06 metadata block."""
+    ome_type = {np.dtype('uint8'): 'uint8', np.dtype('uint16'): 'uint16',
+                np.dtype('uint32'): 'uint32', np.dtype('int16'): 'int16',
+                np.dtype('float32'): 'float'}.get(np.dtype(dtype), 'uint16')
+    channels = []
+    for i, (name, color) in enumerate(zip(channel_names, channel_colors)):
+        r, g, b = (color >> 16) & 0xFF, (color >> 8) & 0xFF, color & 0xFF
+        rgba = (r << 24) | (g << 16) | (b << 8) | 0xFF
+        if rgba >= 2 ** 31:
+            rgba -= 2 ** 32
+        channels.append(
+            f'<Channel ID="Channel:0:{i}" Name="{name}" Color="{rgba}" '
+            f'SamplesPerPixel="1"/>')
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<OME xmlns="http://www.openmicroscopy.org/Schemas/OME/2016-06" '
+        'xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance" '
+        'xsi:schemaLocation="http://www.openmicroscopy.org/Schemas/OME/2016-06 '
+        'http://www.openmicroscopy.org/Schemas/OME/2016-06/ome.xsd">'
+        f'<Image ID="Image:0" Name="{image_name}">'
+        f'<Pixels ID="Pixels:0" DimensionOrder="XYZCT" Type="{ome_type}" '
+        f'SizeX="{size_x}" SizeY="{size_y}" SizeZ="{size_z}" '
+        f'SizeC="{size_c}" SizeT="{size_t}" '
+        f'PhysicalSizeX="{pixel_size_um}" PhysicalSizeXUnit="µm" '
+        f'PhysicalSizeY="{pixel_size_um}" PhysicalSizeYUnit="µm" '
+        f'PhysicalSizeZ="{dz_um}" PhysicalSizeZUnit="µm">'
+        + ''.join(channels) +
+        f'<TiffData PlaneCount="{size_z * size_c * size_t}"/>'
+        '</Pixels></Image></OME>')
+
+
+def write_ome_tiff_pyramid(path: str, levels: List[np.ndarray],
+                           image_name: str, channel_names: Sequence[str],
+                           channel_colors: Sequence[int],
+                           pixel_size_um: float, dz_um: float,
+                           compression: str = 'deflate') -> str:
+    """Write a (C, Z, H, W) multiscale stack as pyramidal OME-TIFF.
+
+    ``levels`` are the pyramid levels, level 0 first, each (C, Z, h, w).
+    """
+    c, z, h, w = levels[0].shape
+    xml = ome_xml(image_name, w, h, z, c, 1, levels[0].dtype,
+                  channel_names, channel_colors, pixel_size_um, dz_um)
+    writer = BigTiffWriter(path, compression=compression)
+    first = True
+    # Plane order matches DimensionOrder="XYZCT": Z varies fastest, then C.
+    for ci in range(c):
+        for zi in range(z):
+            plane_levels = [lv[ci, zi] for lv in levels]
+            writer.add_plane(plane_levels, description=xml if first else None)
+            first = False
+    writer.close()
+    return path

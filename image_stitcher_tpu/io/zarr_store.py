@@ -1,0 +1,93 @@
+"""Zarr v2 storage on tensorstore (C++ I/O threads, async chunk writes).
+
+Replaces the reference's zarr-python/dask/ome-zarr write stack
+(stitcher.py:771-859, zarr_stitcher.py:395-440, and the six writer
+variants in stitcher_process.py:958-1549) with one native-backed path:
+tensorstore handles chunking, Blosc compression, and parallel file I/O
+off the Python thread.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+import tensorstore as ts
+
+_DTYPE_TO_ZARR = {
+    np.dtype('uint8'): '|u1', np.dtype('int8'): '|i1',
+    np.dtype('uint16'): '<u2', np.dtype('int16'): '<i2',
+    np.dtype('uint32'): '<u4', np.dtype('int32'): '<i4',
+    np.dtype('uint64'): '<u8', np.dtype('int64'): '<i8',
+    np.dtype('float32'): '<f4', np.dtype('float64'): '<f8',
+}
+
+
+def zarr_dtype_str(dtype) -> str:
+    return _DTYPE_TO_ZARR[np.dtype(dtype)]
+
+
+def create_zarr_array(
+    path: str,
+    shape: Sequence[int],
+    chunks: Sequence[int],
+    dtype,
+    cname: str = 'zstd',
+    clevel: int = 1,
+    shuffle: int = 1,
+    dimension_separator: str = '/',
+    fill_value=0,
+) -> ts.TensorStore:
+    """Create (or overwrite) a zarr v2 array; returns an open TensorStore.
+
+    Default compressor parity with the reference's production writer
+    (zarr_stitcher.py:409: Blosc zstd, clevel=1, shuffle=SHUFFLE).
+    """
+    chunks = [min(int(c), int(s)) if s > 0 else int(c)
+              for c, s in zip(chunks, shape)]
+    spec = {
+        'driver': 'zarr',
+        'kvstore': {'driver': 'file', 'path': path},
+        'metadata': {
+            'shape': list(map(int, shape)),
+            'chunks': list(map(int, chunks)),
+            'dtype': zarr_dtype_str(dtype),
+            'compressor': {'id': 'blosc', 'cname': cname,
+                           'clevel': int(clevel), 'shuffle': int(shuffle)},
+            'fill_value': fill_value,
+            'order': 'C',
+            'dimension_separator': dimension_separator,
+        },
+        'create': True,
+        'delete_existing': True,
+    }
+    return ts.open(spec).result()
+
+
+def open_zarr_array(path: str, writable: bool = False) -> ts.TensorStore:
+    return ts.open({
+        'driver': 'zarr',
+        'kvstore': {'driver': 'file', 'path': path},
+    }, open=True, write=writable, read=True).result()
+
+
+def write_group(path: str, attrs: Optional[Dict] = None) -> None:
+    """Write .zgroup (+ optional .zattrs) making ``path`` a zarr v2 group."""
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, '.zgroup'), 'w') as f:
+        json.dump({'zarr_format': 2}, f, indent=4)
+    if attrs is not None:
+        write_attrs(path, attrs)
+
+
+def write_attrs(path: str, attrs: Dict) -> None:
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, '.zattrs'), 'w') as f:
+        json.dump(attrs, f, indent=4)
+
+
+def read_attrs(path: str) -> Dict:
+    with open(os.path.join(path, '.zattrs')) as f:
+        return json.load(f)

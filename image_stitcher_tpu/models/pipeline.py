@@ -1,0 +1,393 @@
+"""StitchPipeline: the single stitching engine.
+
+One functional core (register -> correct -> fuse as jitted ops over
+batched tile tensors) behind a thin host orchestration layer, replacing
+the reference's three divergent editions (stitcher.py, stitcher_process.py,
+zarr_stitcher.py) with one code path. Public behavior parity:
+
+- output tree  {out}/{t}_stitched/{region}_stitched{fmt}  (stitcher.py:56-61)
+- registration measured once on the first timepoint's first region's
+  center pairs (stitcher.py:1244-1246, 422-498)
+- flatfield sampling budget and correction math (stitcher.py:365-419,607-611)
+- placement/crop arithmetic via core.geometry (exact parity, see tests)
+- OME-Zarr v0.4 multiscales + OMERO metadata (stitcher.py:771-859)
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import geometry as geo
+from ..io.acquisition import Acquisition, TileRecord, read_image, scan_acquisition
+from ..io.omezarr import MultiscaleWriter
+from ..io.readers import TileBatchLoader, TileJob, expand_tile_jobs
+from ..ops import fuse as fuse_ops
+from ..ops import pyramid as pyr_ops
+from ..ops.flatfield import fit_flatfield
+from ..ops.phasecorr import (horizontal_shift_from_pcc, normalize_to_dtype_range,
+                             phase_cross_correlation, vertical_shift_from_pcc)
+from ..params import EngineOptions, StitchingParameters
+from ..utils.progress import ProgressReporter, StitchCancelled
+
+
+class StitchPipeline:
+    """Orchestrates a full stitching run for one acquisition."""
+
+    def __init__(self, params: StitchingParameters,
+                 options: Optional[EngineOptions] = None,
+                 reporter: Optional[ProgressReporter] = None,
+                 stop_event=None):
+        params.validate()
+        self.params = params
+        self.options = options or EngineOptions()
+        self.options.validate()
+        self.reporter = reporter or ProgressReporter()
+        self.stop_event = stop_event
+
+        self.input_folder = params.input_folder
+        self.output_folder = params.stitched_folder  # capture timestamp once
+        self.output_format = params.output_format
+        self.per_timepoint_region_output_template = os.path.join(
+            self.output_folder, "{timepoint}_stitched",
+            "{region}_stitched" + self.output_format)
+
+        self.acq: Optional[Acquisition] = None
+        self.flatfields: Dict[int, np.ndarray] = {}
+        self.shifts = geo.RegistrationShifts(scan_pattern=params.scan_pattern)
+        self.num_pyramid_levels = 1
+        self.registration_channel = params.registration_channel
+        self.saved_paths: List[str] = []
+
+    # ------------------------------------------------------------------ util
+
+    def _check_stop(self):
+        if self.stop_event is not None and self.stop_event.is_set():
+            raise StitchCancelled("stitching cancelled")
+
+    def _dtype_max(self) -> float:
+        dt = self.acq.dtype
+        return float(np.iinfo(dt).max) if np.issubdtype(dt, np.integer) else 1.0
+
+    # ----------------------------------------------------------- flatfields
+
+    def compute_flatfields(self):
+        """Sample tiles per channel and fit flatfields on device.
+
+        Sampling budget parity with reference stitcher.py:381-394:
+        up to 32 random tiles per timepoint, stop once >48 collected.
+        """
+        acq = self.acq
+        self.reporter.getting_flatfields()
+        opts = self.options
+        rnd = random.Random(0)
+        for channel in acq.channel_names:
+            paths = []
+            for t in acq.timepoints:
+                t_paths = [rec.filepath for key, rec in acq.tiles.items()
+                           if rec.channel == channel and key[0] == int(t)]
+                if not t_paths:
+                    continue
+                rnd.shuffle(t_paths)
+                paths.extend(t_paths[:min(opts.flatfield_tiles_per_timepoint,
+                                          len(t_paths))])
+                if len(paths) > opts.flatfield_max_tiles:
+                    break
+            if not paths:
+                continue
+            images = np.stack([read_image(p) for p in paths])
+            if images.ndim == 4 and images.shape[-1] == 3:
+                base = channel.split('_')[0]
+                for plane, suffix in enumerate('RGB'):
+                    idx = acq.monochrome_channels.index(f"{base}_{suffix}")
+                    self.flatfields[idx] = fit_flatfield(images[..., plane])
+                    self.reporter.update_progress(idx + 1, acq.num_c)
+            elif images.ndim == 3:
+                idx = acq.monochrome_channels.index(channel)
+                self.flatfields[idx] = fit_flatfield(images)
+                self.reporter.update_progress(idx + 1, acq.num_c)
+            self._check_stop()
+
+    def _flatfield_stack(self) -> jnp.ndarray:
+        """(C, th, tw) f32 device stack; ones for uncorrected channels."""
+        acq = self.acq
+        ff = np.ones((acq.num_c, acq.input_height, acq.input_width), np.float32)
+        for idx, field in self.flatfields.items():
+            ff[idx] = field
+        return jnp.asarray(ff)
+
+    # ---------------------------------------------------------- registration
+
+    def _get_tile_image(self, t, region, x, y, channel, z_level) -> Optional[np.ndarray]:
+        rec = self.acq.find_tile(t, region, x, y, channel, z_level)
+        return read_image(rec.filepath) if rec is not None else None
+
+    def _measure_pair(self, img_a: np.ndarray, img_b: np.ndarray,
+                      axis: str, max_overlap: int, debug_name: str = '') -> np.ndarray:
+        """Normalize, crop overlap strips, run subpixel phase correlation.
+
+        Strip geometry parity with reference stitcher.py:500-524
+        (25% margin on the orthogonal axis).
+        """
+        dmax = self._dtype_max()
+        a = np.asarray(normalize_to_dtype_range(jnp.asarray(img_a), dmax))
+        b = np.asarray(normalize_to_dtype_range(jnp.asarray(img_b), dmax))
+        margin_frac = self.options.registration_margin
+        if axis == 'horizontal':
+            margin = int(a.shape[0] * margin_frac)
+            strip_a = a[margin:-margin, -max_overlap:]
+            strip_b = b[margin:-margin, :max_overlap]
+        else:
+            margin = int(a.shape[1] * margin_frac)
+            strip_a = a[-max_overlap:, margin:-margin]
+            strip_b = b[:max_overlap, margin:-margin]
+        if self.options.debug_visuals:
+            self._visualize_strips(strip_a, strip_b, debug_name or axis)
+        shift = phase_cross_correlation(
+            jnp.asarray(strip_a), jnp.asarray(strip_b),
+            upsample_factor=self.options.upsample_factor)
+        return np.asarray(shift), strip_a.shape
+
+    def _visualize_strips(self, s1: np.ndarray, s2: np.ndarray, title: str):
+        """Debug strip PNGs (reference stitcher.py:619-637)."""
+        try:
+            import cv2
+            combined = np.hstack((s1, s2)) if title.startswith('horizontal') \
+                else np.vstack((s1, s2))
+            img8 = (combined / self._dtype_max() * 255).astype(np.uint8)
+            os.makedirs(self.output_folder, exist_ok=True)
+            cv2.imwrite(os.path.join(self.output_folder, f"{title}.png"), img8)
+        except Exception as e:
+            print(f"Error in visualize_image: {e}")
+
+    def calculate_shifts(self, t, region: str):
+        """Measure h/v (and S-Pattern reverse-h) shifts at the grid center.
+
+        Parity with reference calculate_shifts (stitcher.py:422-498).
+        """
+        acq = self.acq
+        if not self.registration_channel:
+            self.registration_channel = acq.channel_names[0]
+        elif self.registration_channel not in acq.channel_names:
+            self.registration_channel = acq.channel_names[0]
+        z_level = self.params.registration_z_level
+
+        xs, ys = acq.region_positions(int(t), region)
+        h_shift: geo.Shift = (0, 0)
+        v_shift: geo.Shift = (0, 0)
+        h_shift_rev: geo.Shift = (0, 0)
+        h_shift_rev_odd = 0
+
+        dx_px = (xs[1] - xs[0]) * 1000 / acq.pixel_size_um if len(xs) > 1 else 0.0
+        dy_px = (ys[1] - ys[0]) * 1000 / acq.pixel_size_um if len(ys) > 1 else 0.0
+        max_x_overlap = geo.overlap_estimate(acq.input_width, dx_px,
+                                             acq.pixel_binning,
+                                             self.options.overlap_fudge)
+        max_y_overlap = geo.overlap_estimate(acq.input_height, dy_px,
+                                             acq.pixel_binning,
+                                             self.options.overlap_fudge)
+
+        cx = geo.grid_center_pair_indices(len(xs))
+        cy = geo.grid_center_pair_indices(len(ys))
+        center_x, center_y = xs[cx], ys[cy]
+        right_x = xs[cx + 1] if cx + 1 < len(xs) else None
+        bottom_y = ys[cy + 1] if cy + 1 < len(ys) else None
+        ch = self.registration_channel
+
+        if right_x is not None and max_x_overlap > 0:
+            a = self._get_tile_image(t, region, center_x, center_y, ch, z_level)
+            b = self._get_tile_image(t, region, right_x, center_y, ch, z_level)
+            if a is not None and b is not None:
+                shift, (sh, sw) = self._measure_pair(a, b, 'horizontal', max_x_overlap)
+                h_shift = horizontal_shift_from_pcc(shift, sw)
+
+        if bottom_y is not None and max_y_overlap > 0:
+            a = self._get_tile_image(t, region, center_x, center_y, ch, z_level)
+            b = self._get_tile_image(t, region, center_x, bottom_y, ch, z_level)
+            if a is not None and b is not None:
+                shift, (sh, sw) = self._measure_pair(a, b, 'vertical', max_y_overlap)
+                v_shift = vertical_shift_from_pcc(shift, sh)
+
+        if (self.params.scan_pattern == 'S-Pattern' and right_x is not None
+                and bottom_y is not None and max_x_overlap > 0):
+            a = self._get_tile_image(t, region, center_x, bottom_y, ch, z_level)
+            b = self._get_tile_image(t, region, right_x, bottom_y, ch, z_level)
+            if a is not None and b is not None:
+                shift, (sh, sw) = self._measure_pair(a, b, 'horizontal',
+                                                     max_x_overlap,
+                                                     'horizontal_rev')
+                h_shift_rev = horizontal_shift_from_pcc(shift, sw)
+                h_shift_rev_odd = int(cy % 2 == 0)
+
+        self.shifts = geo.RegistrationShifts(
+            h_shift=h_shift, v_shift=v_shift, h_shift_rev=h_shift_rev,
+            h_shift_rev_odd=h_shift_rev_odd,
+            scan_pattern=self.params.scan_pattern)
+
+    # -------------------------------------------------------------- stitching
+
+    def _region_dimensions(self, t, region: str) -> Tuple[int, int]:
+        acq = self.acq
+        xs, ys = acq.region_positions(int(t), region)
+        if self.params.use_registration:
+            w, h = geo.output_dimensions_registered(
+                len(xs), len(ys), acq.input_width, acq.input_height, self.shifts)
+        else:
+            w, h = geo.output_dimensions_coordinate(
+                xs, ys, acq.input_width, acq.input_height, acq.pixel_size_um)
+        if len(acq.regions) > 1:
+            rows, cols = acq.rows_and_columns()
+            max_dim = max(len(rows), len(cols))
+        else:
+            max_dim = 1
+        self.num_pyramid_levels = geo.num_pyramid_levels(w, h, max_dim)
+        return w, h
+
+    def _build_jobs(self, t, region: str) -> List[TileJob]:
+        acq = self.acq
+        xs, ys = acq.region_positions(int(t), region)
+        x_min, y_min = min(xs), min(ys)
+        triples = []
+        for key, rec in acq.region_tiles(int(t), region).items():
+            if self.params.use_registration:
+                col = xs.index(rec.x)
+                row = ys.index(rec.y)
+                pos = geo.tile_position_registered(
+                    col, row, len(xs), len(ys),
+                    acq.input_width, acq.input_height, self.shifts)
+                crops = geo.tile_crops(col, row, len(xs), len(ys), self.shifts)
+            else:
+                pos = geo.tile_position_coordinate(
+                    rec.x, rec.y, x_min, y_min, acq.pixel_size_um)
+                crops = (0, 0, 0, 0)
+            triples.append((rec, pos, crops))
+        return expand_tile_jobs(acq.monochrome_channels, acq.rgb_channels, triples)
+
+    def stitch_region(self, t, region: str) -> jnp.ndarray:
+        """Fuse all tiles of one (timepoint, region) into a device canvas.
+
+        Returns the cropped (C, Z, H, W) canvas on device.
+        """
+        acq = self.acq
+        opts = self.options
+        width, height = self._region_dimensions(t, region)
+        th, tw = acq.input_height, acq.input_width
+        jobs = self._build_jobs(t, region)
+
+        use_feather = opts.blend_method == 'feather'
+        pad_shape = fuse_ops.padded_canvas_shape(acq.num_c, acq.num_z,
+                                                 height, width, th, tw)
+        ff_stack = self._flatfield_stack() if self.flatfields else None
+
+        loader = TileBatchLoader(jobs, opts.fusion_batch, th, tw, acq.dtype,
+                                 num_threads=opts.reader_threads)
+        total = len(jobs)
+        processed = 0
+
+        if use_feather:
+            acc = jnp.zeros(pad_shape, jnp.float32)
+            wsum = jnp.zeros(pad_shape, jnp.float32)
+        else:
+            canvas = jnp.zeros(pad_shape, acq.dtype)
+
+        for batch in loader:
+            self._check_stop()
+            tiles = jnp.asarray(batch.tiles)
+            info = jnp.asarray(batch.info)
+            crops = jnp.asarray(batch.crops)
+            valid = jnp.asarray(batch.valid)
+            if ff_stack is not None:
+                tiles = fuse_ops.apply_flatfield(tiles, ff_stack, info[:, 0],
+                                                 acq.dtype)
+            if use_feather:
+                acc, wsum = fuse_ops.fuse_feather(acc, wsum, tiles, info,
+                                                  crops, valid)
+            else:
+                canvas = fuse_ops.fuse_overwrite(canvas, tiles, info, crops, valid)
+            self.reporter.update_progress(processed, total)
+            processed += batch.count
+
+        if use_feather:
+            canvas = fuse_ops.finalize_feather(acc, wsum, acq.dtype)
+        return canvas[:, :, :height, :width]
+
+    # ------------------------------------------------------------------ save
+
+    def save_region(self, t, region: str, canvas: jnp.ndarray) -> str:
+        """Write the multiscale OME-Zarr for one region/timepoint."""
+        acq = self.acq
+        opts = self.options
+        output_path = self.per_timepoint_region_output_template.format(
+            timepoint=t, region=region)
+        os.makedirs(os.path.dirname(output_path), exist_ok=True)
+
+        if not self.output_format.endswith('.zarr'):
+            from ..io.ometiff import write_ome_tiff_region
+            return write_ome_tiff_region(self, t, region, canvas, output_path)
+
+        c, z, h, w = canvas.shape
+        writer = MultiscaleWriter(
+            output_path, (1, c, z, h, w), self.num_pyramid_levels,
+            acq.dtype, opts.chunks, f"{region}_t{t}", acq.dz_um,
+            acq.pixel_size_um, acq.monochrome_channels, acq.monochrome_colors,
+            cname=opts.compressor_cname, clevel=opts.compressor_clevel,
+            shuffle=opts.compressor_shuffle)
+        level = canvas
+        for lv in range(self.num_pyramid_levels):
+            if lv > 0:
+                level = pyr_ops.downsample(level, opts.pyramid_downsample)
+            writer.write_level(lv, np.asarray(level)[None])
+        writer.close()
+        return output_path
+
+    # ------------------------------------------------------------------- run
+
+    def run(self) -> str:
+        """Execute the full pipeline; returns the last saved path."""
+        t0 = time.time()
+        try:
+            self.acq = scan_acquisition(self.input_folder)
+            os.makedirs(self.output_folder, exist_ok=True)
+
+            if self.params.apply_flatfield:
+                self.compute_flatfields()
+
+            if self.params.use_registration:
+                self.calculate_shifts(self.acq.timepoints[0], self.acq.regions[0])
+
+            final_path = ''
+            for timepoint in self.acq.timepoints:
+                timepoint = int(timepoint)
+                os.makedirs(os.path.join(self.output_folder,
+                                         f"{timepoint}_stitched"), exist_ok=True)
+                for region in self.acq.regions:
+                    self._check_stop()
+                    self.reporter.starting_stitching()
+                    canvas = self.stitch_region(timepoint, region)
+                    self.reporter.starting_saving(False)
+                    final_path = self.save_region(timepoint, region, canvas)
+                    self.saved_paths.append(final_path)
+                    self.reporter.status(
+                        f"Completed region {region} t{timepoint}", False)
+
+            if self.params.merge_timepoints or self.params.merge_hcs_regions:
+                from .merge import run_merges
+                self.reporter.starting_saving(True)
+                final_path = run_merges(self)
+
+            self.reporter.finished_saving(final_path, self.acq.dtype)
+            self.reporter.status(
+                f"Total processing time: {time.time() - t0:.1f}s", False)
+            return final_path
+        except StitchCancelled:
+            self.reporter.status("Stitching cancelled", False)
+            raise
+        except Exception as e:
+            self.reporter.error(str(e))
+            raise

@@ -1,0 +1,123 @@
+"""BaSiC-style flatfield estimation, TPU-native.
+
+The reference delegates to basicpy's ``BaSiC(get_darkfield=False,
+smoothness_flatfield=1).fit(images)`` (stitcher.py:374-375). We implement
+the same published shading model (Peng et al. 2017, "A BaSiC tool for
+background and shading correction"): each sampled tile D_i is modeled as
+
+    D_i = B_i * S + E_i
+
+with S the smooth multiplicative flatfield (sparse in DCT domain), B_i a
+per-tile baseline, and E_i a sparse residual (foreground objects). Fit by
+ADMM; the DCT-domain prox is two dense matmuls with the orthonormal
+DCT-II matrix — exactly MXU-shaped work. The whole solver is one jitted
+``lax.fori_loop``; fitting runs at a fixed working resolution like
+basicpy (128x128) and the flatfield is resized back to full tile size.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+WORKING_SIZE = 128
+
+
+def dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II matrix (C @ x == dct(x, norm='ortho'))."""
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    c = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    c[0] /= np.sqrt(2.0)
+    return c.astype(np.float32)
+
+
+def _soft(x, thresh):
+    return jnp.sign(x) * jnp.maximum(jnp.abs(x) - thresh, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=('max_iters',))
+def fit_flatfield_stack(images: jnp.ndarray, smoothness: float = 1.0,
+                        max_iters: int = 100) -> jnp.ndarray:
+    """Fit the flatfield S (mean ~ 1) from a stack (N, h, w) float32.
+
+    ADMM on  min ||E||_1 + lam*||DCT(S)||_1  s.t.  D_i = B_i*S + E_i.
+    Returns S with unit mean, shape (h, w).
+    """
+    n, h, w = images.shape
+    d = images.astype(jnp.float32)
+    d_mean_per = jnp.mean(d, axis=(1, 2), keepdims=True)
+    d = d / jnp.maximum(d_mean_per, 1e-6)          # normalize exposure
+    C_h = jnp.asarray(dct_matrix(h))
+    C_w = jnp.asarray(dct_matrix(w))
+
+    def dct2(x):
+        return C_h @ x @ C_w.T
+
+    def idct2(x):
+        return C_h.T @ x @ C_w
+
+    # DCT is orthonormal, and d is exposure-normalized to O(1) values, so
+    # the smoothness weight applies directly as the L1 threshold scale.
+    lam = smoothness
+
+    s0 = jnp.mean(d, axis=0)
+    state = (
+        s0,                                  # S
+        jnp.zeros_like(d),                   # E
+        jnp.ones((n, 1, 1), jnp.float32),    # B
+        jnp.zeros_like(d),                   # Y multipliers
+        jnp.float32(0.01),                   # mu
+    )
+
+    def body(_, st):
+        s, e, b, y, mu = st
+        # S update: least squares + DCT-L1 prox (orthonormal -> exact prox)
+        bsq = jnp.sum(b * b) + 1e-6
+        s_ls = jnp.sum(b * (d - e + y / mu), axis=0) / bsq
+        s = idct2(_soft(dct2(s_ls), lam / (mu * bsq)))
+        # E update: elementwise soft threshold
+        r = d - b * s
+        e = _soft(r + y / mu, 1.0 / mu)
+        # B update: per-image projection onto S (non-negative)
+        ssq = jnp.sum(s * s) + 1e-6
+        b = jnp.maximum(jnp.sum((d - e + y / mu) * s, axis=(1, 2),
+                                keepdims=True) / ssq, 0.0)
+        # Multiplier + penalty
+        resid = d - b * s - e
+        y = y + mu * resid
+        mu = jnp.minimum(mu * 1.1, 1e6)
+        return (s, e, b, y, mu)
+
+    s, *_ = jax.lax.fori_loop(0, max_iters, body, state)
+    s = jnp.maximum(s, 1e-3)
+    return s / jnp.mean(s)
+
+
+def resize_stack(images: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
+    """Bilinear resize of (N, H, W) to (N, *size)."""
+    n = images.shape[0]
+    return jax.image.resize(images.astype(jnp.float32), (n,) + tuple(size),
+                            method='linear')
+
+
+def fit_flatfield(tiles: np.ndarray, smoothness: float = 1.0,
+                  working_size: int = WORKING_SIZE,
+                  max_iters: int = 100) -> np.ndarray:
+    """Full-pipeline fit: (N, H, W) raw tiles -> (H, W) float32 flatfield.
+
+    Mirrors the reference call (BaSiC fit on a sampled stack, flatfield
+    applied at full tile resolution via division, stitcher.py:607-611).
+    """
+    tiles = np.asarray(tiles)
+    n, h, w = tiles.shape
+    small = resize_stack(jnp.asarray(tiles), (working_size, working_size))
+    s = fit_flatfield_stack(small, smoothness=smoothness, max_iters=max_iters)
+    full = jax.image.resize(s, (h, w), method='linear')
+    full = jnp.maximum(full, 1e-3)
+    full = full / jnp.mean(full)
+    return np.asarray(full, dtype=np.float32)

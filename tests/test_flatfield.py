@@ -1,0 +1,84 @@
+import numpy as np
+import pytest
+
+from image_stitcher_tpu.ops.flatfield import (
+    fit_flatfield, fit_flatfield_stack, dct_matrix, resize_stack)
+
+from fixtures import make_ground_truth
+
+
+def make_vignette(h, w, strength=0.4):
+    yy, xx = np.mgrid[0:h, 0:w]
+    cy, cx = (h - 1) / 2, (w - 1) / 2
+    r2 = ((yy - cy) / h) ** 2 + ((xx - cx) / w) ** 2
+    v = 1.0 - strength * r2 / r2.max()
+    return (v / v.mean()).astype(np.float32)
+
+
+def test_dct_matrix_orthonormal():
+    c = dct_matrix(32)
+    np.testing.assert_allclose(c @ c.T, np.eye(32), atol=1e-5)
+
+
+def test_dct_matches_scipy():
+    from scipy.fft import dct
+    x = np.random.default_rng(0).random(16).astype(np.float32)
+    c = dct_matrix(16)
+    np.testing.assert_allclose(c @ x, dct(x, norm='ortho'), atol=1e-5)
+
+
+def test_resize_stack_shape():
+    out = resize_stack(np.ones((3, 40, 60), np.float32), (128, 128))
+    assert out.shape == (3, 128, 128)
+    np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-5)
+
+
+def test_recovers_synthetic_vignette():
+    """Tiles = random scenes * known vignette; fitted flatfield must
+    correlate strongly with the vignette and correct it."""
+    rng = np.random.default_rng(7)
+    h = w = 96
+    vign = make_vignette(h, w, strength=0.5)
+    tiles = []
+    for i in range(24):
+        scene = np.asarray(make_ground_truth(h, w, seed=100 + i), np.float32)
+        tiles.append(scene * vign)
+    tiles = np.stack(tiles)
+    ff = fit_flatfield(tiles, smoothness=1.0, working_size=64, max_iters=120)
+    assert ff.shape == (h, w)
+    assert ff.mean() == pytest.approx(1.0, abs=1e-3)
+    # Dense-texture scenes share correlated low-frequency content, which
+    # bounds any shading estimator; the sparse-foreground test below is the
+    # realistic microscopy case and holds a tighter bar.
+    corr = np.corrcoef(ff.ravel(), vign.ravel())[0, 1]
+    assert corr > 0.9
+    # Correcting a vignetted flat image should flatten it substantially.
+    flat_scene = np.full((h, w), 1000.0, np.float32) * vign
+    corrected = flat_scene / ff
+    cv_before = flat_scene.std() / flat_scene.mean()
+    cv_after = corrected.std() / corrected.mean()
+    assert cv_after < cv_before * 0.5
+
+
+def test_uniform_stack_gives_unit_flatfield():
+    tiles = np.full((8, 64, 64), 500.0, np.float32)
+    ff = fit_flatfield(tiles, working_size=32, max_iters=60)
+    np.testing.assert_allclose(ff, 1.0, atol=0.02)
+
+
+def test_flatfield_robust_to_sparse_foreground():
+    """Bright sparse blobs (cells) shouldn't drag the flatfield."""
+    rng = np.random.default_rng(3)
+    h = w = 64
+    vign = make_vignette(h, w, strength=0.5)
+    tiles = []
+    for i in range(24):
+        scene = np.full((h, w), 800.0, np.float32)
+        # sparse bright spots at random positions
+        for _ in range(4):
+            y, x = rng.integers(4, h - 4), rng.integers(4, w - 4)
+            scene[y - 2:y + 2, x - 2:x + 2] = 8000.0
+        tiles.append(scene * vign)
+    ff = fit_flatfield(np.stack(tiles), working_size=64, max_iters=150)
+    corr = np.corrcoef(ff.ravel(), vign.ravel())[0, 1]
+    assert corr > 0.95

@@ -1,0 +1,206 @@
+#!/usr/bin/env python3
+"""North-star benchmark: tiles/sec registered+fused at 2048 squared.
+
+BASELINE.json headline config: 10x10 grid of 2048^2 3-channel uint16
+tiles, FFT registration (uf=10) + flatfield correction + fusion +
+multiscale OME-Zarr output — measured END TO END from tiles on disk to
+finished zarr store.
+
+Two contenders, identical outputs:
+- ours:     the image_stitcher_tpu pipeline (TPU registration/flatfield
+            kernels; fusion backend auto-selected by link probe; threaded
+            decode; tensorstore parallel compressed writes).
+- baseline: a faithful re-creation of the reference's compute path
+            (sequential imread -> flatfield divide -> slice-assign ->
+            nearest pyramid -> sequential chunk-compressed writes), i.e.
+            stitcher.py:639-689,771-859 without the dask/ome-zarr stack
+            (which only adds overhead; this is a *generous* baseline).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Scale with BENCH_GRID (default 10) / BENCH_TILE (default 2048).
+"""
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+import zlib
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                'tests'))
+
+GRID = int(os.environ.get("BENCH_GRID", "10"))
+TILE = int(os.environ.get("BENCH_TILE", "2048"))
+CHANNELS = ["Fluorescence 405 nm Ex", "Fluorescence 488 nm Ex",
+            "Fluorescence 561 nm Ex"]
+OVERLAP = 205  # ~10% overlap
+DTYPE = np.uint16
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def build_acquisition(root):
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), 'tests'))
+    from fixtures import write_synthetic_acquisition
+    log(f"building {GRID}x{GRID} x{len(CHANNELS)}ch {TILE}^2 acquisition...")
+    return write_synthetic_acquisition(
+        root, grid_cols=GRID, grid_rows=GRID, tile_w=TILE, tile_h=TILE,
+        overlap=OVERLAP, channels=CHANNELS,
+        acq_params_overrides={"pixel_binning": 2})
+
+
+def cached_acquisition() -> str:
+    """Build the fixture once per config; reuse across bench runs."""
+    root = f"/tmp/bench_fixture_g{GRID}_t{TILE}"
+    acq_dir = os.path.join(root, "acq")
+    marker = os.path.join(root, ".complete")
+    if os.path.exists(marker):
+        log(f"reusing fixture {acq_dir}")
+        return acq_dir
+    shutil.rmtree(root, ignore_errors=True)
+    build_acquisition(acq_dir)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return acq_dir
+
+
+def run_ours(acq_dir):
+    from image_stitcher_tpu import EngineOptions, StitchingParameters
+    from image_stitcher_tpu.models.pipeline import StitchPipeline
+    params = StitchingParameters(input_folder=acq_dir, use_registration=True,
+                                 apply_flatfield=True)
+    options = EngineOptions(fusion_batch=10, reader_threads=8)
+    pipe = StitchPipeline(params, options)
+    t0 = time.perf_counter()
+    pipe.run()
+    dt = time.perf_counter() - t0
+    for line in pipe.timers.summary():
+        log("  " + line)
+    return dt, pipe
+
+
+def run_baseline(acq_dir, num_levels):
+    """Reference-faithful sequential path (see module docstring)."""
+    import cv2
+    from image_stitcher_tpu.core import geometry as geo
+    from image_stitcher_tpu.io.acquisition import scan_acquisition
+    from skimage_ref import phase_cross_correlation_ref
+    from image_stitcher_tpu.ops.flatfield import fit_flatfield
+
+    t0 = time.perf_counter()
+    acq = scan_acquisition(acq_dir)
+    xs, ys = acq.region_positions(0, acq.regions[0])
+
+    # flatfield per channel (sampled stack, like stitcher.py:365-419);
+    # the baseline gets our fitter since basicpy is absent — generous.
+    flatfields = {}
+    for ci, ch in enumerate(acq.channel_names):
+        paths = [r.filepath for k, r in acq.tiles.items()
+                 if r.channel == ch][:32]
+        stack = np.stack([cv2.imread(p, cv2.IMREAD_UNCHANGED) for p in paths])
+        flatfields[ci] = fit_flatfield(stack)
+
+    # center-pair registration via the f64 CPU implementation
+    dx_px = (xs[1] - xs[0]) * 1000 / acq.pixel_size_um
+    dy_px = (ys[1] - ys[0]) * 1000 / acq.pixel_size_um
+    ox = geo.overlap_estimate(acq.input_width, dx_px, acq.pixel_binning)
+    oy = geo.overlap_estimate(acq.input_height, dy_px, acq.pixel_binning)
+    cxi = geo.grid_center_pair_indices(len(xs))
+    cyi = geo.grid_center_pair_indices(len(ys))
+    ch0 = acq.channel_names[0]
+
+    def get(x, y):
+        rec = acq.find_tile(0, acq.regions[0], x, y, ch0, 0)
+        return cv2.imread(rec.filepath, cv2.IMREAD_UNCHANGED)
+
+    def norm(img):
+        lo, hi = img.min(), img.max()
+        return ((img - lo) / (hi - lo) * 65535).astype(DTYPE)
+
+    a, b = norm(get(xs[cxi], ys[cyi])), norm(get(xs[cxi + 1], ys[cyi]))
+    m = int(a.shape[0] * 0.25)
+    sh, _, _ = phase_cross_correlation_ref(a[m:-m, -ox:], b[m:-m, :ox], 10)
+    h_shift = (round(sh[0]), round(sh[1] - ox))
+    a, b = norm(get(xs[cxi], ys[cyi])), norm(get(xs[cxi], ys[cyi + 1]))
+    m = int(a.shape[1] * 0.25)
+    sv, _, _ = phase_cross_correlation_ref(a[-oy:, m:-m], b[:oy, m:-m], 10)
+    v_shift = (round(sv[0] - oy), round(sv[1]))
+    shifts = geo.RegistrationShifts(h_shift=h_shift, v_shift=v_shift)
+
+    width, height = geo.output_dimensions_registered(
+        len(xs), len(ys), acq.input_width, acq.input_height, shifts)
+    canvas = np.zeros((acq.num_c, 1, height, width), DTYPE)
+
+    for key, rec in acq.region_tiles(0, acq.regions[0]).items():
+        tile = cv2.imread(rec.filepath, cv2.IMREAD_UNCHANGED)
+        ci = acq.monochrome_channels.index(rec.channel)
+        tile = np.clip(tile / flatfields[ci], 0, 65535).astype(DTYPE)
+        col, row = xs.index(rec.x), ys.index(rec.y)
+        x, y = geo.tile_position_registered(col, row, len(xs), len(ys),
+                                            acq.input_width, acq.input_height,
+                                            shifts)
+        top, bottom, left, right = geo.tile_crops(col, row, len(xs), len(ys),
+                                                  shifts)
+        t = tile[top:TILE - bottom if bottom else TILE,
+                 left:TILE - right if right else TILE]
+        yy, xx = y + top, x + left
+        ye, xe = min(yy + t.shape[0], height), min(xx + t.shape[1], width)
+        canvas[ci, 0, yy:ye, xx:xe] = t[:ye - yy, :xe - xx]
+
+    # nearest pyramid + sequential compressed chunk writes (zlib stands in
+    # for Blosc; both sides write compressed chunks)
+    outdir = tempfile.mkdtemp(prefix="bench_baseline_")
+    level = canvas
+    chunk = 2048
+    for lv in range(num_levels):
+        if lv > 0:
+            level = level[..., ::2, ::2]
+        for c in range(level.shape[0]):
+            for cy in range(0, level.shape[2], chunk):
+                for cx in range(0, level.shape[3], chunk):
+                    blob = zlib.compress(
+                        np.ascontiguousarray(
+                            level[c, 0, cy:cy + chunk, cx:cx + chunk]).tobytes(), 1)
+                    with open(os.path.join(outdir, f"{lv}.{c}.{cy}.{cx}"), 'wb') as f:
+                        f.write(blob)
+    dt = time.perf_counter() - t0
+    shutil.rmtree(outdir, ignore_errors=True)
+    return dt, shifts
+
+
+def main():
+    acq_dir = cached_acquisition()
+    try:
+        n_tiles = GRID * GRID * len(CHANNELS)
+
+        ours_dt, pipe = run_ours(acq_dir)
+        ours_tps = n_tiles / ours_dt
+        log(f"ours: {ours_dt:.1f}s = {ours_tps:.2f} tiles/s "
+            f"(shifts h={pipe.shifts.h_shift} v={pipe.shifts.v_shift})")
+
+        base_dt, base_shifts = run_baseline(acq_dir, pipe.num_pyramid_levels)
+        base_tps = n_tiles / base_dt
+        log(f"baseline: {base_dt:.1f}s = {base_tps:.2f} tiles/s "
+            f"(shifts h={base_shifts.h_shift} v={base_shifts.v_shift})")
+
+        print(json.dumps({
+            "metric": f"tiles/sec registered+fused+written at {TILE}^2 "
+                      f"({GRID}x{GRID}x{len(CHANNELS)}ch uint16, e2e disk->OME-Zarr)",
+            "value": round(ours_tps, 2),
+            "unit": "tiles/s",
+            "vs_baseline": round(ours_tps / base_tps, 2),
+        }))
+    finally:
+        for d in __import__('glob').glob(acq_dir + "_stitched_*"):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+if __name__ == '__main__':
+    main()

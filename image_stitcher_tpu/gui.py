@@ -1,0 +1,294 @@
+#!/usr/bin/env python3
+"""PyQt5 stitching GUI with napari preview.
+
+Functional parity with reference stitcher_gui.py:1-318 and
+stitcher_process_gui.py:1-450: folder picker, flatfield/registration/
+merge checkboxes, registration channel+z selectors populated by a
+metadata probe (via the first-class scan_acquisition API instead of the
+reference's throwaway pipeline objects, stitcher_process_gui.py:213-232),
+output-format combo gating merges to zarr, progress bar driven by a
+100 ms queue-polling timer, stop/terminate escalation, and napari
+launch with per-channel colormaps.
+
+PyQt5/napari are optional: importing this module without them raises a
+clear error only when the GUI is actually launched.
+"""
+
+from __future__ import annotations
+
+import queue as queue_mod
+import sys
+
+try:
+    from PyQt5.QtCore import QTimer, Qt
+    from PyQt5.QtWidgets import (QApplication, QCheckBox, QComboBox,
+                                 QFileDialog, QHBoxLayout, QLabel,
+                                 QMessageBox, QProgressBar, QPushButton,
+                                 QSpinBox, QVBoxLayout, QWidget)
+    HAVE_QT = True
+except ImportError:  # headless environment
+    HAVE_QT = False
+    QWidget = object  # type: ignore
+
+from .params import EngineOptions, StitchingParameters
+
+# Display colormaps per wavelength (reference stitcher_gui.py:11-20).
+CHANNEL_COLORS_MAP = {
+    '405': {'hex': 0x3300FF, 'name': 'blue'},
+    '488': {'hex': 0x1FFF00, 'name': 'green'},
+    '561': {'hex': 0xFFCF00, 'name': 'yellow'},
+    '638': {'hex': 0xFF0000, 'name': 'red'},
+    '730': {'hex': 0x770000, 'name': 'dark red'},
+    'R': {'hex': 0xFF0000, 'name': 'red'},
+    'G': {'hex': 0x1FFF00, 'name': 'green'},
+    'B': {'hex': 0x3300FF, 'name': 'blue'},
+}
+
+
+class StitchingGUI(QWidget):
+    """Main window: configuration panel + progress + viewer hook."""
+
+    POLL_MS = 100  # queue polling period (reference stitcher_process_gui.py:46-49)
+
+    def __init__(self):
+        if not HAVE_QT:
+            raise ImportError(
+                "PyQt5 is required for the GUI; install PyQt5 and napari "
+                "or use image_stitcher_tpu.cli / process_cli instead.")
+        super().__init__()
+        self.stitcher = None
+        self.input_folder = None
+        self.output_path = ''
+        self.dtype = None
+        self._build_ui()
+
+    # ------------------------------------------------------------------ UI
+
+    def _build_ui(self):
+        layout = QVBoxLayout(self)
+
+        self.input_btn = QPushButton("Select Input Folder")
+        self.input_btn.clicked.connect(self.select_input_folder)
+        layout.addWidget(self.input_btn)
+
+        self.ff_checkbox = QCheckBox("Apply Flatfield Correction")
+        layout.addWidget(self.ff_checkbox)
+
+        self.reg_checkbox = QCheckBox("Use Registration")
+        self.reg_checkbox.toggled.connect(self.use_registration_checked)
+        layout.addWidget(self.reg_checkbox)
+
+        reg_row = QHBoxLayout()
+        self.reg_channel_label = QLabel("Registration channel:")
+        self.reg_channel_combo = QComboBox()
+        self.reg_z_label = QLabel("Z-level:")
+        self.reg_z_spin = QSpinBox()
+        for w in (self.reg_channel_label, self.reg_channel_combo,
+                  self.reg_z_label, self.reg_z_spin):
+            reg_row.addWidget(w)
+            w.setVisible(False)
+        layout.addLayout(reg_row)
+
+        fmt_row = QHBoxLayout()
+        fmt_row.addWidget(QLabel("Output format:"))
+        self.format_combo = QComboBox()
+        self.format_combo.addItems(["OME-ZARR", "OME-TIFF"])
+        self.format_combo.currentTextChanged.connect(self.format_changed)
+        fmt_row.addWidget(self.format_combo)
+        layout.addLayout(fmt_row)
+
+        self.mt_checkbox = QCheckBox("Merge Timepoints")
+        self.mw_checkbox = QCheckBox("Merge HCS Regions (Wells)")
+        layout.addWidget(self.mt_checkbox)
+        layout.addWidget(self.mw_checkbox)
+
+        self.start_btn = QPushButton("Start Stitching")
+        self.start_btn.clicked.connect(self.start_stitching)
+        layout.addWidget(self.start_btn)
+
+        self.stop_btn = QPushButton("Stop")
+        self.stop_btn.clicked.connect(self.stop_stitching)
+        self.stop_btn.setEnabled(False)
+        layout.addWidget(self.stop_btn)
+
+        self.progress = QProgressBar()
+        layout.addWidget(self.progress)
+        self.status_label = QLabel("Ready")
+        layout.addWidget(self.status_label)
+
+        self.view_btn = QPushButton("View Output in Napari")
+        self.view_btn.clicked.connect(self.view_output)
+        self.view_btn.setEnabled(False)
+        layout.addWidget(self.view_btn)
+
+        self.setWindowTitle("TPU Image Stitcher")
+
+        self.timer = QTimer(self)
+        self.timer.timeout.connect(self.poll_queues)
+
+    # ------------------------------------------------------------- handlers
+
+    def select_input_folder(self):
+        folder = QFileDialog.getExistingDirectory(self, "Select Input Folder")
+        if folder:
+            self.input_folder = folder
+            self.input_btn.setText(f"Selected: {folder}")
+            if self.reg_checkbox.isChecked():
+                self._populate_registration_fields()
+
+    def use_registration_checked(self, checked: bool):
+        for w in (self.reg_channel_label, self.reg_channel_combo,
+                  self.reg_z_label, self.reg_z_spin):
+            w.setVisible(checked)
+        if checked and self.input_folder:
+            self._populate_registration_fields()
+
+    def _populate_registration_fields(self):
+        """Metadata probe via scan_acquisition (the introspection API)."""
+        try:
+            from .io.acquisition import scan_acquisition
+            acq = scan_acquisition(self.input_folder)
+            self.reg_channel_combo.clear()
+            self.reg_channel_combo.addItems(acq.channel_names)
+            self.reg_z_spin.setRange(0, acq.num_z - 1)
+        except Exception as e:
+            QMessageBox.warning(self, "Metadata", f"Could not scan: {e}")
+
+    def format_changed(self, text: str):
+        """Merges require zarr (reference stitcher_gui.py:254-260)."""
+        is_zarr = text == "OME-ZARR"
+        self.mt_checkbox.setEnabled(is_zarr)
+        self.mw_checkbox.setEnabled(is_zarr)
+        if not is_zarr:
+            self.mt_checkbox.setChecked(False)
+            self.mw_checkbox.setChecked(False)
+
+    def _collect_params(self) -> StitchingParameters:
+        fmt = '.ome.zarr' if self.format_combo.currentText() == "OME-ZARR" \
+            else '.ome.tiff'
+        return StitchingParameters(
+            input_folder=self.input_folder,
+            output_format=fmt,
+            apply_flatfield=self.ff_checkbox.isChecked(),
+            use_registration=self.reg_checkbox.isChecked(),
+            registration_channel=self.reg_channel_combo.currentText(),
+            registration_z_level=self.reg_z_spin.value(),
+            merge_timepoints=self.mt_checkbox.isChecked(),
+            merge_hcs_regions=self.mw_checkbox.isChecked(),
+        )
+
+    def start_stitching(self):
+        if not self.input_folder:
+            QMessageBox.warning(self, "Input", "Select an input folder first")
+            return
+        from .models.editions import StitcherProcess
+        try:
+            params = self._collect_params()
+            params.validate()
+        except Exception as e:
+            QMessageBox.critical(self, "Parameters", str(e))
+            return
+        self.stitcher = StitcherProcess(params, options=EngineOptions())
+        self.stitcher.start()
+        self.start_btn.setEnabled(False)
+        self.stop_btn.setEnabled(True)
+        self.status_label.setText("Stitching...")
+        self.timer.start(self.POLL_MS)
+
+    def poll_queues(self):
+        """100 ms poll of the child's queues (reference
+        stitcher_process_gui.py:58-94)."""
+        s = self.stitcher
+        if s is None:
+            return
+        try:
+            while True:
+                kind, data = s.progress_queue.get_nowait()
+                if kind == 'progress':
+                    cur, total = data
+                    self.progress.setMaximum(max(total, 1))
+                    self.progress.setValue(cur)
+        except queue_mod.Empty:
+            pass
+        try:
+            while True:
+                kind, data = s.status_queue.get_nowait()
+                if kind == 'status':
+                    self.status_label.setText(data[0])
+                elif kind == 'error':
+                    self.status_label.setText(f"Error: {data}")
+        except queue_mod.Empty:
+            pass
+        try:
+            kind, data = s.complete_queue.get_nowait()
+            if kind == 'complete':
+                self.output_path, self.dtype = data
+                self.view_btn.setEnabled(True)
+                self.status_label.setText(f"Complete: {self.output_path}")
+        except queue_mod.Empty:
+            pass
+        if not s.is_alive():
+            self.timer.stop()
+            self.start_btn.setEnabled(True)
+            self.stop_btn.setEnabled(False)
+
+    def stop_stitching(self):
+        """Stop -> join(timeout) -> terminate escalation (reference
+        stitcher_process_gui.py:313-341)."""
+        if self.stitcher is None:
+            return
+        self.stitcher.request_stop()
+        self.stitcher.join(timeout=10)
+        if self.stitcher.is_alive():
+            self.stitcher.terminate()
+        self.timer.stop()
+        self.start_btn.setEnabled(True)
+        self.stop_btn.setEnabled(False)
+        self.status_label.setText("Stopped")
+
+    def view_output(self):
+        """Open the result in napari with per-channel colormaps
+        (reference stitcher_gui.py:262-312)."""
+        try:
+            import napari
+            viewer = napari.Viewer()
+            if self.output_path.endswith('.zarr'):
+                viewer.open(self.output_path, plugin='napari-ome-zarr')
+            else:
+                viewer.open(self.output_path)
+            for layer in viewer.layers:
+                wavelength = self._extract_wavelength(layer.name)
+                cmap = CHANNEL_COLORS_MAP.get(wavelength)
+                if cmap:
+                    layer.colormap = cmap['name']
+            napari.run()
+        except Exception as e:
+            QMessageBox.critical(self, "Viewer", f"Could not open viewer: {e}")
+
+    @staticmethod
+    def _extract_wavelength(name: str):
+        """Channel-name -> wavelength key (reference stitcher_gui.py:294-303)."""
+        if 'Fluorescence' in name:
+            parts = name.split()
+            for i, p in enumerate(parts):
+                if p == 'Fluorescence' and i + 1 < len(parts):
+                    return parts[i + 1]
+        for color in ('R', 'G', 'B'):
+            if f'_{color}' in name:
+                return color
+        return None
+
+
+def main() -> int:
+    if not HAVE_QT:
+        print("PyQt5 not available; run the CLI instead:", file=sys.stderr)
+        print("  python -m image_stitcher_tpu.cli -i <folder>", file=sys.stderr)
+        return 1
+    app = QApplication(sys.argv)
+    gui = StitchingGUI()
+    gui.show()
+    return app.exec_()
+
+
+if __name__ == '__main__':
+    sys.exit(main())

@@ -172,10 +172,17 @@ def parse_tile_filename(filename: str) -> Optional[Tuple[str, int, int, str]]:
 def read_image(filepath: str) -> np.ndarray:
     """Read a tile image as (H, W) or (H, W, 3) RGB ndarray.
 
-    Uses OpenCV (native C++ decode path) with IMREAD_UNCHANGED to preserve
-    uint16; color images are converted BGR->RGB so channel order matches
-    the reference's PIL/tifffile-based readers.
+    Uncompressed TIFFs (the Squid default) take a zero-copy fast path
+    (~10x faster than libtiff); everything else decodes through OpenCV
+    (native C++) with IMREAD_UNCHANGED to preserve uint16. Color images
+    are converted BGR->RGB so channel order matches the reference's
+    PIL/tifffile-based readers.
     """
+    if filepath.endswith(('.tif', '.tiff')):
+        from .fast_tiff import read_tiff_fast
+        fast = read_tiff_fast(filepath)
+        if fast is not None:
+            return fast
     import cv2
     img = cv2.imread(filepath, cv2.IMREAD_UNCHANGED)
     if img is None:

@@ -13,13 +13,17 @@ import numpy as np
 def write_ome_tiff_region(pipeline, t, region: str, canvas, output_path: str) -> str:
     from .tiffwriter import write_ome_tiff_pyramid
     from ..ops import pyramid as pyr_ops
+    from ..ops.host_fuse import host_downsample
 
     acq = pipeline.acq
+    is_host = isinstance(canvas, np.ndarray)
     levels = []
     level = canvas
     for lv in range(pipeline.num_pyramid_levels):
         if lv > 0:
-            level = pyr_ops.downsample(level, pipeline.options.pyramid_downsample)
+            level = (host_downsample(level, pipeline.options.pyramid_downsample)
+                     if is_host else
+                     pyr_ops.downsample(level, pipeline.options.pyramid_downsample))
         levels.append(np.asarray(level))
     write_ome_tiff_pyramid(
         output_path, levels,

@@ -34,6 +34,7 @@ from ..ops.flatfield import fit_flatfield
 from ..ops.phasecorr import (horizontal_shift_from_pcc, normalize_to_dtype_range,
                              phase_cross_correlation, vertical_shift_from_pcc)
 from ..params import EngineOptions, StitchingParameters
+from ..utils.profiling import StageTimers
 from ..utils.progress import ProgressReporter, StitchCancelled
 
 
@@ -64,6 +65,7 @@ class StitchPipeline:
         self.num_pyramid_levels = 1
         self.registration_channel = params.registration_channel
         self.saved_paths: List[str] = []
+        self.timers = StageTimers()
 
     # ------------------------------------------------------------------ util
 
@@ -82,11 +84,21 @@ class StitchPipeline:
 
         Sampling budget parity with reference stitcher.py:381-394:
         up to 32 random tiles per timepoint, stop once >48 collected.
+        Samples read in parallel; the stack is padded (by cycling) to a
+        fixed size so the device solver compiles exactly one shape.
         """
+        from concurrent.futures import ThreadPoolExecutor
         acq = self.acq
         self.reporter.getting_flatfields()
         opts = self.options
         rnd = random.Random(0)
+        pool = ThreadPoolExecutor(opts.reader_threads)
+        try:
+            self._compute_flatfields_inner(acq, opts, rnd, pool)
+        finally:
+            pool.shutdown(wait=False)
+
+    def _compute_flatfields_inner(self, acq, opts, rnd, pool):
         for channel in acq.channel_names:
             paths = []
             for t in acq.timepoints:
@@ -101,7 +113,11 @@ class StitchPipeline:
                     break
             if not paths:
                 continue
-            images = np.stack([read_image(p) for p in paths])
+            # cycle-pad to the fixed sample budget: one static shape for
+            # the jitted solver across all channels and acquisitions
+            target = opts.flatfield_tiles_per_timepoint
+            full = (paths * ((target + len(paths) - 1) // len(paths)))[:target]
+            images = np.stack(list(pool.map(read_image, full)))
             if images.ndim == 4 and images.shape[-1] == 3:
                 base = channel.split('_')[0]
                 for plane, suffix in enumerate('RGB'):
@@ -114,13 +130,17 @@ class StitchPipeline:
                 self.reporter.update_progress(idx + 1, acq.num_c)
             self._check_stop()
 
-    def _flatfield_stack(self) -> jnp.ndarray:
-        """(C, th, tw) f32 device stack; ones for uncorrected channels."""
+    def _flatfield_stack_np(self) -> np.ndarray:
+        """(C, th, tw) f32 host stack; ones for uncorrected channels."""
         acq = self.acq
         ff = np.ones((acq.num_c, acq.input_height, acq.input_width), np.float32)
         for idx, field in self.flatfields.items():
             ff[idx] = field
-        return jnp.asarray(ff)
+        return ff
+
+    def _flatfield_stack(self) -> jnp.ndarray:
+        """(C, th, tw) f32 device stack; ones for uncorrected channels."""
+        return jnp.asarray(self._flatfield_stack_np())
 
     # ---------------------------------------------------------- registration
 
@@ -136,8 +156,16 @@ class StitchPipeline:
         (25% margin on the orthogonal axis).
         """
         dmax = self._dtype_max()
-        a = np.asarray(normalize_to_dtype_range(jnp.asarray(img_a), dmax))
-        b = np.asarray(normalize_to_dtype_range(jnp.asarray(img_b), dmax))
+
+        # Host-side min-max normalize (reference stitcher.py:613-617):
+        # cheap vector math; keeps full-resolution images off the link —
+        # only the overlap strips are shipped to the device.
+        def norm(img):
+            img = np.asarray(img, np.float32)
+            lo, hi = img.min(), img.max()
+            return (img - lo) / max(hi - lo, 1e-12) * dmax
+
+        a, b = norm(img_a), norm(img_b)
         margin_frac = self.options.registration_margin
         if axis == 'horizontal':
             margin = int(a.shape[0] * margin_frac)
@@ -149,9 +177,11 @@ class StitchPipeline:
             strip_b = b[:max_overlap, margin:-margin]
         if self.options.debug_visuals:
             self._visualize_strips(strip_a, strip_b, debug_name or axis)
-        shift = phase_cross_correlation(
-            jnp.asarray(strip_a), jnp.asarray(strip_b),
-            upsample_factor=self.options.upsample_factor)
+        # One-shot pair: host FFT (the batched all-pairs scope uses the
+        # jitted device kernel, calculate_shifts_all_pairs).
+        from ..ops.phasecorr import phase_cross_correlation_np
+        shift = phase_cross_correlation_np(
+            strip_a, strip_b, upsample_factor=self.options.upsample_factor)
         return np.asarray(shift), strip_a.shape
 
     def _visualize_strips(self, s1: np.ndarray, s2: np.ndarray, title: str):
@@ -230,6 +260,121 @@ class StitchPipeline:
             h_shift_rev_odd=h_shift_rev_odd,
             scan_pattern=self.params.scan_pattern)
 
+    def calculate_shifts_all_pairs(self, t, region: str):
+        """Robust full-grid registration: EVERY adjacent pair measured.
+
+        Upgrade over the reference's single-center-pair estimate
+        (stitcher.py:456-485): all horizontal and vertical neighbor
+        strips are registered in one batched vmapped phase-correlation
+        call, then aggregated by median (parity-split for S-Pattern
+        rows). Falls back to the center-pair scope via
+        EngineOptions.registration_scope = 'center'.
+        """
+        from ..ops.phasecorr import phase_cross_correlation_batch
+        acq = self.acq
+        if not self.registration_channel or \
+                self.registration_channel not in acq.channel_names:
+            self.registration_channel = acq.channel_names[0]
+        ch = self.registration_channel
+        z_level = self.params.registration_z_level
+
+        xs, ys = acq.region_positions(int(t), region)
+        n_cols, n_rows = len(xs), len(ys)
+        dx_px = (xs[1] - xs[0]) * 1000 / acq.pixel_size_um if n_cols > 1 else 0.0
+        dy_px = (ys[1] - ys[0]) * 1000 / acq.pixel_size_um if n_rows > 1 else 0.0
+        ox = geo.overlap_estimate(acq.input_width, dx_px, acq.pixel_binning,
+                                  self.options.overlap_fudge)
+        oy = geo.overlap_estimate(acq.input_height, dy_px, acq.pixel_binning,
+                                  self.options.overlap_fudge)
+        mfrac = self.options.registration_margin
+        my = int(acq.input_height * mfrac)
+        mx = int(acq.input_width * mfrac)
+        dmax = self._dtype_max()
+
+        # Load each grid tile once (threaded), keep only normalized strips.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def load_strips(rc):
+            r, c = rc
+            rec = acq.find_tile(t, region, xs[c], ys[r], ch, z_level)
+            if rec is None:
+                return rc, None
+            img = np.asarray(read_image(rec.filepath), np.float32)
+            if img.ndim == 3:
+                img = img[..., 0]
+            lo, hi = img.min(), img.max()
+            img = (img - lo) / max(hi - lo, 1e-12) * dmax
+            return rc, {
+                'left': img[my:-my, :ox] if ox else None,
+                'right': img[my:-my, -ox:] if ox else None,
+                'top': img[:oy, mx:-mx] if oy else None,
+                'bottom': img[-oy:, mx:-mx] if oy else None,
+            }
+
+        coords = [(r, c) for r in range(n_rows) for c in range(n_cols)]
+        with ThreadPoolExecutor(self.options.reader_threads) as pool:
+            strips = dict(pool.map(load_strips, coords))
+
+        def batch_measure(pairs):
+            """pairs: list of (ref_strip, mov_strip, tag); -> shifts list."""
+            if not pairs:
+                return []
+            a = jnp.asarray(np.stack([p[0] for p in pairs]))
+            b = jnp.asarray(np.stack([p[1] for p in pairs]))
+            out = np.asarray(phase_cross_correlation_batch(
+                a, b, self.options.upsample_factor))
+            return list(out)
+
+        h_pairs, h_tags = [], []
+        if ox:
+            for r in range(n_rows):
+                for c in range(n_cols - 1):
+                    sa, sb = strips.get((r, c)), strips.get((r, c + 1))
+                    if sa and sb and sa['right'] is not None:
+                        h_pairs.append((sa['right'], sb['left']))
+                        h_tags.append(r)
+        v_pairs = []
+        if oy:
+            for r in range(n_rows - 1):
+                for c in range(n_cols):
+                    sa, sb = strips.get((r, c)), strips.get((r + 1, c))
+                    if sa and sb and sa['bottom'] is not None:
+                        v_pairs.append((sa['bottom'], sb['top']))
+
+        h_shifts = batch_measure([(a, b, None) for a, b in h_pairs])
+        v_shifts = batch_measure([(a, b, None) for a, b in v_pairs])
+        self.pair_shifts = {'horizontal': h_shifts, 'vertical': v_shifts}
+
+        def agg_h(shifts):
+            if not shifts:
+                return (0, 0)
+            arr = np.stack(shifts)
+            med = np.median(arr, axis=0)
+            return (round(float(med[0])), round(float(med[1]) - ox))
+
+        def agg_v(shifts):
+            if not shifts:
+                return (0, 0)
+            arr = np.stack(shifts)
+            med = np.median(arr, axis=0)
+            return (round(float(med[0]) - oy), round(float(med[1])))
+
+        if self.params.scan_pattern == 'S-Pattern' and h_shifts:
+            even = [s for s, r in zip(h_shifts, h_tags) if r % 2 == 0]
+            odd = [s for s, r in zip(h_shifts, h_tags) if r % 2 == 1]
+            h_shift = agg_h(even) if even else (0, 0)
+            h_shift_rev = agg_h(odd) if odd else h_shift
+            h_shift_rev_odd = 1
+        else:
+            h_shift = agg_h(h_shifts)
+            h_shift_rev = (0, 0)
+            h_shift_rev_odd = 0
+
+        self.shifts = geo.RegistrationShifts(
+            h_shift=h_shift, v_shift=agg_v(v_shifts),
+            h_shift_rev=h_shift_rev, h_shift_rev_odd=h_shift_rev_odd,
+            scan_pattern=self.params.scan_pattern)
+
     # -------------------------------------------------------------- stitching
 
     def _region_dimensions(self, t, region: str) -> Tuple[int, int]:
@@ -269,26 +414,66 @@ class StitchPipeline:
             triples.append((rec, pos, crops))
         return expand_tile_jobs(acq.monochrome_channels, acq.rgb_channels, triples)
 
-    def stitch_region(self, t, region: str) -> jnp.ndarray:
-        """Fuse all tiles of one (timepoint, region) into a device canvas.
+    def _select_fusion_backend(self, height: int, width: int,
+                               n_jobs: int) -> str:
+        opts = self.options
+        if opts.fusion_device != 'auto':
+            return opts.fusion_device
+        from ..parallel.autotune import choose_fusion_backend
+        acq = self.acq
+        itemsize = acq.dtype.itemsize
+        canvas_bytes = acq.num_c * acq.num_z * height * width * itemsize
+        tiles_bytes = n_jobs * acq.input_height * acq.input_width * itemsize
+        try:
+            backend = choose_fusion_backend(canvas_bytes, tiles_bytes)
+        except Exception:
+            backend = 'host'
+        self.reporter.status(f"fusion backend: {backend}", False)
+        return backend
 
-        Returns the cropped (C, Z, H, W) canvas on device.
+    def stitch_region(self, t, region: str):
+        """Fuse all tiles of one (timepoint, region) into a canvas.
+
+        Returns the cropped (C, Z, H, W) canvas — a device array when the
+        device backend ran, NumPy for the host backend.
         """
         acq = self.acq
         opts = self.options
         width, height = self._region_dimensions(t, region)
         th, tw = acq.input_height, acq.input_width
         jobs = self._build_jobs(t, region)
+        backend = self._select_fusion_backend(height, width, len(jobs))
+        total = len(jobs)
+        processed = 0
 
+        if backend == 'host':
+            from ..ops.host_fuse import HostCanvas
+            ff = self._flatfield_stack_np() if self.flatfields else None
+            hc = HostCanvas(acq.num_c, acq.num_z, height, width, acq.dtype,
+                            num_threads=opts.host_fusion_threads,
+                            flatfields=ff, blend_method=opts.blend_method,
+                            blend_px=opts.feather_px)
+
+            def load_plane(job):
+                img = read_image(job.filepath)
+                if job.plane >= 0:
+                    img = img[:, :, job.plane]
+                elif img.ndim == 3 and img.shape[0] == 1:
+                    img = img[0]
+                return img
+
+            hc.fuse_streaming(
+                jobs, load_plane,
+                progress_cb=lambda n: self.reporter.update_progress(n, total),
+                stop_check=self._check_stop)
+            return hc.finalize()
+
+        loader = TileBatchLoader(jobs, opts.fusion_batch, th, tw, acq.dtype,
+                                 num_threads=opts.reader_threads)
         use_feather = opts.blend_method == 'feather'
         pad_shape = fuse_ops.padded_canvas_shape(acq.num_c, acq.num_z,
                                                  height, width, th, tw)
         ff_stack = self._flatfield_stack() if self.flatfields else None
-
-        loader = TileBatchLoader(jobs, opts.fusion_batch, th, tw, acq.dtype,
-                                 num_threads=opts.reader_threads)
-        total = len(jobs)
-        processed = 0
 
         if use_feather:
             acc = jnp.zeros(pad_shape, jnp.float32)
@@ -306,8 +491,9 @@ class StitchPipeline:
                 tiles = fuse_ops.apply_flatfield(tiles, ff_stack, info[:, 0],
                                                  acq.dtype)
             if use_feather:
-                acc, wsum = fuse_ops.fuse_feather(acc, wsum, tiles, info,
-                                                  crops, valid)
+                acc, wsum = fuse_ops.fuse_feather(
+                    acc, wsum, tiles, info, crops, valid,
+                    blend_px=opts.feather_px)
             else:
                 canvas = fuse_ops.fuse_overwrite(canvas, tiles, info, crops, valid)
             self.reporter.update_progress(processed, total)
@@ -338,10 +524,15 @@ class StitchPipeline:
             acq.pixel_size_um, acq.monochrome_channels, acq.monochrome_colors,
             cname=opts.compressor_cname, clevel=opts.compressor_clevel,
             shuffle=opts.compressor_shuffle)
+        is_host = isinstance(canvas, np.ndarray)
         level = canvas
         for lv in range(self.num_pyramid_levels):
             if lv > 0:
-                level = pyr_ops.downsample(level, opts.pyramid_downsample)
+                if is_host:
+                    from ..ops.host_fuse import host_downsample
+                    level = host_downsample(level, opts.pyramid_downsample)
+                else:
+                    level = pyr_ops.downsample(level, opts.pyramid_downsample)
             writer.write_level(lv, np.asarray(level)[None])
         writer.close()
         return output_path
@@ -352,14 +543,22 @@ class StitchPipeline:
         """Execute the full pipeline; returns the last saved path."""
         t0 = time.time()
         try:
-            self.acq = scan_acquisition(self.input_folder)
+            with self.timers.time('scan'):
+                self.acq = scan_acquisition(self.input_folder)
             os.makedirs(self.output_folder, exist_ok=True)
 
             if self.params.apply_flatfield:
-                self.compute_flatfields()
+                with self.timers.time('flatfield_fit'):
+                    self.compute_flatfields()
 
             if self.params.use_registration:
-                self.calculate_shifts(self.acq.timepoints[0], self.acq.regions[0])
+                with self.timers.time('registration'):
+                    if self.options.registration_scope == 'all-pairs':
+                        self.calculate_shifts_all_pairs(
+                            int(self.acq.timepoints[0]), self.acq.regions[0])
+                    else:
+                        self.calculate_shifts(self.acq.timepoints[0],
+                                              self.acq.regions[0])
 
             final_path = ''
             for timepoint in self.acq.timepoints:
@@ -369,9 +568,11 @@ class StitchPipeline:
                 for region in self.acq.regions:
                     self._check_stop()
                     self.reporter.starting_stitching()
-                    canvas = self.stitch_region(timepoint, region)
+                    with self.timers.time('fuse'):
+                        canvas = self.stitch_region(timepoint, region)
                     self.reporter.starting_saving(False)
-                    final_path = self.save_region(timepoint, region, canvas)
+                    with self.timers.time('save'):
+                        final_path = self.save_region(timepoint, region, canvas)
                     self.saved_paths.append(final_path)
                     self.reporter.status(
                         f"Completed region {region} t{timepoint}", False)
@@ -379,9 +580,12 @@ class StitchPipeline:
             if self.params.merge_timepoints or self.params.merge_hcs_regions:
                 from .merge import run_merges
                 self.reporter.starting_saving(True)
-                final_path = run_merges(self)
+                with self.timers.time('merge'):
+                    final_path = run_merges(self)
 
             self.reporter.finished_saving(final_path, self.acq.dtype)
+            for line in self.timers.summary():
+                self.reporter.status(line, False)
             self.reporter.status(
                 f"Total processing time: {time.time() - t0:.1f}s", False)
             return final_path

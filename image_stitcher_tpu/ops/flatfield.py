@@ -98,6 +98,44 @@ def fit_flatfield_stack(images: jnp.ndarray, smoothness: float = 1.0,
     return s / jnp.mean(s)
 
 
+def fit_flatfield_stack_np(images: np.ndarray, smoothness: float = 1.0,
+                           max_iters: int = 100) -> np.ndarray:
+    """NumPy twin of :func:`fit_flatfield_stack` (identical iteration).
+
+    The working-resolution solve is ~100 MFLOP — far below the scale
+    where a device pays off, and remote-backend compiles can cost
+    minutes; the host solver runs in well under a second. Kept in exact
+    step-for-step correspondence with the jitted version (tested).
+    """
+    from scipy.fft import dctn, idctn
+    n, h, w = images.shape
+    d = images.astype(np.float32)
+    d = d / np.maximum(d.mean(axis=(1, 2), keepdims=True), 1e-6)
+    lam = smoothness
+
+    def soft(x, t):
+        return np.sign(x) * np.maximum(np.abs(x) - t, 0.0)
+
+    s = d.mean(axis=0)
+    e = np.zeros_like(d)
+    b = np.ones((n, 1, 1), np.float32)
+    y = np.zeros_like(d)
+    mu = np.float32(0.01)
+    for _ in range(max_iters):
+        bsq = float((b * b).sum()) + 1e-6
+        s_ls = (b * (d - e + y / mu)).sum(axis=0) / bsq
+        s = idctn(soft(dctn(s_ls, norm='ortho'), lam / (mu * bsq)),
+                  norm='ortho').astype(np.float32)
+        e = soft(d - b * s + y / mu, 1.0 / mu)
+        ssq = float((s * s).sum()) + 1e-6
+        b = np.maximum(((d - e + y / mu) * s).sum(axis=(1, 2), keepdims=True)
+                       / ssq, 0.0).astype(np.float32)
+        y = y + mu * (d - b * s - e)
+        mu = min(mu * 1.1, 1e6)
+    s = np.maximum(s, 1e-3)
+    return (s / s.mean()).astype(np.float32)
+
+
 def resize_stack(images: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
     """Bilinear resize of (N, H, W) to (N, *size)."""
     n = images.shape[0]
@@ -107,17 +145,40 @@ def resize_stack(images: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
 
 def fit_flatfield(tiles: np.ndarray, smoothness: float = 1.0,
                   working_size: int = WORKING_SIZE,
-                  max_iters: int = 100) -> np.ndarray:
+                  max_iters: int = 100, prefer_device: bool = False) -> np.ndarray:
     """Full-pipeline fit: (N, H, W) raw tiles -> (H, W) float32 flatfield.
 
     Mirrors the reference call (BaSiC fit on a sampled stack, flatfield
     applied at full tile resolution via division, stitcher.py:607-611).
+
+    Down/up-sampling happens on host (OpenCV). The working-resolution
+    solve defaults to the host NumPy solver — it is ~100 MFLOP, below
+    any device's payoff threshold once remote compile latency counts;
+    set ``prefer_device=True`` (or shard the batch, parallel/sharded_ops)
+    to run the jitted solver on accelerators.
     """
+    import cv2
     tiles = np.asarray(tiles)
     n, h, w = tiles.shape
-    small = resize_stack(jnp.asarray(tiles), (working_size, working_size))
-    s = fit_flatfield_stack(small, smoothness=smoothness, max_iters=max_iters)
-    full = jax.image.resize(s, (h, w), method='linear')
-    full = jnp.maximum(full, 1e-3)
-    full = full / jnp.mean(full)
-    return np.asarray(full, dtype=np.float32)
+    # Stride-decimate toward ~2x the working size first (free), then a
+    # proper area resample for the final step — full-resolution
+    # INTER_AREA on large tiles costs ~100ms/tile for no extra quality
+    # at shading-estimation scales.
+    sy = max(1, h // (2 * working_size))
+    sx = max(1, w // (2 * working_size))
+    small = np.stack([
+        cv2.resize(np.ascontiguousarray(t[::sy, ::sx]).astype(np.float32),
+                   (working_size, working_size),
+                   interpolation=cv2.INTER_AREA)
+        for t in tiles])
+    if prefer_device:
+        s = np.asarray(fit_flatfield_stack(jnp.asarray(small),
+                                           smoothness=smoothness,
+                                           max_iters=max_iters))
+    else:
+        s = fit_flatfield_stack_np(small, smoothness=smoothness,
+                                   max_iters=max_iters)
+    full = cv2.resize(np.asarray(s, dtype=np.float32), (w, h),
+                      interpolation=cv2.INTER_LINEAR)
+    full = np.maximum(full, 1e-3)
+    return (full / full.mean()).astype(np.float32)

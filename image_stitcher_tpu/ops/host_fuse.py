@@ -1,0 +1,143 @@
+"""Host-side parallel fusion backend (thread pool over NumPy slices).
+
+Why this exists in a TPU framework: the fusion stage is pure data
+movement (tile bytes -> canvas bytes -> disk). On hosts where the
+accelerator link is fast (PCIe/DMA), the device path in ops/fuse.py wins
+outright; on tunneled links (tens of MB/s device<->host) no accelerator
+can beat in-RAM assembly, so the engine falls back to this backend while
+the TPU keeps the compute-dense kernels (registration, flatfield fit).
+Selection is automatic via parallel/autotune.py.
+
+Semantics are identical to ops/fuse.fuse_overwrite (and to the reference
+placement, stitcher.py:563-605): later tile wins, crop masks, edge clamp.
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+
+class HostCanvas:
+    """A (C, Z, H, W) canvas fused by a host thread pool."""
+
+    def __init__(self, num_c: int, num_z: int, height: int, width: int,
+                 dtype, num_threads: int = 4,
+                 flatfields: Optional[np.ndarray] = None,
+                 blend_method: str = 'overwrite', blend_px: int = 64):
+        self.canvas = np.zeros((num_c, num_z, height, width), dtype)
+        self.height, self.width = height, width
+        self.dtype = np.dtype(dtype)
+        self.flatfields = flatfields  # (C, th, tw) f32 or None
+        self.blend = blend_method
+        self.blend_px = blend_px
+        if blend_method == 'feather':
+            self.acc = np.zeros((num_c, num_z, height, width), np.float32)
+            self.wsum = np.zeros((num_c, num_z, height, width), np.float32)
+        self.pool = ThreadPoolExecutor(max_workers=num_threads)
+
+    def _correct(self, tile: np.ndarray, c: int) -> np.ndarray:
+        if self.flatfields is None:
+            return tile
+        corrected = tile / self.flatfields[c]
+        if np.issubdtype(self.dtype, np.integer):
+            info = np.iinfo(self.dtype)
+            np.clip(corrected, info.min, info.max, out=corrected)
+        return corrected.astype(self.dtype)
+
+    def _place(self, job) -> None:
+        tile, c, z, y, x, crops = job
+        top, bottom, left, right = crops
+        th, tw = tile.shape
+        tile = self._correct(tile, c)
+        t = tile[top:th - bottom if bottom else th,
+                 left:tw - right if right else tw]
+        yy, xx = y + top, x + left
+        ye = min(yy + t.shape[0], self.height)
+        xe = min(xx + t.shape[1], self.width)
+        if ye <= yy or xe <= xx:
+            return
+        t = t[:ye - yy, :xe - xx]
+        if self.blend == 'feather':
+            h, w = t.shape
+            ry = np.minimum(np.arange(1, h + 1), np.arange(h, 0, -1))
+            rx = np.minimum(np.arange(1, w + 1), np.arange(w, 0, -1))
+            wgt = (np.minimum.outer(ry, rx).astype(np.float32)
+                   / self.blend_px).clip(0, 1)
+            self.acc[c, z, yy:ye, xx:xe] += wgt * t.astype(np.float32)
+            self.wsum[c, z, yy:ye, xx:xe] += wgt
+        else:
+            self.canvas[c, z, yy:ye, xx:xe] = t
+
+    def fuse(self, jobs: Sequence[Tuple]) -> None:
+        """jobs: (tile(th,tw), c, z, y, x, crops).
+
+        Jobs are grouped by (c, z) plane: planes fuse concurrently (they
+        can never overlap), while jobs within a plane apply sequentially
+        in order — preserving the reference's later-tile-wins semantics
+        exactly, with no data races (the reference's Pool relied on
+        registration crops making writes disjoint, zarr_stitcher.py:421-440;
+        we don't need that assumption).
+        """
+        planes = {}
+        for job in jobs:
+            planes.setdefault((job[1], job[2]), []).append(job)
+
+        def run_plane(plane_jobs):
+            for job in plane_jobs:
+                self._place(job)
+
+        list(self.pool.map(run_plane, planes.values()))
+
+    def fuse_streaming(self, jobs, load_fn, progress_cb=None,
+                       stop_check=None) -> None:
+        """Read-and-place directly: no intermediate batch buffers.
+
+        ``jobs`` are TileJob-likes (attrs channel_idx, z_level, y, x,
+        crops); ``load_fn(job)`` returns the (th, tw) plane. Jobs are
+        partitioned by (c, z) plane; each plane streams sequentially in
+        order (exact overwrite semantics), planes in parallel.
+        """
+        planes = {}
+        for job in jobs:
+            planes.setdefault((job.channel_idx, job.z_level), []).append(job)
+        done = [0]
+
+        def run_plane(plane_jobs):
+            for job in plane_jobs:
+                if stop_check is not None:
+                    stop_check()
+                tile = load_fn(job)
+                self._place((tile, job.channel_idx, job.z_level,
+                             job.y, job.x, job.crops))
+                done[0] += 1
+                if progress_cb is not None:
+                    progress_cb(done[0])
+
+        list(self.pool.map(run_plane, planes.values()))
+
+    def finalize(self) -> np.ndarray:
+        if self.blend == 'feather':
+            out = self.acc / np.maximum(self.wsum, 1e-6)
+            out[self.wsum == 0] = 0
+            if np.issubdtype(self.dtype, np.integer):
+                info = np.iinfo(self.dtype)
+                out = np.clip(np.round(out), info.min, info.max)
+            self.canvas = out.astype(self.dtype)
+        self.pool.shutdown(wait=True)
+        return self.canvas
+
+
+def host_downsample(x: np.ndarray, mode: str) -> np.ndarray:
+    """NumPy twin of ops/pyramid.downsample (levels from the host canvas)."""
+    h2, w2 = (x.shape[-2] // 2) * 2, (x.shape[-1] // 2) * 2
+    if mode == 'nearest':
+        return np.ascontiguousarray(x[..., :h2:2, :w2:2])
+    t = x[..., :h2, :w2].astype(np.float32)
+    lead = t.shape[:-2]
+    m = t.reshape(lead + (h2 // 2, 2, w2 // 2, 2)).mean(axis=(-3, -1))
+    if np.issubdtype(x.dtype, np.integer):
+        m = np.floor(m)
+    return m.astype(x.dtype)

@@ -24,6 +24,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _fftfreq(n: int, d: float) -> jnp.ndarray:
@@ -108,6 +109,47 @@ def phase_cross_correlation(reference: jnp.ndarray, moving: jnp.ndarray,
 phase_cross_correlation_batch = jax.jit(
     jax.vmap(phase_cross_correlation, in_axes=(0, 0, None)),
     static_argnames=('upsample_factor',))
+
+
+def phase_cross_correlation_np(reference: np.ndarray, moving: np.ndarray,
+                               upsample_factor: int = 10) -> np.ndarray:
+    """Host (SciPy FFT, float64) twin of :func:`phase_cross_correlation`.
+
+    Used for one-shot measurements (the reference's center-pair scope)
+    where a single pair can't amortize a remote device compile; the
+    batched all-pairs path runs the jitted device version. Same
+    algorithm, same results within 0.1 px (tested).
+    """
+    from scipy import fft as sfft
+    a = np.asarray(reference, np.float64)
+    b = np.asarray(moving, np.float64)
+    h, w = a.shape
+    product = sfft.fft2(a) * np.conj(sfft.fft2(b))
+    eps = 100 * np.finfo(np.float64).eps
+    product /= np.maximum(np.abs(product), eps)
+    corr = sfft.ifft2(product)
+    my, mx = np.unravel_index(np.argmax(np.abs(corr)), corr.shape)
+    shifts = np.array([my, mx], np.float64)
+    mids = np.array([np.fix(h / 2), np.fix(w / 2)])
+    shifts[shifts > mids] -= np.array([h, w])[shifts > mids]
+    if upsample_factor <= 1:
+        return shifts
+    uf = float(upsample_factor)
+    shifts = np.round(shifts * uf) / uf
+    ups_size = int(math.ceil(uf * 1.5))
+    dftshift = float(math.trunc(ups_size / 2.0))
+    offsets = dftshift - shifts * uf
+    # matrix-DFT patch, axis x then axis y (same as the device kernel)
+    data = np.conj(product)
+    for axis, off in ((1, offsets[1]), (0, offsets[0])):
+        n = data.shape[1]
+        freqs = np.fft.fftfreq(n, uf)
+        kernel = np.exp(-2j * np.pi * (np.arange(ups_size)[:, None] - off)
+                        * freqs[None, :])
+        data = np.tensordot(kernel, data, axes=((1,), (1,)))
+    patch = np.conj(data)
+    py, px = np.unravel_index(np.argmax(np.abs(patch)), patch.shape)
+    return shifts + (np.array([py, px], np.float64) - dftshift) / uf
 
 
 @functools.partial(jax.jit, static_argnames=('dtype_max',))

@@ -7,10 +7,16 @@ sharding/mesh test runs on 8 host devices without TPU hardware
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The axon TPU plugin in this environment overrides the JAX_PLATFORMS env
+# var, so pin the platform through the config API instead (must happen
+# before the first backend use anywhere in the test session).
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

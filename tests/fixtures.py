@@ -153,7 +153,12 @@ def write_synthetic_acquisition(
                                 tile = tile + rng.normal(0, noise * maxval, tile.shape)
                             tile = np.clip(tile, 0, maxval).astype(dtype)
                             fname = f"{region}_{fov}_{z}_{ch.replace(' ', '_')}.{ext}"
-                            assert cv2.imwrite(os.path.join(tdir, fname), tile)
+                            # uncompressed, like raw camera output (cv2
+                            # defaults to LZW for .tiff)
+                            flags = ([int(cv2.IMWRITE_TIFF_COMPRESSION), 1]
+                                     if ext in ("tif", "tiff") else [])
+                            assert cv2.imwrite(os.path.join(tdir, fname),
+                                               tile, flags)
         # Dedup csv rows (channels share coordinates)
         import pandas as pd
         df = pd.DataFrame(rows_csv).drop_duplicates(

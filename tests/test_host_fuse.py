@@ -1,0 +1,90 @@
+import glob
+import os
+
+import numpy as np
+
+from image_stitcher_tpu import EngineOptions, stitch
+from image_stitcher_tpu.io.zarr_store import open_zarr_array
+from image_stitcher_tpu.ops.host_fuse import HostCanvas, host_downsample
+from image_stitcher_tpu.ops.pyramid import downsample
+import jax.numpy as jnp
+
+from fixtures import write_synthetic_acquisition
+
+
+def test_host_canvas_matches_reference_semantics(rng):
+    H = W = 64
+    hc = HostCanvas(2, 1, H, W, np.uint16, num_threads=4)
+    ref = np.zeros((2, 1, H, W), np.uint16)
+    jobs = []
+    for i in range(12):
+        tile = rng.integers(0, 65535, (16, 16), dtype=np.uint16)
+        c = int(rng.integers(0, 2))
+        y, x = int(rng.integers(0, H - 4)), int(rng.integers(0, W - 4))
+        crops = tuple(int(v) for v in rng.integers(0, 4, 4))
+        jobs.append((tile, c, 0, y, x, crops))
+        top, bottom, left, right = crops
+        t = tile[top:16 - bottom if bottom else 16,
+                 left:16 - right if right else 16]
+        yy, xx = y + top, x + left
+        ye, xe = min(yy + t.shape[0], H), min(xx + t.shape[1], W)
+        ref[c, 0, yy:ye, xx:xe] = t[:ye - yy, :xe - xx]
+    hc.fuse(jobs)
+    np.testing.assert_array_equal(hc.finalize(), ref)
+
+
+def test_host_canvas_flatfield():
+    hc = HostCanvas(1, 1, 8, 8, np.uint16,
+                    flatfields=np.full((1, 4, 4), 2.0, np.float32))
+    hc.fuse([(np.full((4, 4), 1000, np.uint16), 0, 0, 0, 0, (0, 0, 0, 0))])
+    out = hc.finalize()
+    assert out[0, 0, 0, 0] == 500
+
+
+def test_host_downsample_matches_device(rng):
+    x = rng.integers(0, 65535, (1, 2, 1, 33, 47), dtype=np.uint16)
+    for mode in ('nearest', 'mean'):
+        np.testing.assert_array_equal(
+            host_downsample(x, mode), np.asarray(downsample(jnp.asarray(x), mode)))
+
+
+def test_host_vs_device_e2e_identical(tmp_path):
+    """The two fusion backends must produce byte-identical zarr output."""
+    results = {}
+    for backend in ('host', 'device'):
+        acq_dir = str(tmp_path / f"acq_{backend}")
+        write_synthetic_acquisition(acq_dir, grid_cols=3, grid_rows=2,
+                                    tile_w=96, tile_h=96, overlap=24,
+                                    channels=["Fluorescence 488 nm Ex",
+                                              "Fluorescence 561 nm Ex"],
+                                    num_z=2)
+        stitch(acq_dir, options=EngineOptions(fusion_device=backend,
+                                              fusion_batch=5))
+        out = sorted(glob.glob(acq_dir + "_stitched_*"))[-1]
+        zp = os.path.join(out, "0_stitched", "A1_stitched.ome.zarr", "0")
+        results[backend] = np.asarray(open_zarr_array(zp).read().result())
+    np.testing.assert_array_equal(results['host'], results['device'])
+
+
+def test_host_feather_close_to_device(tmp_path):
+    results = {}
+    for backend in ('host', 'device'):
+        acq_dir = str(tmp_path / f"f_{backend}")
+        write_synthetic_acquisition(acq_dir, grid_cols=2, grid_rows=2,
+                                    tile_w=64, tile_h=64, overlap=16)
+        stitch(acq_dir, options=EngineOptions(fusion_device=backend,
+                                              blend_method='feather'))
+        out = sorted(glob.glob(acq_dir + "_stitched_*"))[-1]
+        zp = os.path.join(out, "0_stitched", "A1_stitched.ome.zarr", "0")
+        results[backend] = np.asarray(open_zarr_array(zp).read().result())
+    diff = np.abs(results['host'].astype(int) - results['device'].astype(int))
+    assert diff.max() <= 1  # f32 accumulation rounding only
+
+
+def test_autotune_choose_backend():
+    from image_stitcher_tpu.parallel.autotune import choose_fusion_backend
+    fast = {'h2d_mbps': 10000.0, 'd2h_mbps': 10000.0}
+    slow = {'h2d_mbps': 140.0, 'd2h_mbps': 40.0}
+    gb = 1 << 30
+    assert choose_fusion_backend(3 * gb, 2 * gb, fast) == 'device'
+    assert choose_fusion_backend(3 * gb, 2 * gb, slow) == 'host'

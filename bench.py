@@ -53,12 +53,13 @@ def build_acquisition(root):
     return write_synthetic_acquisition(
         root, grid_cols=GRID, grid_rows=GRID, tile_w=TILE, tile_h=TILE,
         overlap=OVERLAP, channels=CHANNELS,
-        acq_params_overrides={"pixel_binning": 2})
+        acq_params_overrides={"pixel_binning": 2},
+        gt_gamma=3.0)  # microscopy-like histogram: dark bg, sparse signal
 
 
 def cached_acquisition() -> str:
     """Build the fixture once per config; reuse across bench runs."""
-    root = f"/tmp/bench_fixture_g{GRID}_t{TILE}"
+    root = f"/tmp/bench_fixture_v2_g{GRID}_t{TILE}"
     acq_dir = os.path.join(root, "acq")
     marker = os.path.join(root, ".complete")
     if os.path.exists(marker):

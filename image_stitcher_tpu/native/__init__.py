@@ -1,0 +1,80 @@
+"""Native host kernels (C, bound via ctypes).
+
+Compiled on demand with the system compiler into the user cache; every
+caller falls back to the NumPy implementation when no compiler is
+available, so the native layer is an accelerator, not a dependency.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sysconfig
+import threading
+from typing import Optional
+
+_LIB = None
+_TRIED = False
+_LOCK = threading.Lock()
+
+_SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), 'hostops.c')
+
+
+def _build_dir() -> str:
+    return os.path.expanduser('~/.cache/image_stitcher_tpu/native')
+
+
+def _build() -> Optional[str]:
+    out_dir = _build_dir()
+    os.makedirs(out_dir, exist_ok=True)
+    so_path = os.path.join(out_dir, 'libhostops.so')
+    if (os.path.exists(so_path)
+            and os.path.getmtime(so_path) >= os.path.getmtime(_SRC)):
+        return so_path
+    for cc in (os.environ.get('CC'), 'cc', 'gcc', 'clang'):
+        if not cc:
+            continue
+        try:
+            subprocess.run(
+                [cc, '-O3', '-march=native', '-shared', '-fPIC',
+                 _SRC, '-o', so_path],
+                check=True, capture_output=True, timeout=120)
+            return so_path
+        except Exception:
+            continue
+    return None
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """The hostops library, built+loaded lazily; None if unavailable."""
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    with _LOCK:
+        if _TRIED:
+            return _LIB
+        try:
+            if os.environ.get('ISTPU_NO_NATIVE'):
+                return None
+            so_path = _build()
+            if so_path is None:
+                return None
+            lib = ctypes.CDLL(so_path)
+            pd = ctypes.c_ssize_t
+            ci = ctypes.c_int
+            vp = ctypes.c_void_p
+            lib.place_u16.argtypes = [vp, pd, vp, pd, vp, pd,
+                                      ci, ci, ci, ci, pd, pd]
+            lib.place_u8.argtypes = list(lib.place_u16.argtypes)
+            lib.feather_u16.argtypes = [vp, vp, pd, vp, pd, vp, pd,
+                                        ci, ci, ci, ci, pd, pd,
+                                        ctypes.c_float]
+            for f in (lib.place_u16, lib.place_u8, lib.feather_u16):
+                f.restype = None
+            _LIB = lib
+        except Exception:
+            _LIB = None
+        finally:
+            _TRIED = True
+    return _LIB

@@ -1,0 +1,110 @@
+/* Fused host placement kernel: divide-clip-cast-place in one pass.
+ *
+ * The host fusion backend's hot loop (ops/host_fuse.py:_place) does
+ * tile/flatfield -> clip -> cast -> canvas[slice] = tile with NumPy,
+ * materializing two float temporaries per tile. On the single-core
+ * hosts this framework often runs on, a fused C loop roughly halves
+ * the memory traffic of the fusion stage.
+ *
+ * Built as a plain C shared library (no Python.h dependency) and bound
+ * with ctypes — the environment provides no pybind11.
+ *
+ * Layout contract (enforced by the Python wrapper):
+ *   canvas: C-contiguous uint16 (H, W) plane slice base pointer
+ *   tile:   C-contiguous uint16 (th, tw)
+ *   ff:     C-contiguous float32 (th, tw) flatfield, or NULL
+ */
+
+#include <stdint.h>
+#include <stddef.h>
+
+/* Place tile[y0:y1, x0:x1] into canvas at (cy, cx), correcting by ff. */
+void place_u16(
+    uint16_t *canvas, ptrdiff_t canvas_stride,      /* elements per row */
+    const uint16_t *tile, ptrdiff_t tile_stride,
+    const float *ff, ptrdiff_t ff_stride,
+    int y0, int y1, int x0, int x1,                 /* tile sub-window  */
+    ptrdiff_t cy, ptrdiff_t cx)                     /* canvas dest      */
+{
+    for (int y = y0; y < y1; ++y) {
+        const uint16_t *trow = tile + (ptrdiff_t)y * tile_stride;
+        uint16_t *crow = canvas + (cy + (y - y0)) * canvas_stride + cx;
+        if (ff) {
+            const float *frow = ff + (ptrdiff_t)y * ff_stride;
+            for (int x = x0; x < x1; ++x) {
+                float v = (float)trow[x] / frow[x];
+                if (v < 0.0f) v = 0.0f;
+                if (v > 65535.0f) v = 65535.0f;
+                crow[x - x0] = (uint16_t)v;
+            }
+        } else {
+            for (int x = x0; x < x1; ++x) {
+                crow[x - x0] = trow[x];
+            }
+        }
+    }
+}
+
+/* Same for uint8 tiles. */
+void place_u8(
+    uint8_t *canvas, ptrdiff_t canvas_stride,
+    const uint8_t *tile, ptrdiff_t tile_stride,
+    const float *ff, ptrdiff_t ff_stride,
+    int y0, int y1, int x0, int x1,
+    ptrdiff_t cy, ptrdiff_t cx)
+{
+    for (int y = y0; y < y1; ++y) {
+        const uint8_t *trow = tile + (ptrdiff_t)y * tile_stride;
+        uint8_t *crow = canvas + (cy + (y - y0)) * canvas_stride + cx;
+        if (ff) {
+            const float *frow = ff + (ptrdiff_t)y * ff_stride;
+            for (int x = x0; x < x1; ++x) {
+                float v = (float)trow[x] / frow[x];
+                if (v < 0.0f) v = 0.0f;
+                if (v > 255.0f) v = 255.0f;
+                crow[x - x0] = (uint8_t)v;
+            }
+        } else {
+            for (int x = x0; x < x1; ++x) {
+                crow[x - x0] = trow[x];
+            }
+        }
+    }
+}
+
+/* Feathered accumulate: acc += w*corrected, wsum += w, with a separable
+ * border ramp of width blend_px inside the [y0,y1)x[x0,x1) window. */
+void feather_u16(
+    float *acc, float *wsum, ptrdiff_t canvas_stride,
+    const uint16_t *tile, ptrdiff_t tile_stride,
+    const float *ff, ptrdiff_t ff_stride,
+    int y0, int y1, int x0, int x1,
+    ptrdiff_t cy, ptrdiff_t cx,
+    float inv_blend_px)
+{
+    for (int y = y0; y < y1; ++y) {
+        const uint16_t *trow = tile + (ptrdiff_t)y * tile_stride;
+        float *arow = acc + (cy + (y - y0)) * canvas_stride + cx;
+        float *wrow = wsum + (cy + (y - y0)) * canvas_stride + cx;
+        int dy = (y - y0 + 1) < (y1 - y) ? (y - y0 + 1) : (y1 - y);
+        float wy = dy * inv_blend_px;
+        if (wy > 1.0f) wy = 1.0f;
+        for (int x = x0; x < x1; ++x) {
+            int dx = (x - x0 + 1) < (x1 - x) ? (x - x0 + 1) : (x1 - x);
+            float w = dx * inv_blend_px;
+            if (w > 1.0f) w = 1.0f;
+            if (wy < w) w = wy;
+            float v = (float)trow[x];
+            if (ff) {
+                /* match the NumPy/device paths: correction quantizes to
+                 * the storage dtype before accumulation */
+                v /= ff[(ptrdiff_t)y * ff_stride + x];
+                if (v < 0.0f) v = 0.0f;
+                if (v > 65535.0f) v = 65535.0f;
+                v = (float)(uint16_t)v;
+            }
+            arow[x - x0] += w * v;
+            wrow[x - x0] += w;
+        }
+    }
+}

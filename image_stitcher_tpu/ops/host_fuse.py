@@ -47,19 +47,63 @@ class HostCanvas:
             np.clip(corrected, info.min, info.max, out=corrected)
         return corrected.astype(self.dtype)
 
+    def _place_native(self, tile, c, z, yy, xx, y0, y1, x0, x1) -> bool:
+        """Fused C kernel: divide-clip-cast-place in one pass (native/).
+        Returns False if this job can't take the native path."""
+        from .. import native
+        lib = native.get_lib()
+        if lib is None or not tile.flags['C_CONTIGUOUS']:
+            return False
+        ff = self.flatfields
+        if ff is not None and (ff.dtype != np.float32
+                               or not ff[c].flags['C_CONTIGUOUS']):
+            return False
+        ffp = ff[c].ctypes.data if ff is not None else None
+        ffs = ff[c].strides[0] // 4 if ff is not None else 0
+        if self.blend == 'feather':
+            if tile.dtype != np.uint16:
+                return False
+            ap = self.acc[c, z]
+            wp = self.wsum[c, z]
+            lib.feather_u16(ap.ctypes.data, wp.ctypes.data,
+                            ap.strides[0] // 4,
+                            tile.ctypes.data, tile.strides[0] // 2,
+                            ffp, ffs, y0, y1, x0, x1, yy, xx,
+                            1.0 / float(self.blend_px))
+            return True
+        if tile.dtype == np.uint16:
+            plane = self.canvas[c, z]
+            lib.place_u16(plane.ctypes.data, plane.strides[0] // 2,
+                          tile.ctypes.data, tile.strides[0] // 2,
+                          ffp, ffs, y0, y1, x0, x1, yy, xx)
+            return True
+        if tile.dtype == np.uint8:
+            plane = self.canvas[c, z]
+            lib.place_u8(plane.ctypes.data, plane.strides[0],
+                         tile.ctypes.data, tile.strides[0],
+                         ffp, ffs, y0, y1, x0, x1, yy, xx)
+            return True
+        return False
+
     def _place(self, job) -> None:
         tile, c, z, y, x, crops = job
         top, bottom, left, right = crops
         th, tw = tile.shape
-        tile = self._correct(tile, c)
-        t = tile[top:th - bottom if bottom else th,
-                 left:tw - right if right else tw]
+        # crop window within the tile, clamped to the canvas
+        y0, y1 = top, th - bottom if bottom else th
+        x0, x1 = left, tw - right if right else tw
         yy, xx = y + top, x + left
-        ye = min(yy + t.shape[0], self.height)
-        xe = min(xx + t.shape[1], self.width)
-        if ye <= yy or xe <= xx:
+        y1 = min(y1, y0 + (self.height - yy))
+        x1 = min(x1, x0 + (self.width - xx))
+        if y1 <= y0 or x1 <= x0:
             return
-        t = t[:ye - yy, :xe - xx]
+
+        if self.dtype == tile.dtype and self._place_native(
+                tile, c, z, yy, xx, y0, y1, x0, x1):
+            return
+
+        t = self._correct(tile, c)[y0:y1, x0:x1]
+        ye, xe = yy + (y1 - y0), xx + (x1 - x0)
         if self.blend == 'feather':
             h, w = t.shape
             ry = np.minimum(np.arange(1, h + 1), np.arange(h, 0, -1))

@@ -31,9 +31,14 @@ DEFAULT_ACQ_PARAMS = {
 
 
 def make_ground_truth(height: int, width: int, seed: int = 0,
-                      dtype=np.uint16) -> np.ndarray:
+                      dtype=np.uint16, gamma: float = 1.0) -> np.ndarray:
     """Smooth-ish random texture with structure at several scales, so
-    phase correlation has signal everywhere."""
+    phase correlation has signal everywhere.
+
+    ``gamma`` > 1 skews the histogram dark (microscopy-like: dim
+    background with sparse bright structure, compressible like real
+    fluorescence data); gamma=1 keeps the full-range texture.
+    """
     rng = np.random.default_rng(seed)
     img = rng.random((height, width)).astype(np.float32)
     # Add multi-scale structure by summing blurred octaves.
@@ -43,6 +48,8 @@ def make_ground_truth(height: int, width: int, seed: int = 0,
     acc += 0.3 * img
     acc -= acc.min()
     acc /= max(acc.max(), 1e-9)
+    if gamma != 1.0:
+        acc = acc ** gamma
     maxval = np.iinfo(dtype).max if np.issubdtype(dtype, np.integer) else 1.0
     return (acc * maxval * 0.8 + maxval * 0.1).astype(dtype)
 
@@ -84,6 +91,7 @@ def write_synthetic_acquisition(
     seed: int = 0,
     ext: str = "tiff",
     acq_params_overrides: Optional[dict] = None,
+    gt_gamma: float = 1.0,
 ) -> SyntheticAcquisition:
     """Write a synthetic acquisition folder and return its description.
 
@@ -107,7 +115,7 @@ def write_synthetic_acquisition(
     margin = 2 * max(jitter, 0) + 8
     gt_h = step_y * (grid_rows - 1) + tile_h + 2 * margin
     gt_w = step_x * (grid_cols - 1) + tile_w + 2 * margin
-    gt = make_ground_truth(gt_h, gt_w, seed=seed, dtype=dtype)
+    gt = make_ground_truth(gt_h, gt_w, seed=seed, dtype=dtype, gamma=gt_gamma)
 
     os.makedirs(folder, exist_ok=True)
     with open(os.path.join(folder, "acquisition parameters.json"), "w") as f:

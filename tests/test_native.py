@@ -1,0 +1,82 @@
+"""Native host kernels must be byte-identical to the NumPy path."""
+
+import numpy as np
+import pytest
+
+from image_stitcher_tpu import native
+from image_stitcher_tpu.ops.host_fuse import HostCanvas
+
+
+@pytest.fixture(scope="module")
+def lib():
+    lib = native.get_lib()
+    if lib is None:
+        pytest.skip("no C compiler available")
+    return lib
+
+
+def run_canvas(use_native, rng, dtype=np.uint16, blend='overwrite', ff=True):
+    import image_stitcher_tpu.native as nat
+    saved = (nat._LIB, nat._TRIED)
+    if not use_native:
+        nat._LIB, nat._TRIED = None, True
+    try:
+        flat = (np.full((2, 24, 24), 1.3, np.float32) if ff else None)
+        hc = HostCanvas(2, 1, 100, 90, dtype, num_threads=2,
+                        flatfields=flat, blend_method=blend, blend_px=8)
+        r = np.random.default_rng(7)
+        for i in range(30):
+            tile = r.integers(0, np.iinfo(dtype).max, (24, 24), dtype=dtype)
+            c = int(r.integers(0, 2))
+            y, x = int(r.integers(0, 95)), int(r.integers(0, 85))
+            crops = tuple(int(v) for v in r.integers(0, 5, 4))
+            hc._place((tile, c, 0, y, x, crops))
+        return hc.finalize()
+    finally:
+        nat._LIB, nat._TRIED = saved
+
+
+def test_native_builds(lib):
+    assert lib is not None
+
+
+@pytest.mark.parametrize("dtype", [np.uint16, np.uint8])
+@pytest.mark.parametrize("ff", [True, False])
+def test_native_overwrite_identical(lib, rng, dtype, ff):
+    a = run_canvas(True, rng, dtype=dtype, ff=ff)
+    b = run_canvas(False, rng, dtype=dtype, ff=ff)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_native_feather_close(lib, rng):
+    a = run_canvas(True, rng, blend='feather')
+    b = run_canvas(False, rng, blend='feather')
+    # f32 accumulation order identical; results must match to the bit
+    np.testing.assert_array_equal(a, b)
+
+
+def test_native_speedup(lib):
+    """Native path should not be slower than NumPy on the hot shape."""
+    import time
+    r = np.random.default_rng(0)
+    tile = r.integers(0, 65535, (2048, 2048), dtype=np.uint16)
+    ff = np.full((1, 2048, 2048), 1.1, np.float32)
+
+    def bench(use_native, n=6):
+        import image_stitcher_tpu.native as nat
+        saved = (nat._LIB, nat._TRIED)
+        if not use_native:
+            nat._LIB, nat._TRIED = None, True
+        try:
+            hc = HostCanvas(1, 1, 4096, 4096, np.uint16, flatfields=ff)
+            t0 = time.perf_counter()
+            for i in range(n):
+                hc._place((tile, 0, 0, (i * 640) % 2000, 13, (0, 0, 0, 0)))
+            return time.perf_counter() - t0
+        finally:
+            nat._LIB, nat._TRIED = saved
+
+    bench(True, 1)  # warm build
+    t_native = bench(True)
+    t_numpy = bench(False)
+    assert t_native < t_numpy * 1.2, (t_native, t_numpy)

@@ -46,8 +46,10 @@ def stitch(input_folder: str, **kwargs):
     options = kwargs.pop('options', None)
     reporter = kwargs.pop('reporter', None)
     stop_event = kwargs.pop('stop_event', None)
+    resume = kwargs.pop('resume', False)
     params = StitchingParameters(input_folder=input_folder, **kwargs)
-    pipeline = StitchPipeline(params, options, reporter, stop_event)
+    pipeline = StitchPipeline(params, options, reporter, stop_event,
+                              resume=resume)
     pipeline.run()
     return pipeline
 

@@ -48,6 +48,10 @@ def parse_args(argv=None) -> argparse.Namespace:
                         help="Output zarr chunk edge in px (default: 2048)")
     parser.add_argument('--fusion-batch', type=int, default=8,
                         help="Tiles fused per device batch (default: 8)")
+    parser.add_argument('--resume', action='store_true',
+                        help="Continue the most recent interrupted run for this acquisition")
+    parser.add_argument('--continue-on-error', action='store_true',
+                        help="Log-and-continue on per-region failures")
     return parser.parse_args(argv)
 
 
@@ -74,6 +78,11 @@ def create_options(args: argparse.Namespace) -> EngineOptions:
         blend_method=args.blend_method,
         chunks=(1, 1, 1, args.chunk_size, args.chunk_size),
         fusion_batch=args.fusion_batch,
+        continue_on_error=getattr(args, 'continue_on_error', False),
+        # the reference parsed but never used dynamic_registration
+        # (SURVEY.md §2c); here it selects the robust all-pairs scope
+        registration_scope=('all-pairs' if args.dynamic_registration
+                            else 'center'),
     )
 
 
@@ -93,7 +102,8 @@ def main(argv=None) -> int:
             status=lambda msg, is_saving=False: print(f"\n{msg}"),
             finished_saving=lambda path, dtype: print(f"\nSaved: {path}"),
         )
-        pipeline = StitchPipeline(params, options, reporter)
+        pipeline = StitchPipeline(params, options, reporter,
+                                  resume=getattr(args, 'resume', False))
         print("Starting stitching with parameters:")
         print(f"Input folder: {params.input_folder}")
         print(f"Output format: {params.output_format}")

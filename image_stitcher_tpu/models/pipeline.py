@@ -44,7 +44,7 @@ class StitchPipeline:
     def __init__(self, params: StitchingParameters,
                  options: Optional[EngineOptions] = None,
                  reporter: Optional[ProgressReporter] = None,
-                 stop_event=None):
+                 stop_event=None, resume: bool = False):
         params.validate()
         self.params = params
         self.options = options or EngineOptions()
@@ -53,7 +53,16 @@ class StitchPipeline:
         self.stop_event = stop_event
 
         self.input_folder = params.input_folder
-        self.output_folder = params.stitched_folder  # capture timestamp once
+        self.resumed = False
+        if resume:
+            from ..utils.manifest import find_resumable
+            prior = find_resumable(self.input_folder, params.to_dict())
+            if prior is not None:
+                self.output_folder = prior
+                self.resumed = True
+                self.reporter.status(f"Resuming run in {prior}", False)
+        if not resume or not self.resumed:
+            self.output_folder = params.stitched_folder  # timestamp once
         self.output_format = params.output_format
         self.per_timepoint_region_output_template = os.path.join(
             self.output_folder, "{timepoint}_stitched",
@@ -471,8 +480,16 @@ class StitchPipeline:
         loader = TileBatchLoader(jobs, opts.fusion_batch, th, tw, acq.dtype,
                                  num_threads=opts.reader_threads)
         use_feather = opts.blend_method == 'feather'
-        pad_shape = fuse_ops.padded_canvas_shape(acq.num_c, acq.num_z,
-                                                 height, width, th, tw)
+        use_pallas = (opts.device_fusion_kernel == 'pallas'
+                      and not use_feather)
+        if use_pallas:
+            from ..ops.pallas_fuse import (fuse_overwrite_pallas,
+                                           pallas_padded_canvas_shape)
+            pad_shape = pallas_padded_canvas_shape(acq.num_c, acq.num_z,
+                                                   height, width, th, tw)
+        else:
+            pad_shape = fuse_ops.padded_canvas_shape(acq.num_c, acq.num_z,
+                                                     height, width, th, tw)
         ff_stack = self._flatfield_stack() if self.flatfields else None
 
         if use_feather:
@@ -494,6 +511,9 @@ class StitchPipeline:
                 acc, wsum = fuse_ops.fuse_feather(
                     acc, wsum, tiles, info, crops, valid,
                     blend_px=opts.feather_px)
+            elif use_pallas:
+                canvas = fuse_overwrite_pallas(canvas, tiles, info, crops,
+                                               valid)
             else:
                 canvas = fuse_ops.fuse_overwrite(canvas, tiles, info, crops, valid)
             self.reporter.update_progress(processed, total)
@@ -541,24 +561,40 @@ class StitchPipeline:
 
     def run(self) -> str:
         """Execute the full pipeline; returns the last saved path."""
+        from ..utils.manifest import RunManifest
         t0 = time.time()
         try:
             with self.timers.time('scan'):
                 self.acq = scan_acquisition(self.input_folder)
             os.makedirs(self.output_folder, exist_ok=True)
 
+            manifest = (RunManifest.load(self.output_folder)
+                        if self.resumed else None) or RunManifest(self.output_folder)
+            manifest.set_params(self.params.to_dict())
+
             if self.params.apply_flatfield:
-                with self.timers.time('flatfield_fit'):
-                    self.compute_flatfields()
+                if self.resumed:
+                    self.flatfields = manifest.load_flatfields()
+                if not self.flatfields:
+                    with self.timers.time('flatfield_fit'):
+                        self.compute_flatfields()
+                    manifest.save_flatfields(self.flatfields)
 
             if self.params.use_registration:
-                with self.timers.time('registration'):
-                    if self.options.registration_scope == 'all-pairs':
-                        self.calculate_shifts_all_pairs(
-                            int(self.acq.timepoints[0]), self.acq.regions[0])
-                    else:
-                        self.calculate_shifts(self.acq.timepoints[0],
-                                              self.acq.regions[0])
+                saved_shifts = manifest.get_shifts() if self.resumed else None
+                if saved_shifts is not None:
+                    self.shifts = saved_shifts
+                else:
+                    with self.timers.time('registration'):
+                        if self.options.registration_scope == 'all-pairs':
+                            self.calculate_shifts_all_pairs(
+                                int(self.acq.timepoints[0]),
+                                self.acq.regions[0])
+                        else:
+                            self.calculate_shifts(self.acq.timepoints[0],
+                                                  self.acq.regions[0])
+                manifest.set_shifts(self.shifts)
+            manifest.save()
 
             final_path = ''
             for timepoint in self.acq.timepoints:
@@ -567,13 +603,31 @@ class StitchPipeline:
                                          f"{timepoint}_stitched"), exist_ok=True)
                 for region in self.acq.regions:
                     self._check_stop()
+                    if manifest.is_completed(timepoint, region):
+                        final_path = self.per_timepoint_region_output_template \
+                            .format(timepoint=timepoint, region=region)
+                        self.reporter.status(
+                            f"Skipping completed region {region} t{timepoint}",
+                            False)
+                        continue
                     self.reporter.starting_stitching()
-                    with self.timers.time('fuse'):
-                        canvas = self.stitch_region(timepoint, region)
-                    self.reporter.starting_saving(False)
-                    with self.timers.time('save'):
-                        final_path = self.save_region(timepoint, region, canvas)
+                    try:
+                        with self.timers.time('fuse'):
+                            canvas = self.stitch_region(timepoint, region)
+                        self.reporter.starting_saving(False)
+                        with self.timers.time('save'):
+                            final_path = self.save_region(timepoint, region,
+                                                          canvas)
+                    except StitchCancelled:
+                        raise
+                    except Exception as e:
+                        if not self.options.continue_on_error:
+                            raise
+                        self.reporter.error(
+                            f"region {region} t{timepoint} failed: {e}")
+                        continue
                     self.saved_paths.append(final_path)
+                    manifest.mark_completed(timepoint, region)
                     self.reporter.status(
                         f"Completed region {region} t{timepoint}", False)
 
@@ -582,6 +636,8 @@ class StitchPipeline:
                 self.reporter.starting_saving(True)
                 with self.timers.time('merge'):
                     final_path = run_merges(self)
+                manifest.data["merges_done"] = True
+                manifest.save()
 
             self.reporter.finished_saving(final_path, self.acq.dtype)
             for line in self.timers.summary():

@@ -1,0 +1,123 @@
+"""Pallas TPU kernel for batched tile placement.
+
+The XLA path (ops/fuse.py) expresses fusion as a lax.scan of
+dynamic-update-slices; this kernel expresses it directly against the
+memory system: tile coordinates ride scalar prefetch (SMEM), each grid
+step DMAs an ALIGNED canvas window HBM->VMEM (Mosaic requires window
+offsets divisible by the (sublane, lane) tiling), rotates the tile to
+its sub-window offset on the VPU, blends under the crop/validity mask,
+and DMAs the window back. TPU grid steps execute in order, preserving
+the reference's later-tile-wins overwrite semantics exactly.
+
+Used on the device fusion path when EngineOptions.device_fusion_kernel
+== 'pallas'; always testable off-TPU via interpret mode.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ALIGN_Y = 16   # sublane alignment for 16-bit types (packed (8,128)x2)
+ALIGN_X = 128  # lane alignment
+
+
+def pallas_padded_canvas_shape(num_c: int, num_z: int, height: int,
+                               width: int, tile_h: int, tile_w: int
+                               ) -> Tuple[int, int, int, int]:
+    """Canvas apron for the pallas kernel: one tile extent plus the
+    alignment margin on bottom/right."""
+    return (num_c, num_z, height + tile_h + ALIGN_Y,
+            width + tile_w + ALIGN_X)
+
+
+def _fuse_kernel(th: int, tw: int):
+    wh, ww = th + ALIGN_Y, tw + ALIGN_X
+
+    def kernel(info_ref, crops_ref, valid_ref, tiles_hbm, canvas_in,
+               out_ref, tile_v, win_v, sems):
+        i = pl.program_id(0)
+        c = info_ref[i, 0]
+        z = info_ref[i, 1]
+        y = info_ref[i, 2]
+        x = info_ref[i, 3]
+        ya = pl.multiple_of((y // ALIGN_Y) * ALIGN_Y, ALIGN_Y)
+        xa = pl.multiple_of((x // ALIGN_X) * ALIGN_X, ALIGN_X)
+        dy = y - ya
+        dx = x - xa
+
+        tile_cp = pltpu.make_async_copy(tiles_hbm.at[i], tile_v, sems.at[0])
+        win_cp = pltpu.make_async_copy(
+            out_ref.at[c, z, pl.ds(ya, wh), pl.ds(xa, ww)], win_v, sems.at[1])
+        tile_cp.start()
+        win_cp.start()
+        tile_cp.wait()
+        win_cp.wait()
+
+        # Embed the tile at (dy, dx) inside the aligned window: pad to
+        # window shape, then rotate by the dynamic sub-alignment offset
+        # (no wraparound: dy < ALIGN_Y, dx < ALIGN_X by construction).
+        # Mosaic's dynamic rotate only handles 32-bit lanes on the
+        # sublane dim, so rotate in i32 and cast back.
+        padded = jnp.pad(tile_v[:], ((0, ALIGN_Y), (0, ALIGN_X)))
+        wide = padded.astype(jnp.int32)
+        shifted = pltpu.roll(pltpu.roll(wide, dy, 0), dx, 1)
+        shifted = shifted.astype(tile_v.dtype)
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (wh, ww), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (wh, ww), 1)
+        mask = ((rows >= dy + crops_ref[i, 0])
+                & (rows < dy + th - crops_ref[i, 1])
+                & (cols >= dx + crops_ref[i, 2])
+                & (cols < dx + tw - crops_ref[i, 3])
+                & (valid_ref[i] != 0))
+        win_v[:] = jnp.where(mask, shifted, win_v[:])
+
+        back_cp = pltpu.make_async_copy(
+            win_v, out_ref.at[c, z, pl.ds(ya, wh), pl.ds(xa, ww)], sems.at[1])
+        back_cp.start()
+        back_cp.wait()
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',),
+                   donate_argnums=(0,))
+def fuse_overwrite_pallas(canvas: jnp.ndarray, tiles: jnp.ndarray,
+                          info: jnp.ndarray, crops: jnp.ndarray,
+                          valid: jnp.ndarray,
+                          interpret: bool = False) -> jnp.ndarray:
+    """Pallas twin of ops.fuse.fuse_overwrite (same semantics).
+
+    canvas: (C, Z, Hp, Wp) padded via pallas_padded_canvas_shape;
+    tiles: (N, th, tw); info: (N, 4) int32 [c, z, y, x]; crops: (N, 4)
+    int32; valid: (N,) bool.
+    """
+    n, th, tw = tiles.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),   # tiles (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),   # canvas (HBM, aliased)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((th, tw), tiles.dtype),
+            pltpu.VMEM((th + ALIGN_Y, tw + ALIGN_X), canvas.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        _fuse_kernel(th, tw),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(canvas.shape, canvas.dtype),
+        input_output_aliases={4: 0},  # canvas operand -> output
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(info, crops, valid.astype(jnp.int32), tiles, canvas)

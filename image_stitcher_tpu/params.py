@@ -141,6 +141,9 @@ class EngineOptions:
     # chips), 'host' (threaded NumPy, right for slow tunneled links), or
     # 'auto' (pick by a measured link-bandwidth probe).
     fusion_device: str = 'auto'
+    # Device fusion kernel: 'xla' (lax.scan of dynamic-update-slices) or
+    # 'pallas' (explicit DMA/VPU kernel, ops/pallas_fuse.py).
+    device_fusion_kernel: str = 'xla'
     host_fusion_threads: int = 4
     # Feather ramp width in px (blend_method='feather').
     feather_px: int = 64
@@ -153,6 +156,10 @@ class EngineOptions:
     debug_visuals: bool = False
     # Device mesh axis sizes (data, canvas-y). None -> single device.
     mesh_shape: Optional[Tuple[int, int]] = None
+    # Log-and-continue on per-region failures instead of aborting the run
+    # (upgrade over the reference, which only counted per-FOV errors,
+    # zarr_stitcher.py:487-489).
+    continue_on_error: bool = False
 
     def validate(self) -> None:
         if self.blend_method not in ('overwrite', 'feather'):
@@ -163,5 +170,7 @@ class EngineOptions:
             raise ValueError("registration_scope must be 'center' or 'all-pairs'")
         if self.fusion_device not in ('auto', 'device', 'host'):
             raise ValueError("fusion_device must be 'auto', 'device' or 'host'")
+        if self.device_fusion_kernel not in ('xla', 'pallas'):
+            raise ValueError("device_fusion_kernel must be 'xla' or 'pallas'")
         if len(self.chunks) != 5:
             raise ValueError("chunks must be a 5-tuple (T,C,Z,Y,X)")

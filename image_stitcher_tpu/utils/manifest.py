@@ -1,0 +1,123 @@
+"""Run manifest: checkpoint/resume for stitching runs.
+
+The reference has no resume story (SURVEY.md §5) — a crashed run keeps
+its completed per-(t,region) outputs only by accident. Here every run
+writes ``.stitch_manifest.json`` into its output folder: parameters,
+measured registration shifts, fitted flatfields (sidecar .npz), and the
+set of completed (timepoint, region) units, updated atomically after
+each save. ``find_resumable()`` locates the newest compatible manifest
+so an interrupted run continues in place, skipping finished units and
+reusing the measured calibrations.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import tempfile
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+MANIFEST_NAME = ".stitch_manifest.json"
+FLATFIELD_NAME = "flatfields.npz"
+
+
+class RunManifest:
+    def __init__(self, output_folder: str):
+        self.path = os.path.join(output_folder, MANIFEST_NAME)
+        self.output_folder = output_folder
+        self.data: Dict = {
+            "version": 1,
+            "params": None,
+            "shifts": None,
+            "completed": [],
+            "merges_done": False,
+        }
+
+    # ------------------------------------------------------------------ io
+
+    def save(self) -> None:
+        os.makedirs(self.output_folder, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=self.output_folder, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(self.data, f, indent=2)
+        os.replace(tmp, self.path)  # atomic
+
+    @classmethod
+    def load(cls, output_folder: str) -> Optional["RunManifest"]:
+        m = cls(output_folder)
+        try:
+            with open(m.path) as f:
+                m.data = json.load(f)
+            return m
+        except Exception:
+            return None
+
+    # ------------------------------------------------------------- content
+
+    def set_params(self, params_dict: Dict) -> None:
+        self.data["params"] = params_dict
+
+    def compatible_with(self, params_dict: Dict) -> bool:
+        saved = dict(self.data.get("params") or {})
+        now = dict(params_dict)
+        # the output folder derives from input_folder; everything else
+        # must match for outputs to be interchangeable
+        return saved == now
+
+    def set_shifts(self, shifts) -> None:
+        self.data["shifts"] = {
+            "h_shift": list(shifts.h_shift),
+            "v_shift": list(shifts.v_shift),
+            "h_shift_rev": list(shifts.h_shift_rev),
+            "h_shift_rev_odd": shifts.h_shift_rev_odd,
+            "scan_pattern": shifts.scan_pattern,
+        }
+
+    def get_shifts(self):
+        from ..core.geometry import RegistrationShifts
+        s = self.data.get("shifts")
+        if not s:
+            return None
+        return RegistrationShifts(
+            h_shift=tuple(s["h_shift"]), v_shift=tuple(s["v_shift"]),
+            h_shift_rev=tuple(s["h_shift_rev"]),
+            h_shift_rev_odd=s["h_shift_rev_odd"],
+            scan_pattern=s["scan_pattern"])
+
+    def save_flatfields(self, flatfields: Dict[int, np.ndarray]) -> None:
+        if not flatfields:
+            return
+        os.makedirs(self.output_folder, exist_ok=True)
+        path = os.path.join(self.output_folder, FLATFIELD_NAME)
+        np.savez_compressed(path,
+                            **{str(k): v for k, v in flatfields.items()})
+
+    def load_flatfields(self) -> Dict[int, np.ndarray]:
+        path = os.path.join(self.output_folder, FLATFIELD_NAME)
+        if not os.path.exists(path):
+            return {}
+        with np.load(path) as z:
+            return {int(k): z[k] for k in z.files}
+
+    def mark_completed(self, t, region: str) -> None:
+        key = f"{t}/{region}"
+        if key not in self.data["completed"]:
+            self.data["completed"].append(key)
+        self.save()
+
+    def is_completed(self, t, region: str) -> bool:
+        return f"{t}/{region}" in self.data["completed"]
+
+
+def find_resumable(input_folder: str, params_dict: Dict) -> Optional[str]:
+    """Newest output folder of this acquisition with a compatible,
+    incomplete manifest; None if a fresh run is needed."""
+    candidates = sorted(glob.glob(input_folder + "_stitched_*"), reverse=True)
+    for folder in candidates:
+        m = RunManifest.load(folder)
+        if m is not None and m.compatible_with(params_dict):
+            return folder
+    return None

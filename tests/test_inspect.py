@@ -1,0 +1,57 @@
+import glob
+import os
+
+import numpy as np
+
+from fixtures import write_synthetic_acquisition
+from image_stitcher_tpu import stitch
+from image_stitcher_tpu.utils.inspect import (format_zarr_tree,
+                                              save_debug_slice, zarr_tree)
+
+
+def test_zarr_tree_and_debug_slice(tmp_path, capsys):
+    acq_dir = str(tmp_path / "acq")
+    write_synthetic_acquisition(acq_dir, grid_cols=2, grid_rows=1,
+                                tile_w=48, tile_h=48, overlap=16)
+    stitch(acq_dir)
+    out = sorted(glob.glob(acq_dir + "_stitched_*"))[-1]
+    zp = os.path.join(out, "0_stitched", "A1_stitched.ome.zarr")
+
+    tree = zarr_tree(zp)
+    assert "attrs" in tree and "multiscales" in tree["attrs"]
+    assert "0" in tree["children"]
+    assert tree["children"]["0"]["array"]["dtype"] == "<u2"
+    assert tree["children"]["0"]["array"]["compressor"] == "blosc"
+
+    text = format_zarr_tree(zp)
+    assert "A1_stitched.ome.zarr" in text
+    assert "<u2" in text and "multiscales" in text
+
+    from image_stitcher_tpu.utils.inspect import print_zarr_structure
+    print_zarr_structure(zp)
+    assert "Zarr tree" in capsys.readouterr().out
+
+
+def test_save_debug_slice(tmp_path):
+    canvas = np.zeros((2, 1, 32, 40), np.uint16)
+    canvas[0, 0, :16] = 40000
+    canvas[1, 0, :, :20] = 20000
+    out = save_debug_slice(canvas, str(tmp_path / "dbg.png"))
+    assert out and os.path.exists(out)
+    import cv2
+    img = cv2.imread(out)
+    assert img.shape == (32, 40, 3)
+    # channel 0 -> R plane (BGR index 2) bright in top half
+    assert img[8, 8, 2] == 255 and img[24, 8, 2] == 0
+
+
+def test_stitch_with_pallas_kernel_cpu_interpreted(tmp_path):
+    """Pipeline with the pallas device kernel, on CPU via interpret=False
+    works in interpret-capable CPU backend? -> use fusion_device='device'
+    and pallas only under interpret: exercised via direct op tests; here
+    just validate option plumbing."""
+    from image_stitcher_tpu.params import EngineOptions
+    EngineOptions(device_fusion_kernel='pallas').validate()
+    import pytest
+    with pytest.raises(ValueError):
+        EngineOptions(device_fusion_kernel='mosaic').validate()

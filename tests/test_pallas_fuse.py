@@ -1,0 +1,51 @@
+"""Pallas fusion kernel vs the XLA path (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from image_stitcher_tpu.ops.fuse import fuse_overwrite, padded_canvas_shape
+from image_stitcher_tpu.ops.pallas_fuse import (fuse_overwrite_pallas,
+                                                pallas_padded_canvas_shape)
+
+
+def _problem(rng, n=12, C=2, Z=1, H=96, W=80, th=32, tw=32):
+    tiles = rng.integers(0, 65535, (n, th, tw), dtype=np.uint16)
+    info = np.stack([
+        rng.integers(0, C, n), rng.integers(0, Z, n),
+        rng.integers(0, H, n), rng.integers(0, W, n)], axis=1).astype(np.int32)
+    crops = rng.integers(0, 6, (n, 4)).astype(np.int32)
+    valid = rng.random(n) > 0.2
+    return tiles, info, crops, valid
+
+
+def test_pallas_matches_xla(rng):
+    C, Z, H, W, th, tw = 2, 1, 96, 80, 32, 32
+    tiles, info, crops, valid = _problem(rng, C=C, Z=Z, H=H, W=W, th=th, tw=tw)
+    cv0 = jnp.zeros(padded_canvas_shape(C, Z, H, W, th, tw), jnp.uint16)
+    expect = np.asarray(fuse_overwrite(
+        cv0, jnp.asarray(tiles), jnp.asarray(info),
+        jnp.asarray(crops), jnp.asarray(valid)))[:, :, :H, :W]
+    cv1 = jnp.zeros(pallas_padded_canvas_shape(C, Z, H, W, th, tw), jnp.uint16)
+    got = np.asarray(fuse_overwrite_pallas(
+        cv1, jnp.asarray(tiles), jnp.asarray(info),
+        jnp.asarray(crops), jnp.asarray(valid),
+        interpret=True))[:, :, :H, :W]
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_pallas_overwrite_order(rng):
+    """Overlapping tiles: later grid step must win."""
+    th = tw = 16
+    shape = pallas_padded_canvas_shape(1, 1, 32, 32, th, tw)
+    t1 = np.full((th, tw), 7, np.uint16)
+    t2 = np.full((th, tw), 9, np.uint16)
+    got = fuse_overwrite_pallas(
+        jnp.zeros(shape, jnp.uint16),
+        jnp.asarray(np.stack([t1, t2])),
+        jnp.asarray([[0, 0, 0, 0], [0, 0, 4, 4]], jnp.int32),
+        jnp.zeros((2, 4), jnp.int32),
+        jnp.asarray([True, True]), interpret=True)
+    out = np.asarray(got)[:, :, :32, :32]
+    assert out[0, 0, 8, 8] == 9
+    assert out[0, 0, 0, 0] == 7

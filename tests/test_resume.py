@@ -1,0 +1,127 @@
+import glob
+import os
+import threading
+
+import numpy as np
+import pytest
+
+from image_stitcher_tpu import EngineOptions, StitchingParameters, stitch
+from image_stitcher_tpu.models.pipeline import StitchPipeline
+from image_stitcher_tpu.utils.manifest import RunManifest, find_resumable
+from image_stitcher_tpu.utils.progress import ProgressReporter, StitchCancelled
+
+from fixtures import write_synthetic_acquisition
+
+
+def make_acq(tmp_path, regions=("A1", "A2"), timepoints=2):
+    acq_dir = str(tmp_path / "acq")
+    write_synthetic_acquisition(acq_dir, grid_cols=2, grid_rows=2,
+                                tile_w=64, tile_h=64, overlap=16,
+                                regions=list(regions), timepoints=timepoints)
+    return acq_dir
+
+
+def test_manifest_round_trip(tmp_path):
+    from image_stitcher_tpu.core.geometry import RegistrationShifts
+    m = RunManifest(str(tmp_path / "out"))
+    m.set_params({"a": 1})
+    m.set_shifts(RegistrationShifts(h_shift=(1, -30), v_shift=(-31, 2),
+                                    scan_pattern='S-Pattern'))
+    m.save_flatfields({0: np.ones((4, 4), np.float32) * 1.5})
+    m.mark_completed(0, "A1")
+    m2 = RunManifest.load(str(tmp_path / "out"))
+    assert m2.is_completed(0, "A1")
+    assert not m2.is_completed(0, "A2")
+    s = m2.get_shifts()
+    assert s.h_shift == (1, -30) and s.scan_pattern == 'S-Pattern'
+    ff = m2.load_flatfields()
+    np.testing.assert_array_equal(ff[0], np.ones((4, 4)) * 1.5)
+
+
+def test_resume_skips_completed(tmp_path):
+    acq_dir = make_acq(tmp_path)
+    # interrupt after the first region completes
+    stop = threading.Event()
+    count = [0]
+
+    def on_status(msg, is_saving=False):
+        if msg.startswith("Completed region"):
+            count[0] += 1
+            if count[0] == 2:
+                stop.set()
+
+    rep = ProgressReporter(status=on_status)
+    params = StitchingParameters(input_folder=acq_dir, use_registration=True)
+    pipe = StitchPipeline(params, EngineOptions(), rep, stop_event=stop)
+    with pytest.raises(StitchCancelled):
+        pipe.run()
+    out = pipe.output_folder
+    m = RunManifest.load(out)
+    assert len(m.data["completed"]) == 2
+
+    # resume: same params -> finds the folder, skips completed units
+    assert find_resumable(acq_dir, params.to_dict()) == out
+    skipped = []
+    rep2 = ProgressReporter(
+        status=lambda msg, s=False: skipped.append(msg)
+        if msg.startswith("Skipping") else None)
+    params2 = StitchingParameters(input_folder=acq_dir, use_registration=True)
+    pipe2 = StitchPipeline(params2, EngineOptions(), rep2, resume=True)
+    pipe2.run()
+    assert pipe2.output_folder == out
+    assert len(skipped) == 2
+    m = RunManifest.load(out)
+    assert len(m.data["completed"]) == 4
+    # shifts reused from the manifest
+    assert pipe2.shifts.h_shift == pipe.shifts.h_shift
+    # all four region outputs exist
+    for t in (0, 1):
+        for r in ("A1", "A2"):
+            assert os.path.isdir(os.path.join(
+                out, f"{t}_stitched", f"{r}_stitched.ome.zarr"))
+
+
+def test_resume_incompatible_params_starts_fresh(tmp_path):
+    acq_dir = make_acq(tmp_path, regions=("A1",), timepoints=1)
+    stitch(acq_dir)
+    # different params -> no resumable folder
+    p = StitchingParameters(input_folder=acq_dir, apply_flatfield=True)
+    assert find_resumable(acq_dir, p.to_dict()) is None
+    pipe = StitchPipeline(p, resume=True)
+    assert not pipe.resumed
+
+
+def test_resume_reuses_flatfields(tmp_path):
+    acq_dir = make_acq(tmp_path, regions=("A1",), timepoints=1)
+    p = StitchingParameters(input_folder=acq_dir, apply_flatfield=True)
+    pipe = StitchPipeline(p)
+    pipe.run()
+    out = pipe.output_folder
+    assert os.path.exists(os.path.join(out, "flatfields.npz"))
+    p2 = StitchingParameters(input_folder=acq_dir, apply_flatfield=True)
+    pipe2 = StitchPipeline(p2, resume=True)
+    pipe2.run()
+    assert pipe2.output_folder == out
+    np.testing.assert_array_equal(pipe2.flatfields[0], pipe.flatfields[0])
+
+
+def test_continue_on_error(tmp_path, monkeypatch):
+    acq_dir = make_acq(tmp_path, regions=("A1", "A2"), timepoints=1)
+    errors = []
+    rep = ProgressReporter(error=lambda m: errors.append(m))
+    p = StitchingParameters(input_folder=acq_dir)
+    pipe = StitchPipeline(p, EngineOptions(continue_on_error=True), rep)
+
+    real = pipe.stitch_region
+
+    def flaky(t, region):
+        if region == "A1":
+            raise RuntimeError("boom")
+        return real(t, region)
+
+    monkeypatch.setattr(pipe, "stitch_region", flaky)
+    pipe.run()
+    assert len(errors) == 1 and "boom" in errors[0]
+    out = pipe.output_folder
+    assert os.path.isdir(os.path.join(out, "0_stitched", "A2_stitched.ome.zarr"))
+    assert not os.path.isdir(os.path.join(out, "0_stitched", "A1_stitched.ome.zarr"))

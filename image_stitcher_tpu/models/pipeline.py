@@ -559,6 +559,91 @@ class StitchPipeline:
 
     # ------------------------------------------------------------------- run
 
+    def _process_regions(self, manifest) -> Optional[str]:
+        """Fuse and save every (timepoint, region), optionally pipelined:
+        region N saves on a bounded background writer while region N+1
+        fuses (single in-flight canvas caps memory)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        final_path: Optional[str] = None
+        pending = None  # (future, timepoint, region)
+        executor = (ThreadPoolExecutor(max_workers=1)
+                    if self.options.pipelined_save else None)
+
+        def do_save(timepoint, region, canvas):
+            with self.timers.time('save'):
+                return self.save_region(timepoint, region, canvas)
+
+        def reap(entry):
+            nonlocal final_path
+            future, timepoint, region = entry
+            try:
+                path = future.result() if executor else future
+            except Exception as e:
+                if not self.options.continue_on_error:
+                    raise
+                self.reporter.error(f"region {region} t{timepoint} failed: {e}")
+                return
+            final_path = path
+            self.saved_paths.append(path)
+            manifest.mark_completed(timepoint, region)
+            self.reporter.status(f"Completed region {region} t{timepoint}",
+                                 False)
+
+        try:
+            for timepoint in self.acq.timepoints:
+                timepoint = int(timepoint)
+                os.makedirs(os.path.join(self.output_folder,
+                                         f"{timepoint}_stitched"),
+                            exist_ok=True)
+                for region in self.acq.regions:
+                    self._check_stop()
+                    if manifest.is_completed(timepoint, region):
+                        final_path = (self.per_timepoint_region_output_template
+                                      .format(timepoint=timepoint,
+                                              region=region))
+                        self.reporter.status(
+                            f"Skipping completed region {region} "
+                            f"t{timepoint}", False)
+                        continue
+                    self.reporter.starting_stitching()
+                    try:
+                        with self.timers.time('fuse'):
+                            canvas = self.stitch_region(timepoint, region)
+                    except StitchCancelled:
+                        raise
+                    except Exception as e:
+                        if not self.options.continue_on_error:
+                            raise
+                        self.reporter.error(
+                            f"region {region} t{timepoint} failed: {e}")
+                        continue
+                    self.reporter.starting_saving(False)
+                    if executor is not None:
+                        if pending is not None:
+                            reap(pending)  # bound in-flight canvases to 1
+                        pending = (executor.submit(do_save, timepoint,
+                                                   region, canvas),
+                                   timepoint, region)
+                    else:
+                        try:
+                            path = do_save(timepoint, region, canvas)
+                        except StitchCancelled:
+                            raise
+                        except Exception as e:
+                            if not self.options.continue_on_error:
+                                raise
+                            self.reporter.error(
+                                f"region {region} t{timepoint} failed: {e}")
+                            continue
+                        reap((path, timepoint, region))
+            if pending is not None:
+                reap(pending)
+        finally:
+            if executor is not None:
+                executor.shutdown(wait=True)
+        return final_path
+
     def run(self) -> str:
         """Execute the full pipeline; returns the last saved path."""
         from ..utils.manifest import RunManifest
@@ -596,40 +681,7 @@ class StitchPipeline:
                 manifest.set_shifts(self.shifts)
             manifest.save()
 
-            final_path = ''
-            for timepoint in self.acq.timepoints:
-                timepoint = int(timepoint)
-                os.makedirs(os.path.join(self.output_folder,
-                                         f"{timepoint}_stitched"), exist_ok=True)
-                for region in self.acq.regions:
-                    self._check_stop()
-                    if manifest.is_completed(timepoint, region):
-                        final_path = self.per_timepoint_region_output_template \
-                            .format(timepoint=timepoint, region=region)
-                        self.reporter.status(
-                            f"Skipping completed region {region} t{timepoint}",
-                            False)
-                        continue
-                    self.reporter.starting_stitching()
-                    try:
-                        with self.timers.time('fuse'):
-                            canvas = self.stitch_region(timepoint, region)
-                        self.reporter.starting_saving(False)
-                        with self.timers.time('save'):
-                            final_path = self.save_region(timepoint, region,
-                                                          canvas)
-                    except StitchCancelled:
-                        raise
-                    except Exception as e:
-                        if not self.options.continue_on_error:
-                            raise
-                        self.reporter.error(
-                            f"region {region} t{timepoint} failed: {e}")
-                        continue
-                    self.saved_paths.append(final_path)
-                    manifest.mark_completed(timepoint, region)
-                    self.reporter.status(
-                        f"Completed region {region} t{timepoint}", False)
+            final_path = self._process_regions(manifest) or ''
 
             if self.params.merge_timepoints or self.params.merge_hcs_regions:
                 from .merge import run_merges

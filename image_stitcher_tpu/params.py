@@ -156,6 +156,9 @@ class EngineOptions:
     debug_visuals: bool = False
     # Device mesh axis sizes (data, canvas-y). None -> single device.
     mesh_shape: Optional[Tuple[int, int]] = None
+    # Overlap each region's save with the next region's fusion via a
+    # background writer (bounded depth 1 to cap canvas memory).
+    pipelined_save: bool = True
     # Log-and-continue on per-region failures instead of aborting the run
     # (upgrade over the reference, which only counted per-FOV errors,
     # zarr_stitcher.py:487-489).

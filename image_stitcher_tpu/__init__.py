@@ -54,7 +54,10 @@ def stitch(input_folder: str, **kwargs):
     return pipeline
 
 
+from .api import StitchedImage, list_outputs, open_stitched
+
 __all__ = [
     'Acquisition', 'EngineOptions', 'ProgressReporter', 'StitchCancelled',
-    'StitchingParameters', 'scan_acquisition', 'stitch',
+    'StitchedImage', 'StitchingParameters', 'list_outputs', 'open_stitched',
+    'scan_acquisition', 'stitch',
 ]

@@ -48,6 +48,9 @@ def parse_args(argv=None) -> argparse.Namespace:
                         help="Output zarr chunk edge in px (default: 2048)")
     parser.add_argument('--fusion-batch', type=int, default=8,
                         help="Tiles fused per device batch (default: 8)")
+    parser.add_argument('--fusion-device', choices=['auto', 'device', 'host'],
+                        default='auto',
+                        help="Where fusion runs (default: auto via link probe)")
     parser.add_argument('--resume', action='store_true',
                         help="Continue the most recent interrupted run for this acquisition")
     parser.add_argument('--continue-on-error', action='store_true',
@@ -78,6 +81,7 @@ def create_options(args: argparse.Namespace) -> EngineOptions:
         blend_method=args.blend_method,
         chunks=(1, 1, 1, args.chunk_size, args.chunk_size),
         fusion_batch=args.fusion_batch,
+        fusion_device=getattr(args, 'fusion_device', 'auto'),
         continue_on_error=getattr(args, 'continue_on_error', False),
         # the reference parsed but never used dynamic_registration
         # (SURVEY.md §2c); here it selects the robust all-pairs scope

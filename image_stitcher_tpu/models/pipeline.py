@@ -451,9 +451,19 @@ class StitchPipeline:
         width, height = self._region_dimensions(t, region)
         th, tw = acq.input_height, acq.input_width
         jobs = self._build_jobs(t, region)
-        backend = self._select_fusion_backend(height, width, len(jobs))
         total = len(jobs)
         processed = 0
+
+        # An explicit device mesh overrides backend selection: the user
+        # asked for sharded multi-chip fusion.
+        if (opts.mesh_shape is not None
+                and opts.blend_method != 'feather'):
+            loader = TileBatchLoader(jobs, opts.fusion_batch, th, tw,
+                                     acq.dtype,
+                                     num_threads=opts.reader_threads)
+            return self._stitch_region_sharded(loader, height, width, total)
+
+        backend = self._select_fusion_backend(height, width, len(jobs))
 
         if backend == 'host':
             from ..ops.host_fuse import HostCanvas
@@ -522,6 +532,32 @@ class StitchPipeline:
         if use_feather:
             canvas = fuse_ops.finalize_feather(acc, wsum, acq.dtype)
         return canvas[:, :, :height, :width]
+
+    def _stitch_region_sharded(self, loader, height: int, width: int,
+                               total: int):
+        """Multi-chip fusion: canvas Y-banded over the mesh 'canvas' axis
+        (parallel/sharded_fuse), tiles replicated per batch."""
+        from ..parallel.mesh import make_mesh
+        from ..parallel.sharded_fuse import ShardedCanvas
+        acq = self.acq
+        opts = self.options
+        mesh = make_mesh(opts.mesh_shape)
+        canvas = ShardedCanvas(mesh, acq.num_c, acq.num_z, height, width,
+                               acq.input_height, acq.input_width, acq.dtype)
+        ff_stack = self._flatfield_stack() if self.flatfields else None
+        processed = 0
+        for batch in loader:
+            self._check_stop()
+            tiles = jnp.asarray(batch.tiles)
+            info = jnp.asarray(batch.info)
+            if ff_stack is not None:
+                tiles = fuse_ops.apply_flatfield(tiles, ff_stack, info[:, 0],
+                                                 acq.dtype)
+            canvas.fuse_batch(tiles, info, jnp.asarray(batch.crops),
+                              jnp.asarray(batch.valid))
+            self.reporter.update_progress(processed, total)
+            processed += batch.count
+        return canvas.finalize()
 
     # ------------------------------------------------------------------ save
 

@@ -74,6 +74,7 @@ class StitchPipeline:
         self.num_pyramid_levels = 1
         self.registration_channel = params.registration_channel
         self.saved_paths: List[str] = []
+        self.global_positions: Dict = {}
         self.timers = StageTimers()
 
     # ------------------------------------------------------------------ util
@@ -334,25 +335,28 @@ class StitchPipeline:
                 a, b, self.options.upsample_factor))
             return list(out)
 
-        h_pairs, h_tags = [], []
+        h_pairs, h_keys = [], []
         if ox:
             for r in range(n_rows):
                 for c in range(n_cols - 1):
                     sa, sb = strips.get((r, c)), strips.get((r, c + 1))
                     if sa and sb and sa['right'] is not None:
                         h_pairs.append((sa['right'], sb['left']))
-                        h_tags.append(r)
-        v_pairs = []
+                        h_keys.append((r, c))
+        v_pairs, v_keys = [], []
         if oy:
             for r in range(n_rows - 1):
                 for c in range(n_cols):
                     sa, sb = strips.get((r, c)), strips.get((r + 1, c))
                     if sa and sb and sa['bottom'] is not None:
                         v_pairs.append((sa['bottom'], sb['top']))
+                        v_keys.append((r, c))
 
         h_shifts = batch_measure([(a, b, None) for a, b in h_pairs])
         v_shifts = batch_measure([(a, b, None) for a, b in v_pairs])
-        self.pair_shifts = {'horizontal': h_shifts, 'vertical': v_shifts}
+        h_tags = [k[0] for k in h_keys]
+        self.pair_shifts = {'horizontal': h_shifts, 'vertical': v_shifts,
+                            'h_keys': h_keys, 'v_keys': v_keys}
 
         def agg_h(shifts):
             if not shifts:
@@ -384,12 +388,33 @@ class StitchPipeline:
             h_shift_rev=h_shift_rev, h_shift_rev_odd=h_shift_rev_odd,
             scan_pattern=self.params.scan_pattern)
 
+        if self.options.registration_scope == 'global':
+            from ..ops.globalopt import (grid_pairs_from_shifts,
+                                         positions_to_int, solve_positions)
+            h_map = {k: tuple(map(float, s))
+                     for k, s in zip(h_keys, h_shifts)}
+            v_map = {k: tuple(map(float, s))
+                     for k, s in zip(v_keys, v_shifts)}
+            pairs = grid_pairs_from_shifts(
+                h_map, v_map, n_rows, n_cols,
+                acq.input_width, acq.input_height, ox, oy)
+            pos = positions_to_int(solve_positions(pairs, n_rows * n_cols))
+            self.global_positions = {
+                (r, c): (int(pos[r * n_cols + c, 0]),
+                         int(pos[r * n_cols + c, 1]))
+                for r in range(n_rows) for c in range(n_cols)}
+
     # -------------------------------------------------------------- stitching
 
     def _region_dimensions(self, t, region: str) -> Tuple[int, int]:
         acq = self.acq
         xs, ys = acq.region_positions(int(t), region)
-        if self.params.use_registration:
+        if self.params.use_registration and self.global_positions:
+            ys_px = [p[0] for p in self.global_positions.values()]
+            xs_px = [p[1] for p in self.global_positions.values()]
+            w = max(xs_px) + acq.input_width
+            h = max(ys_px) + acq.input_height
+        elif self.params.use_registration:
             w, h = geo.output_dimensions_registered(
                 len(xs), len(ys), acq.input_width, acq.input_height, self.shifts)
         else:
@@ -412,9 +437,13 @@ class StitchPipeline:
             if self.params.use_registration:
                 col = xs.index(rec.x)
                 row = ys.index(rec.y)
-                pos = geo.tile_position_registered(
-                    col, row, len(xs), len(ys),
-                    acq.input_width, acq.input_height, self.shifts)
+                if (row, col) in self.global_positions:
+                    y_px, x_px = self.global_positions[(row, col)]
+                    pos = (x_px, y_px)
+                else:
+                    pos = geo.tile_position_registered(
+                        col, row, len(xs), len(ys),
+                        acq.input_width, acq.input_height, self.shifts)
                 crops = geo.tile_crops(col, row, len(xs), len(ys), self.shifts)
             else:
                 pos = geo.tile_position_coordinate(
@@ -707,7 +736,8 @@ class StitchPipeline:
                     self.shifts = saved_shifts
                 else:
                     with self.timers.time('registration'):
-                        if self.options.registration_scope == 'all-pairs':
+                        if self.options.registration_scope in ('all-pairs',
+                                                               'global'):
                             self.calculate_shifts_all_pairs(
                                 int(self.acq.timepoints[0]),
                                 self.acq.regions[0])

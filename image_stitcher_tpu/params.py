@@ -135,7 +135,9 @@ class EngineOptions:
     # reference merge paths (da.coarsen(np.mean), stitcher.py:893).
     pyramid_downsample: str = 'nearest'
     # Registration scope: 'center' = reference parity (one center pair per
-    # axis, stitcher.py:456-485); 'all-pairs' = robust full-grid estimate.
+    # axis, stitcher.py:456-485); 'all-pairs' = robust full-grid estimate
+    # (median over every adjacent pair); 'global' = MIST/ASHLAR-class
+    # per-tile position optimization over the pairwise-shift graph.
     registration_scope: str = 'center'
     # Where fusion runs: 'device' (TPU canvas, right for DMA-attached
     # chips), 'host' (threaded NumPy, right for slow tunneled links), or
@@ -169,8 +171,9 @@ class EngineOptions:
             raise ValueError("blend_method must be 'overwrite' or 'feather'")
         if self.pyramid_downsample not in ('nearest', 'mean'):
             raise ValueError("pyramid_downsample must be 'nearest' or 'mean'")
-        if self.registration_scope not in ('center', 'all-pairs'):
-            raise ValueError("registration_scope must be 'center' or 'all-pairs'")
+        if self.registration_scope not in ('center', 'all-pairs', 'global'):
+            raise ValueError(
+                "registration_scope must be 'center', 'all-pairs' or 'global'")
         if self.fusion_device not in ('auto', 'device', 'host'):
             raise ValueError("fusion_device must be 'auto', 'device' or 'host'")
         if self.device_fusion_kernel not in ('xla', 'pallas'):

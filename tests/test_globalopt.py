@@ -1,0 +1,121 @@
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from image_stitcher_tpu import EngineOptions, stitch
+from image_stitcher_tpu.io.zarr_store import open_zarr_array
+from image_stitcher_tpu.ops.globalopt import (grid_pairs_from_shifts,
+                                              positions_to_int,
+                                              solve_positions)
+
+from fixtures import write_synthetic_acquisition
+
+
+def test_solve_positions_chain():
+    # 3 tiles in a row, exact displacements 10 then 12 in x
+    pairs = [(0, 1, 0.0, 10.0, 1.0), (1, 2, 0.0, 12.0, 1.0)]
+    pos = solve_positions(pairs, 3)
+    np.testing.assert_allclose(pos[:, 1], [0, 10, 22], atol=1e-6)
+    np.testing.assert_allclose(pos[:, 0], [0, 0, 0], atol=1e-6)
+
+
+def test_solve_positions_loop_consistency():
+    # 2x2 loop with one noisy edge: least squares spreads the error
+    pairs = [
+        (0, 1, 0.0, 100.0, 1.0),   # top edge
+        (2, 3, 0.0, 104.0, 1.0),   # bottom edge (noisy +4)
+        (0, 2, 100.0, 0.0, 1.0),
+        (1, 3, 100.0, 0.0, 1.0),
+    ]
+    pos = solve_positions(pairs, 4)
+    x_top = pos[1, 1] - pos[0, 1]
+    x_bot = pos[3, 1] - pos[2, 1]
+    assert 100.0 <= x_top <= 104.0 and 100.0 <= x_bot <= 104.0
+
+
+def test_solve_positions_disconnected():
+    pos = solve_positions([(0, 1, 0.0, 5.0, 1.0)], 3)
+    assert pos.shape == (3, 2)  # tile 2 unconstrained but finite
+    assert np.isfinite(pos).all()
+
+
+def test_grid_pairs_conversion():
+    pairs = grid_pairs_from_shifts(
+        {(0, 0): (2.0, -30.0)}, {(0, 0): (-31.0, 1.0)},
+        2, 2, 100, 90, 33, 35)
+    (i, j, dy, dx, w) = pairs[0]
+    assert (i, j) == (0, 1)
+    assert dy == 2.0 and dx == 100 + (-30.0) - 33
+    (i, j, dy, dx, w) = pairs[1]
+    assert (i, j) == (0, 2)
+    assert dy == 90 + (-31.0) - 35 and dx == 1.0
+
+
+def test_global_registration_recovers_jitter(tmp_path):
+    """Tiles cut with per-tile integer stage jitter: the grid model
+    cannot express this; global optimization recovers every tile's true
+    position and reconstructs the ground truth."""
+    acq_dir = str(tmp_path / "acq")
+    desc = write_synthetic_acquisition(
+        acq_dir, grid_cols=4, grid_rows=4, tile_w=256, tile_h=256,
+        overlap=64, jitter=4, seed=11,
+        acq_params_overrides={"pixel_binning": 2})
+    pipe = stitch(acq_dir, use_registration=True,
+                  options=EngineOptions(registration_scope='global'))
+    assert pipe.global_positions
+    # recovered relative positions match the true tile origins
+    origins = {rc: desc.tile_origins[("A1", 0, rc[0], rc[1])]
+               for rc in pipe.global_positions}
+    base_true = origins[(0, 0)]
+    base_got = pipe.global_positions[(0, 0)]
+    errs = []
+    for rc, (ty, tx) in origins.items():
+        gy, gx = pipe.global_positions[rc]
+        errs.append((abs((gy - base_got[0]) - (ty - base_true[0])),
+                     abs((gx - base_got[1]) - (tx - base_true[1]))))
+    errs = np.array(errs)
+    assert errs.max() <= 1, errs  # within 1 px everywhere
+
+    # and the fused canvas matches ground truth at every tile center
+    out = sorted(glob.glob(acq_dir + "_stitched_*"))[-1]
+    data = np.asarray(open_zarr_array(os.path.join(
+        out, "0_stitched", "A1_stitched.ome.zarr", "0")).read().result())
+    gt = desc.ground_truth
+    for rc, (gy, gx) in pipe.global_positions.items():
+        ty, tx = origins[rc]
+        got = data[0, 0, 0, gy + 96:gy + 160, gx + 96:gx + 160]
+        want = gt[ty + 96:ty + 160, tx + 96:tx + 160]
+        # allow the 1px solve tolerance by comparing with small shifts
+        best = min(np.abs(got.astype(int)
+                          - gt[ty + 96 + dy2:ty + 160 + dy2,
+                               tx + 96 + dx2:tx + 160 + dx2].astype(int)).max()
+                   for dy2 in (-1, 0, 1) for dx2 in (-1, 0, 1))
+        assert best == 0, rc
+
+
+def test_grid_model_fails_on_jitter_where_global_succeeds(tmp_path):
+    """Contrast case: with jitter, the reference's single-pair grid model
+    misplaces tiles that global mode places exactly."""
+    acq_dir = str(tmp_path / "acq")
+    desc = write_synthetic_acquisition(
+        acq_dir, grid_cols=4, grid_rows=4, tile_w=256, tile_h=256,
+        overlap=64, jitter=4, seed=11,
+        acq_params_overrides={"pixel_binning": 2})
+    pipe = stitch(acq_dir, use_registration=True,
+                  options=EngineOptions(registration_scope='center'))
+    # grid positions step uniformly; true origins jitter by up to +-4 px:
+    # at least one tile must be off by >1 px under the grid model
+    xs, ys = pipe.acq.region_positions(0, "A1")
+    from image_stitcher_tpu.core import geometry as geo
+    worst = 0
+    for r in range(4):
+        for c in range(4):
+            x_px, y_px = geo.tile_position_registered(
+                c, r, 4, 4, 256, 256, pipe.shifts)
+            ty, tx = desc.tile_origins[("A1", 0, r, c)]
+            ty0, tx0 = desc.tile_origins[("A1", 0, 0, 0)]
+            worst = max(worst, abs((y_px - 0) - (ty - ty0)),
+                        abs((x_px - 0) - (tx - tx0)))
+    assert worst > 1

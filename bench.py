@@ -177,20 +177,33 @@ def run_baseline(acq_dir, num_levels):
 
 
 def main():
+    # The shared host's CPU allocation fluctuates several-fold over
+    # minutes; interleave repeats of both contenders and score each by
+    # its best run so both sides get comparable weather.
+    repeats = int(os.environ.get("BENCH_REPEATS", "2"))
     acq_dir = cached_acquisition()
     try:
         n_tiles = GRID * GRID * len(CHANNELS)
+        ours_best, base_best = None, None
+        pipe = None
+        for rep in range(repeats):
+            ours_dt, pipe = run_ours(acq_dir)
+            log(f"ours[{rep}]: {ours_dt:.1f}s "
+                f"(shifts h={pipe.shifts.h_shift} v={pipe.shifts.v_shift})")
+            ours_best = ours_dt if ours_best is None else min(ours_best, ours_dt)
+            for d in __import__('glob').glob(acq_dir + "_stitched_*"):
+                shutil.rmtree(d, ignore_errors=True)
 
-        ours_dt, pipe = run_ours(acq_dir)
-        ours_tps = n_tiles / ours_dt
-        log(f"ours: {ours_dt:.1f}s = {ours_tps:.2f} tiles/s "
-            f"(shifts h={pipe.shifts.h_shift} v={pipe.shifts.v_shift})")
+            base_dt, base_shifts = run_baseline(acq_dir,
+                                                pipe.num_pyramid_levels)
+            log(f"baseline[{rep}]: {base_dt:.1f}s "
+                f"(shifts h={base_shifts.h_shift} v={base_shifts.v_shift})")
+            base_best = base_dt if base_best is None else min(base_best, base_dt)
 
-        base_dt, base_shifts = run_baseline(acq_dir, pipe.num_pyramid_levels)
-        base_tps = n_tiles / base_dt
-        log(f"baseline: {base_dt:.1f}s = {base_tps:.2f} tiles/s "
-            f"(shifts h={base_shifts.h_shift} v={base_shifts.v_shift})")
-
+        ours_tps = n_tiles / ours_best
+        base_tps = n_tiles / base_best
+        log(f"best ours {ours_best:.1f}s = {ours_tps:.2f} tiles/s; "
+            f"best baseline {base_best:.1f}s = {base_tps:.2f} tiles/s")
         print(json.dumps({
             "metric": f"tiles/sec registered+fused+written at {TILE}^2 "
                       f"({GRID}x{GRID}x{len(CHANNELS)}ch uint16, e2e disk->OME-Zarr)",

@@ -102,7 +102,7 @@ class StitchPipeline:
         self.reporter.getting_flatfields()
         opts = self.options
         rnd = random.Random(0)
-        pool = ThreadPoolExecutor(opts.reader_threads)
+        pool = ThreadPoolExecutor(opts.resolved_reader_threads())
         try:
             self._compute_flatfields_inner(acq, opts, rnd, pool)
         finally:
@@ -322,7 +322,7 @@ class StitchPipeline:
             }
 
         coords = [(r, c) for r in range(n_rows) for c in range(n_cols)]
-        with ThreadPoolExecutor(self.options.reader_threads) as pool:
+        with ThreadPoolExecutor(self.options.resolved_reader_threads()) as pool:
             strips = dict(pool.map(load_strips, coords))
 
         def batch_measure(pairs):
@@ -483,13 +483,17 @@ class StitchPipeline:
         total = len(jobs)
         processed = 0
 
+        if opts.validate_plan:
+            from ..utils.plan_check import summarize_plan
+            self.reporter.status(summarize_plan(jobs, th, tw), False)
+
         # An explicit device mesh overrides backend selection: the user
         # asked for sharded multi-chip fusion.
         if (opts.mesh_shape is not None
                 and opts.blend_method != 'feather'):
             loader = TileBatchLoader(jobs, opts.fusion_batch, th, tw,
                                      acq.dtype,
-                                     num_threads=opts.reader_threads)
+                                     num_threads=opts.resolved_reader_threads())
             return self._stitch_region_sharded(loader, height, width, total)
 
         backend = self._select_fusion_backend(height, width, len(jobs))
@@ -498,7 +502,7 @@ class StitchPipeline:
             from ..ops.host_fuse import HostCanvas
             ff = self._flatfield_stack_np() if self.flatfields else None
             hc = HostCanvas(acq.num_c, acq.num_z, height, width, acq.dtype,
-                            num_threads=opts.host_fusion_threads,
+                            num_threads=opts.resolved_fusion_threads(),
                             flatfields=ff, blend_method=opts.blend_method,
                             blend_px=opts.feather_px)
 
@@ -517,7 +521,7 @@ class StitchPipeline:
             return hc.finalize()
 
         loader = TileBatchLoader(jobs, opts.fusion_batch, th, tw, acq.dtype,
-                                 num_threads=opts.reader_threads)
+                                 num_threads=opts.resolved_reader_threads())
         use_feather = opts.blend_method == 'feather'
         use_pallas = (opts.device_fusion_kernel == 'pallas'
                       and not use_feather)

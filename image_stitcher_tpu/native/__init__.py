@@ -36,10 +36,14 @@ def _build() -> Optional[str]:
         if not cc:
             continue
         try:
+            # build to a unique temp name, then atomic-rename: concurrent
+            # processes (spawned editions) may race on the cache path
+            tmp = f"{so_path}.{os.getpid()}.tmp"
             subprocess.run(
                 [cc, '-O3', '-march=native', '-shared', '-fPIC',
-                 _SRC, '-o', so_path],
+                 _SRC, '-o', tmp],
                 check=True, capture_output=True, timeout=120)
+            os.replace(tmp, so_path)
             return so_path
         except Exception:
             continue

@@ -21,6 +21,13 @@ VALID_OUTPUT_FORMATS = ('.ome.zarr', '.ome.tiff')
 VALID_SCAN_PATTERNS = ('Unidirectional', 'S-Pattern')
 
 
+def _available_cpus() -> int:
+    try:
+        return len(os.sched_getaffinity(0))
+    except AttributeError:  # non-Linux
+        return os.cpu_count() or 1
+
+
 @dataclass
 class StitchingParameters:
     """Parameters for microscopy image stitching operations.
@@ -146,11 +153,13 @@ class EngineOptions:
     # Device fusion kernel: 'xla' (lax.scan of dynamic-update-slices) or
     # 'pallas' (explicit DMA/VPU kernel, ops/pallas_fuse.py).
     device_fusion_kernel: str = 'xla'
-    host_fusion_threads: int = 4
+    host_fusion_threads: Optional[int] = None  # None = auto from affinity
     # Feather ramp width in px (blend_method='feather').
     feather_px: int = 64
-    # Host reader threads feeding the device.
-    reader_threads: int = 8
+    # Host reader threads feeding the device; None = auto from the
+    # process's actual CPU affinity (oversubscribing a starved cgroup
+    # with threads costs more in context churn than it buys).
+    reader_threads: Optional[int] = None
     # Max tiles resident on device per fusion batch.
     fusion_batch: int = 8
     # Write registration-strip debug PNGs like the reference
@@ -158,6 +167,10 @@ class EngineOptions:
     debug_visuals: bool = False
     # Device mesh axis sizes (data, canvas-y). None -> single device.
     mesh_shape: Optional[Tuple[int, int]] = None
+    # Report overlapping (order-dependent) tile writes per region before
+    # fusing (utils/plan_check) — the race-visibility story the
+    # reference lacked (SURVEY.md §5).
+    validate_plan: bool = False
     # Overlap each region's save with the next region's fusion via a
     # background writer (bounded depth 1 to cap canvas memory).
     pipelined_save: bool = True
@@ -165,6 +178,16 @@ class EngineOptions:
     # (upgrade over the reference, which only counted per-FOV errors,
     # zarr_stitcher.py:487-489).
     continue_on_error: bool = False
+
+    def resolved_reader_threads(self) -> int:
+        if self.reader_threads is not None:
+            return self.reader_threads
+        return max(2, _available_cpus())
+
+    def resolved_fusion_threads(self) -> int:
+        if self.host_fusion_threads is not None:
+            return self.host_fusion_threads
+        return max(1, _available_cpus())
 
     def validate(self) -> None:
         if self.blend_method not in ('overwrite', 'feather'):

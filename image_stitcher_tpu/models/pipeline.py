@@ -156,7 +156,12 @@ class StitchPipeline:
 
     def _get_tile_image(self, t, region, x, y, channel, z_level) -> Optional[np.ndarray]:
         rec = self.acq.find_tile(t, region, x, y, channel, z_level)
-        return read_image(rec.filepath) if rec is not None else None
+        if rec is None:
+            return None
+        img = read_image(rec.filepath)
+        if img.ndim == 3:  # RGB registration channel: correlate plane 0
+            img = img[..., 0]
+        return img
 
     def _measure_pair(self, img_a: np.ndarray, img_b: np.ndarray,
                       axis: str, max_overlap: int, debug_name: str = '') -> np.ndarray:
@@ -566,6 +571,59 @@ class StitchPipeline:
             canvas = fuse_ops.finalize_feather(acc, wsum, acq.dtype)
         return canvas[:, :, :height, :width]
 
+    def _should_stream(self, t, region: str) -> bool:
+        opts = self.options
+        if (opts.streaming == 'off' or opts.blend_method != 'overwrite'
+                or opts.mesh_shape is not None
+                or not self.output_format.endswith('.zarr')):
+            return False
+        if opts.streaming == 'on':
+            return True
+        acq = self.acq
+        width, height = self._region_dimensions(t, region)
+        canvas_bytes = (acq.num_c * acq.num_z * height * width
+                        * acq.dtype.itemsize)
+        return canvas_bytes > opts.streaming_threshold_bytes
+
+    def _stitch_and_save_streaming(self, t, region: str) -> str:
+        """Fuse + write in bounded-memory bands (models/streaming.py)."""
+        from .streaming import StreamingFuser
+        acq = self.acq
+        opts = self.options
+        width, height = self._region_dimensions(t, region)
+        jobs = self._build_jobs(t, region)
+        output_path = self.per_timepoint_region_output_template.format(
+            timepoint=t, region=region)
+        os.makedirs(os.path.dirname(output_path), exist_ok=True)
+        writer = MultiscaleWriter(
+            output_path, (1, acq.num_c, acq.num_z, height, width),
+            self.num_pyramid_levels, acq.dtype, opts.chunks,
+            f"{region}_t{t}", acq.dz_um, acq.pixel_size_um,
+            acq.monochrome_channels, acq.monochrome_colors,
+            cname=opts.compressor_cname, clevel=opts.compressor_clevel,
+            shuffle=opts.compressor_shuffle)
+        fuser = StreamingFuser(
+            writer, acq.num_c, acq.num_z, height, width,
+            acq.input_height, acq.input_width, acq.dtype,
+            self.num_pyramid_levels, opts.pyramid_downsample,
+            chunk_rows=opts.chunks[3],
+            num_threads=opts.resolved_fusion_threads(),
+            flatfields=self._flatfield_stack_np() if self.flatfields else None)
+
+        def load_plane(job):
+            img = read_image(job.filepath)
+            if job.plane >= 0:
+                img = img[:, :, job.plane]
+            elif img.ndim == 3 and img.shape[0] == 1:
+                img = img[0]
+            return img
+
+        total = len(jobs)
+        fuser.run(jobs, load_plane,
+                  progress_cb=lambda n: self.reporter.update_progress(n, total),
+                  stop_check=self._check_stop)
+        return output_path
+
     def _stitch_region_sharded(self, loader, height: int, width: int,
                                total: int):
         """Multi-chip fusion: canvas Y-banded over the mesh 'canvas' axis
@@ -647,7 +705,7 @@ class StitchPipeline:
             nonlocal final_path
             future, timepoint, region = entry
             try:
-                path = future.result() if executor else future
+                path = future.result() if hasattr(future, 'result') else future
             except Exception as e:
                 if not self.options.continue_on_error:
                     raise
@@ -676,6 +734,21 @@ class StitchPipeline:
                             f"t{timepoint}", False)
                         continue
                     self.reporter.starting_stitching()
+                    if self._should_stream(timepoint, region):
+                        try:
+                            with self.timers.time('stream_fuse_save'):
+                                path = self._stitch_and_save_streaming(
+                                    timepoint, region)
+                        except StitchCancelled:
+                            raise
+                        except Exception as e:
+                            if not self.options.continue_on_error:
+                                raise
+                            self.reporter.error(
+                                f"region {region} t{timepoint} failed: {e}")
+                            continue
+                        reap((path, timepoint, region))
+                        continue
                     try:
                         with self.timers.time('fuse'):
                             canvas = self.stitch_region(timepoint, region)

@@ -167,6 +167,12 @@ class EngineOptions:
     debug_visuals: bool = False
     # Device mesh axis sizes (data, canvas-y). None -> single device.
     mesh_shape: Optional[Tuple[int, int]] = None
+    # Bounded-memory streaming fusion (models/streaming.py): fuse and
+    # write the canvas in chunk-aligned bands, never materializing it.
+    # 'auto' streams when the canvas would exceed streaming_threshold
+    # bytes; host+zarr+overwrite path only.
+    streaming: str = 'auto'
+    streaming_threshold_bytes: int = 8 << 30
     # Report overlapping (order-dependent) tile writes per region before
     # fusing (utils/plan_check) — the race-visibility story the
     # reference lacked (SURVEY.md §5).
@@ -201,5 +207,7 @@ class EngineOptions:
             raise ValueError("fusion_device must be 'auto', 'device' or 'host'")
         if self.device_fusion_kernel not in ('xla', 'pallas'):
             raise ValueError("device_fusion_kernel must be 'xla' or 'pallas'")
+        if self.streaming not in ('auto', 'on', 'off'):
+            raise ValueError("streaming must be 'auto', 'on' or 'off'")
         if len(self.chunks) != 5:
             raise ValueError("chunks must be a 5-tuple (T,C,Z,Y,X)")

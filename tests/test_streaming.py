@@ -1,0 +1,79 @@
+"""Streaming (bounded-memory) fusion vs the in-RAM path."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from fixtures import write_synthetic_acquisition
+from image_stitcher_tpu import EngineOptions, stitch
+from image_stitcher_tpu.io.zarr_store import open_zarr_array
+from image_stitcher_tpu.models.streaming import band_rows_for
+
+
+def test_band_rows_alignment():
+    assert band_rows_for(2048, 1) == 2048
+    assert band_rows_for(2048, 5) == 2048  # 2048 % 16 == 0
+    assert band_rows_for(100, 4) == 104    # rounded to multiple of 8
+    assert band_rows_for(100, 1) == 100
+
+
+def _outputs(acq_dir):
+    out = sorted(glob.glob(acq_dir + "_stitched_*"))[-1]
+    zp = os.path.join(out, "0_stitched", "A1_stitched.ome.zarr")
+    levels = sorted(d for d in os.listdir(zp) if d.isdigit())
+    return {lv: np.asarray(open_zarr_array(os.path.join(zp, lv))
+                           .read().result()) for lv in levels}
+
+
+@pytest.mark.parametrize("use_registration", [False, True])
+def test_streaming_matches_in_ram(tmp_path, use_registration):
+    """Tiny chunks force many bands incl. band-spanning tiles; output
+    must equal the in-RAM host path at every pyramid level."""
+    results = {}
+    for mode, chunks in (("on", (1, 1, 1, 64, 64)), ("off", (1, 1, 1, 64, 64))):
+        acq_dir = str(tmp_path / f"acq_{mode}_{use_registration}")
+        write_synthetic_acquisition(
+            acq_dir, grid_cols=3, grid_rows=3, tile_w=96, tile_h=96,
+            overlap=32, channels=["Fluorescence 488 nm Ex",
+                                  "Fluorescence 561 nm Ex"], num_z=2,
+            acq_params_overrides={"pixel_binning": 2})
+        stitch(acq_dir, use_registration=use_registration,
+               apply_flatfield=True,
+               options=EngineOptions(streaming=mode, chunks=chunks,
+                                     fusion_device='host'))
+        results[mode] = _outputs(acq_dir)
+    assert results["on"].keys() == results["off"].keys()
+    for lv in results["on"]:
+        np.testing.assert_array_equal(results["on"][lv], results["off"][lv])
+
+
+def test_streaming_auto_threshold(tmp_path):
+    acq_dir = str(tmp_path / "acq")
+    write_synthetic_acquisition(acq_dir, grid_cols=2, grid_rows=2,
+                                tile_w=64, tile_h=64, overlap=16)
+    # threshold of 0 bytes -> always streams
+    pipe = stitch(acq_dir, options=EngineOptions(
+        streaming='auto', streaming_threshold_bytes=0))
+    assert 'stream_fuse_save' in pipe.timers.totals
+    # huge threshold -> in-RAM path
+    acq_dir2 = str(tmp_path / "acq2")
+    write_synthetic_acquisition(acq_dir2, grid_cols=2, grid_rows=2,
+                                tile_w=64, tile_h=64, overlap=16)
+    pipe2 = stitch(acq_dir2, options=EngineOptions(streaming='auto'))
+    assert 'stream_fuse_save' not in pipe2.timers.totals
+
+
+def test_streaming_multi_timepoint_merge(tmp_path):
+    """Streaming outputs feed the merge passes like any other."""
+    acq_dir = str(tmp_path / "acq")
+    write_synthetic_acquisition(acq_dir, grid_cols=2, grid_rows=1,
+                                tile_w=48, tile_h=48, overlap=16,
+                                timepoints=2)
+    stitch(acq_dir, merge_timepoints=True,
+           options=EngineOptions(streaming='on'))
+    out = sorted(glob.glob(acq_dir + "_stitched_*"))[-1]
+    ts = os.path.join(out, "region_time_series", "A1_time_series.ome.zarr")
+    data = np.asarray(open_zarr_array(os.path.join(ts, "0")).read().result())
+    assert data.shape[0] == 2

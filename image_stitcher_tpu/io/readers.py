@@ -19,6 +19,17 @@ import numpy as np
 from .acquisition import read_image
 
 
+def load_tile_plane(job: "TileJob") -> np.ndarray:
+    """Read the (th, tw) plane a TileJob refers to (RGB plane select,
+    leading-singleton squeeze) — the one canonical plane loader."""
+    img = read_image(job.filepath)
+    if job.plane >= 0:
+        img = img[:, :, job.plane]
+    elif img.ndim == 3 and img.shape[0] == 1:
+        img = img[0]
+    return img
+
+
 @dataclass(frozen=True)
 class TileJob:
     """One monochrome plane destined for the canvas."""
@@ -61,11 +72,7 @@ class TileBatchLoader:
         return (len(self.jobs) + self.batch_size - 1) // self.batch_size
 
     def _load_plane(self, job: TileJob) -> np.ndarray:
-        img = read_image(job.filepath)
-        if job.plane >= 0:
-            img = img[:, :, job.plane]
-        elif img.ndim == 3 and img.shape[0] == 1:
-            img = img[0]
+        img = load_tile_plane(job)
         tile = np.zeros((self.tile_h, self.tile_w), self.dtype)
         h = min(img.shape[0], self.tile_h)
         w = min(img.shape[1], self.tile_w)

@@ -27,11 +27,12 @@ import numpy as np
 from ..core import geometry as geo
 from ..io.acquisition import Acquisition, TileRecord, read_image, scan_acquisition
 from ..io.omezarr import MultiscaleWriter
-from ..io.readers import TileBatchLoader, TileJob, expand_tile_jobs
+from ..io.readers import (TileBatchLoader, TileJob, expand_tile_jobs,
+                          load_tile_plane)
 from ..ops import fuse as fuse_ops
 from ..ops import pyramid as pyr_ops
 from ..ops.flatfield import fit_flatfield
-from ..ops.phasecorr import (horizontal_shift_from_pcc, normalize_to_dtype_range,
+from ..ops.phasecorr import (horizontal_shift_from_pcc,
                              phase_cross_correlation, vertical_shift_from_pcc)
 from ..params import EngineOptions, StitchingParameters
 from ..utils.profiling import StageTimers
@@ -123,9 +124,12 @@ class StitchPipeline:
                     break
             if not paths:
                 continue
-            # cycle-pad to the fixed sample budget: one static shape for
-            # the jitted solver across all channels and acquisitions
-            target = opts.flatfield_tiles_per_timepoint
+            # cycle-pad/trim to ONE fixed sample budget (the reference's
+            # worst-case collection: the >48 break fires after adding a
+            # full timepoint, so <= 48+32 samples, stitcher.py:389-394) —
+            # a single static shape for the jitted solver everywhere
+            target = (opts.flatfield_max_tiles
+                      + opts.flatfield_tiles_per_timepoint)
             full = (paths * ((target + len(paths) - 1) // len(paths)))[:target]
             images = np.stack(list(pool.map(read_image, full)))
             if images.ndim == 4 and images.shape[-1] == 3:
@@ -184,12 +188,14 @@ class StitchPipeline:
         margin_frac = self.options.registration_margin
         if axis == 'horizontal':
             margin = int(a.shape[0] * margin_frac)
-            strip_a = a[margin:-margin, -max_overlap:]
-            strip_b = b[margin:-margin, :max_overlap]
+            lo, hi = margin, a.shape[0] - margin
+            strip_a = a[lo:hi, -max_overlap:]
+            strip_b = b[lo:hi, :max_overlap]
         else:
             margin = int(a.shape[1] * margin_frac)
-            strip_a = a[-max_overlap:, margin:-margin]
-            strip_b = b[:max_overlap, margin:-margin]
+            lo, hi = margin, a.shape[1] - margin
+            strip_a = a[-max_overlap:, lo:hi]
+            strip_b = b[:max_overlap, lo:hi]
         if self.options.debug_visuals:
             self._visualize_strips(strip_a, strip_b, debug_name or axis)
         # One-shot pair: host FFT (the batched all-pairs scope uses the
@@ -319,11 +325,12 @@ class StitchPipeline:
                 img = img[..., 0]
             lo, hi = img.min(), img.max()
             img = (img - lo) / max(hi - lo, 1e-12) * dmax
+            h_img, w_img = img.shape
             return rc, {
-                'left': img[my:-my, :ox] if ox else None,
-                'right': img[my:-my, -ox:] if ox else None,
-                'top': img[:oy, mx:-mx] if oy else None,
-                'bottom': img[-oy:, mx:-mx] if oy else None,
+                'left': img[my:h_img - my, :ox] if ox else None,
+                'right': img[my:h_img - my, -ox:] if ox else None,
+                'top': img[:oy, mx:w_img - mx] if oy else None,
+                'bottom': img[-oy:, mx:w_img - mx] if oy else None,
             }
 
         coords = [(r, c) for r in range(n_rows) for c in range(n_cols)]
@@ -404,19 +411,34 @@ class StitchPipeline:
                 h_map, v_map, n_rows, n_cols,
                 acq.input_width, acq.input_height, ox, oy)
             pos = positions_to_int(solve_positions(pairs, n_rows * n_cols))
-            self.global_positions = {
+            self.global_positions[region] = {
                 (r, c): (int(pos[r * n_cols + c, 0]),
                          int(pos[r * n_cols + c, 1]))
                 for r in range(n_rows) for c in range(n_cols)}
+
+    def _ensure_global_positions(self, t, region: str):
+        """Per-region global solve: each region's stage error is its own
+        (solved lazily the first time a region is stitched)."""
+        if (self.options.registration_scope == 'global'
+                and self.params.use_registration
+                and region not in self.global_positions):
+            with self.timers.time('registration'):
+                self.calculate_shifts_all_pairs(int(t), region)
+            m = getattr(self, '_manifest', None)
+            if m is not None:
+                m.set_global_positions(self.global_positions)
+                m.save()
 
     # -------------------------------------------------------------- stitching
 
     def _region_dimensions(self, t, region: str) -> Tuple[int, int]:
         acq = self.acq
         xs, ys = acq.region_positions(int(t), region)
-        if self.params.use_registration and self.global_positions:
-            ys_px = [p[0] for p in self.global_positions.values()]
-            xs_px = [p[1] for p in self.global_positions.values()]
+        self._ensure_global_positions(t, region)
+        region_pos = self.global_positions.get(region)
+        if self.params.use_registration and region_pos:
+            ys_px = [p[0] for p in region_pos.values()]
+            xs_px = [p[1] for p in region_pos.values()]
             w = max(xs_px) + acq.input_width
             h = max(ys_px) + acq.input_height
         elif self.params.use_registration:
@@ -438,12 +460,13 @@ class StitchPipeline:
         xs, ys = acq.region_positions(int(t), region)
         x_min, y_min = min(xs), min(ys)
         triples = []
+        region_pos = self.global_positions.get(region, {})
         for key, rec in acq.region_tiles(int(t), region).items():
             if self.params.use_registration:
                 col = xs.index(rec.x)
                 row = ys.index(rec.y)
-                if (row, col) in self.global_positions:
-                    y_px, x_px = self.global_positions[(row, col)]
+                if (row, col) in region_pos:
+                    y_px, x_px = region_pos[(row, col)]
                     pos = (x_px, y_px)
                 else:
                     pos = geo.tile_position_registered(
@@ -511,16 +534,8 @@ class StitchPipeline:
                             flatfields=ff, blend_method=opts.blend_method,
                             blend_px=opts.feather_px)
 
-            def load_plane(job):
-                img = read_image(job.filepath)
-                if job.plane >= 0:
-                    img = img[:, :, job.plane]
-                elif img.ndim == 3 and img.shape[0] == 1:
-                    img = img[0]
-                return img
-
             hc.fuse_streaming(
-                jobs, load_plane,
+                jobs, load_tile_plane,
                 progress_cb=lambda n: self.reporter.update_progress(n, total),
                 stop_check=self._check_stop)
             return hc.finalize()
@@ -534,7 +549,8 @@ class StitchPipeline:
             from ..ops.pallas_fuse import (fuse_overwrite_pallas,
                                            pallas_padded_canvas_shape)
             pad_shape = pallas_padded_canvas_shape(acq.num_c, acq.num_z,
-                                                   height, width, th, tw)
+                                                   height, width, th, tw,
+                                                   acq.dtype)
         else:
             pad_shape = fuse_ops.padded_canvas_shape(acq.num_c, acq.num_z,
                                                      height, width, th, tw)
@@ -575,6 +591,7 @@ class StitchPipeline:
         opts = self.options
         if (opts.streaming == 'off' or opts.blend_method != 'overwrite'
                 or opts.mesh_shape is not None
+                or opts.fusion_device == 'device'
                 or not self.output_format.endswith('.zarr')):
             return False
         if opts.streaming == 'on':
@@ -610,17 +627,8 @@ class StitchPipeline:
             num_threads=opts.resolved_fusion_threads(),
             flatfields=self._flatfield_stack_np() if self.flatfields else None)
 
-        def load_plane(job):
-            img = read_image(job.filepath)
-            if job.plane >= 0:
-                img = img[:, :, job.plane]
-            elif img.ndim == 3 and img.shape[0] == 1:
-                img = img[0]
-            return img
-
-        total = len(jobs)
-        fuser.run(jobs, load_plane,
-                  progress_cb=lambda n: self.reporter.update_progress(n, total),
+        fuser.run(jobs, load_tile_plane,
+                  progress_cb=self.reporter.update_progress,
                   stop_check=self._check_stop)
         return output_path
 
@@ -811,7 +819,10 @@ class StitchPipeline:
                 saved_shifts = manifest.get_shifts() if self.resumed else None
                 if saved_shifts is not None:
                     self.shifts = saved_shifts
-                else:
+                    self.global_positions = manifest.get_global_positions()
+                if saved_shifts is None or (
+                        self.options.registration_scope == 'global'
+                        and not self.global_positions):
                     with self.timers.time('registration'):
                         if self.options.registration_scope in ('all-pairs',
                                                                'global'):
@@ -822,7 +833,10 @@ class StitchPipeline:
                             self.calculate_shifts(self.acq.timepoints[0],
                                                   self.acq.regions[0])
                 manifest.set_shifts(self.shifts)
+                if self.global_positions:
+                    manifest.set_global_positions(self.global_positions)
             manifest.save()
+            self._manifest = manifest
 
             final_path = self._process_regions(manifest) or ''
 
@@ -834,6 +848,7 @@ class StitchPipeline:
                 manifest.data["merges_done"] = True
                 manifest.save()
 
+            manifest.mark_finished()
             self.reporter.finished_saving(final_path, self.acq.dtype)
             for line in self.timers.summary():
                 self.reporter.status(line, False)

@@ -87,9 +87,9 @@ class StreamingFuser:
                       progress_cb=None) -> None:
         rows = min(self.band, self.height - band0)
         buf = np.zeros((rows, self.width), self.dtype)
-        for job in jobs:
+        for job, is_primary in jobs:
             self._place_in_band(buf, band0, job, load_fn(job))
-            if progress_cb is not None:
+            if progress_cb is not None and is_primary:
                 progress_cb()
         # level 0 slab
         sel0 = (slice(0, 1), slice(c, c + 1), slice(z, z + 1),
@@ -115,22 +115,26 @@ class StreamingFuser:
         """Fuse all jobs (TileJob-likes) through band tasks."""
         # Partition jobs by (plane, band); preserve plan order per band.
         tasks: Dict[Tuple[int, int, int], List] = {}
+        n_jobs = 0
         for job in jobs:
             top, bottom = job.crops[0], job.crops[1]
             y0e = job.y + top
             y1e = min(job.y + self.tile_h - bottom, self.height)
             if y1e <= y0e:
                 continue
+            n_jobs += 1
+            first = True
             for b in range(y0e // self.band, (y1e - 1) // self.band + 1):
                 tasks.setdefault((job.channel_idx, job.z_level,
-                                  b * self.band), []).append(job)
+                                  b * self.band), []).append((job, first))
+                first = False  # progress counts each job exactly once
 
         done = [0]
 
         def progress():
             done[0] += 1
             if progress_cb is not None:
-                progress_cb(done[0])
+                progress_cb(done[0], n_jobs)
 
         def run_task(key):
             if stop_check is not None:

@@ -27,15 +27,18 @@ class HostCanvas:
                  dtype, num_threads: int = 4,
                  flatfields: Optional[np.ndarray] = None,
                  blend_method: str = 'overwrite', blend_px: int = 64):
-        self.canvas = np.zeros((num_c, num_z, height, width), dtype)
         self.height, self.width = height, width
         self.dtype = np.dtype(dtype)
         self.flatfields = flatfields  # (C, th, tw) f32 or None
         self.blend = blend_method
         self.blend_px = blend_px
         if blend_method == 'feather':
+            # native-dtype canvas materializes at finalize() only
+            self.canvas = None
             self.acc = np.zeros((num_c, num_z, height, width), np.float32)
             self.wsum = np.zeros((num_c, num_z, height, width), np.float32)
+        else:
+            self.canvas = np.zeros((num_c, num_z, height, width), dtype)
         self.pool = ThreadPoolExecutor(max_workers=num_threads)
 
     def _correct(self, tile: np.ndarray, c: int) -> np.ndarray:

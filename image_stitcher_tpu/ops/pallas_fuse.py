@@ -23,20 +23,30 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-ALIGN_Y = 16   # sublane alignment for 16-bit types (packed (8,128)x2)
 ALIGN_X = 128  # lane alignment
 
 
+def align_y_for(dtype) -> int:
+    """Sublane alignment: Mosaic packs (8,128) tiles of 32-bit lanes,
+    so the row granularity is 8 * (4 // itemsize)."""
+    import numpy as np
+    itemsize = np.dtype(dtype).itemsize
+    return 8 * max(1, 4 // itemsize)
+
+
 def pallas_padded_canvas_shape(num_c: int, num_z: int, height: int,
-                               width: int, tile_h: int, tile_w: int
-                               ) -> Tuple[int, int, int, int]:
+                               width: int, tile_h: int, tile_w: int,
+                               dtype=None) -> Tuple[int, int, int, int]:
     """Canvas apron for the pallas kernel: one tile extent plus the
     alignment margin on bottom/right."""
-    return (num_c, num_z, height + tile_h + ALIGN_Y,
+    import numpy as np
+    align_y = align_y_for(dtype if dtype is not None else np.uint16)
+    return (num_c, num_z, height + tile_h + align_y,
             width + tile_w + ALIGN_X)
 
 
-def _fuse_kernel(th: int, tw: int):
+def _fuse_kernel(th: int, tw: int, align_y: int):
+    ALIGN_Y = align_y
     wh, ww = th + ALIGN_Y, tw + ALIGN_X
 
     def kernel(info_ref, crops_ref, valid_ref, tiles_hbm, canvas_in,
@@ -99,6 +109,7 @@ def fuse_overwrite_pallas(canvas: jnp.ndarray, tiles: jnp.ndarray,
     int32; valid: (N,) bool.
     """
     n, th, tw = tiles.shape
+    align_y = align_y_for(canvas.dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n,),
@@ -109,12 +120,12 @@ def fuse_overwrite_pallas(canvas: jnp.ndarray, tiles: jnp.ndarray,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((th, tw), tiles.dtype),
-            pltpu.VMEM((th + ALIGN_Y, tw + ALIGN_X), canvas.dtype),
+            pltpu.VMEM((th + align_y, tw + ALIGN_X), canvas.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
-        _fuse_kernel(th, tw),
+        _fuse_kernel(th, tw, align_y),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(canvas.shape, canvas.dtype),
         input_output_aliases={4: 0},  # canvas operand -> output

@@ -34,6 +34,8 @@ class RunManifest:
             "shifts": None,
             "completed": [],
             "merges_done": False,
+            "finished": False,
+            "global_positions": None,
         }
 
     # ------------------------------------------------------------------ io
@@ -102,6 +104,23 @@ class RunManifest:
         with np.load(path) as z:
             return {int(k): z[k] for k in z.files}
 
+    def set_global_positions(self, positions: Dict) -> None:
+        """positions: {region: {(row, col): (y, x)}} -> JSON-safe lists."""
+        self.data["global_positions"] = {
+            region: [[r, c, y, x] for (r, c), (y, x) in per.items()]
+            for region, per in positions.items()}
+
+    def get_global_positions(self) -> Dict:
+        raw = self.data.get("global_positions")
+        if not raw:
+            return {}
+        return {region: {(r, c): (y, x) for r, c, y, x in entries}
+                for region, entries in raw.items()}
+
+    def mark_finished(self) -> None:
+        self.data["finished"] = True
+        self.save()
+
     def mark_completed(self, t, region: str) -> None:
         key = f"{t}/{region}"
         if key not in self.data["completed"]:
@@ -114,10 +133,12 @@ class RunManifest:
 
 def find_resumable(input_folder: str, params_dict: Dict) -> Optional[str]:
     """Newest output folder of this acquisition with a compatible,
-    incomplete manifest; None if a fresh run is needed."""
+    UNFINISHED manifest; None if a fresh run is needed (finished runs are
+    never resumed — rerunning without --resume makes a new folder)."""
     candidates = sorted(glob.glob(input_folder + "_stitched_*"), reverse=True)
     for folder in candidates:
         m = RunManifest.load(folder)
-        if m is not None and m.compatible_with(params_dict):
+        if (m is not None and m.compatible_with(params_dict)
+                and not m.data.get("finished")):
             return folder
     return None

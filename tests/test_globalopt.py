@@ -64,15 +64,16 @@ def test_global_registration_recovers_jitter(tmp_path):
         acq_params_overrides={"pixel_binning": 2})
     pipe = stitch(acq_dir, use_registration=True,
                   options=EngineOptions(registration_scope='global'))
-    assert pipe.global_positions
+    region_pos = pipe.global_positions["A1"]
+    assert region_pos
     # recovered relative positions match the true tile origins
     origins = {rc: desc.tile_origins[("A1", 0, rc[0], rc[1])]
-               for rc in pipe.global_positions}
+               for rc in region_pos}
     base_true = origins[(0, 0)]
-    base_got = pipe.global_positions[(0, 0)]
+    base_got = region_pos[(0, 0)]
     errs = []
     for rc, (ty, tx) in origins.items():
-        gy, gx = pipe.global_positions[rc]
+        gy, gx = region_pos[rc]
         errs.append((abs((gy - base_got[0]) - (ty - base_true[0])),
                      abs((gx - base_got[1]) - (tx - base_true[1]))))
     errs = np.array(errs)
@@ -83,7 +84,7 @@ def test_global_registration_recovers_jitter(tmp_path):
     data = np.asarray(open_zarr_array(os.path.join(
         out, "0_stitched", "A1_stitched.ome.zarr", "0")).read().result())
     gt = desc.ground_truth
-    for rc, (gy, gx) in pipe.global_positions.items():
+    for rc, (gy, gx) in region_pos.items():
         ty, tx = origins[rc]
         got = data[0, 0, 0, gy + 96:gy + 160, gx + 96:gx + 160]
         want = gt[ty + 96:ty + 160, tx + 96:tx + 160]

@@ -92,17 +92,37 @@ def test_resume_incompatible_params_starts_fresh(tmp_path):
 
 
 def test_resume_reuses_flatfields(tmp_path):
-    acq_dir = make_acq(tmp_path, regions=("A1",), timepoints=1)
+    acq_dir = make_acq(tmp_path, regions=("A1", "A2"), timepoints=1)
+    # interrupt after the first region so the run stays unfinished
+    stop = threading.Event()
+    rep = ProgressReporter(
+        status=lambda m, s=False: stop.set()
+        if m.startswith("Completed region") else None)
     p = StitchingParameters(input_folder=acq_dir, apply_flatfield=True)
-    pipe = StitchPipeline(p)
-    pipe.run()
+    pipe = StitchPipeline(p, EngineOptions(pipelined_save=False),
+                          rep, stop_event=stop)
+    with pytest.raises(StitchCancelled):
+        pipe.run()
     out = pipe.output_folder
     assert os.path.exists(os.path.join(out, "flatfields.npz"))
+
     p2 = StitchingParameters(input_folder=acq_dir, apply_flatfield=True)
     pipe2 = StitchPipeline(p2, resume=True)
     pipe2.run()
     assert pipe2.output_folder == out
     np.testing.assert_array_equal(pipe2.flatfields[0], pipe.flatfields[0])
+
+
+def test_finished_runs_are_not_resumed(tmp_path):
+    """--resume on a completed run starts a fresh output folder."""
+    acq_dir = make_acq(tmp_path, regions=("A1",), timepoints=1)
+    p = StitchingParameters(input_folder=acq_dir)
+    pipe = StitchPipeline(p)
+    pipe.run()
+    p2 = StitchingParameters(input_folder=acq_dir)
+    pipe2 = StitchPipeline(p2, resume=True)
+    assert not pipe2.resumed
+    assert pipe2.output_folder != pipe.output_folder
 
 
 def test_continue_on_error(tmp_path, monkeypatch):

@@ -159,7 +159,16 @@ def create_complete_hcs_ome_zarr(pipeline) -> str:
 
 
 def run_merges(pipeline) -> str:
-    """Dispatch merge passes per flags (reference stitcher.py:1283-1291)."""
+    """Dispatch merge passes per flags (reference stitcher.py:1283-1291).
+
+    Merges are zarr-only (the reference GUIs gated the checkboxes to the
+    zarr format, stitcher_gui.py:254-260; its CLI would crash). We skip
+    with a clear message instead.
+    """
+    if not pipeline.output_format.endswith('.zarr'):
+        pipeline.reporter.error(
+            "merge passes require .ome.zarr output; skipping merges")
+        return pipeline.saved_paths[-1] if pipeline.saved_paths else ''
     if pipeline.params.merge_timepoints and pipeline.params.merge_hcs_regions:
         return create_complete_hcs_ome_zarr(pipeline)
     if pipeline.params.merge_timepoints:

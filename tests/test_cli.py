@@ -128,3 +128,29 @@ def test_monitor_process_with_fake_child(capsys):
     out = capsys.readouterr().out
     assert "Progress: 1/4" in out
     assert "Complete: /out/a.ome.zarr" in out
+
+
+def test_tiff_merge_gated(tmp_path):
+    """Merges require zarr; tiff runs skip them with an error message."""
+    from image_stitcher_tpu import StitchingParameters, EngineOptions
+    from image_stitcher_tpu.models.pipeline import StitchPipeline
+    from image_stitcher_tpu.utils.progress import ProgressReporter
+    acq_dir = str(tmp_path / "acq")
+    write_synthetic_acquisition(acq_dir, grid_cols=2, grid_rows=1,
+                                tile_w=48, tile_h=48, overlap=16)
+    errors = []
+    rep = ProgressReporter(error=lambda m: errors.append(m))
+    p = StitchingParameters(input_folder=acq_dir, output_format='.ome.tiff',
+                            merge_timepoints=True)
+    pipe = StitchPipeline(p, EngineOptions(), rep)
+    path = pipe.run()
+    assert path.endswith(".ome.tiff")
+    assert errors and "zarr" in errors[0]
+
+
+def test_gui_wavelength_extraction():
+    from image_stitcher_tpu.gui import StitchingGUI
+    f = StitchingGUI._extract_wavelength
+    assert f("Fluorescence 488 nm Ex") == "488"
+    assert f("BF_R") == "R"
+    assert f("plain") is None

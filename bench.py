@@ -176,7 +176,64 @@ def run_baseline(acq_dir, num_levels):
     return dt, shifts
 
 
+def kernel_bench():
+    """Device-kernel microbenchmarks (data resident in HBM): the speed
+    of the TPU compute path itself, independent of the host link."""
+    import jax
+    import jax.numpy as jnp
+    from image_stitcher_tpu.ops.fuse import (apply_flatfield, fuse_overwrite,
+                                             padded_canvas_shape)
+    from image_stitcher_tpu.ops.phasecorr import phase_cross_correlation_batch
+    results = []
+    rng = np.random.default_rng(0)
+
+    # fusion: batches of 10 tiles into a 10x10-grid canvas
+    tiles = jnp.asarray(rng.integers(0, 65535, (10, TILE, TILE), np.uint16))
+    info = jnp.asarray(np.stack([
+        rng.integers(0, CHANNELS and 3, 10), np.zeros(10, int),
+        rng.integers(0, 18000, 10), rng.integers(0, 16000, 10)],
+        axis=1).astype(np.int32))
+    crops = jnp.zeros((10, 4), jnp.int32)
+    valid = jnp.ones((10,), bool)
+    canvas = jnp.zeros(padded_canvas_shape(3, 1, 20480, 18432, TILE, TILE),
+                       jnp.uint16)
+    ff = jnp.ones((3, TILE, TILE), jnp.float32)
+    corrected = apply_flatfield(tiles, ff, info[:, 0], jnp.uint16)
+    canvas = fuse_overwrite(canvas, corrected, info, crops, valid)
+    canvas.block_until_ready()
+    t0 = time.perf_counter()
+    reps = 30
+    for _ in range(reps):
+        corrected = apply_flatfield(tiles, ff, info[:, 0], jnp.uint16)
+        canvas = fuse_overwrite(canvas, corrected, info, crops, valid)
+    canvas.block_until_ready()
+    dt = time.perf_counter() - t0
+    results.append({"kernel": "flatfield+fuse (device-resident)",
+                    "value": round(10 * reps / dt, 1), "unit": "tiles/s"})
+
+    # batched subpixel phase correlation on overlap strips
+    strips_a = jnp.asarray(rng.random((16, 1024, 416)), jnp.float32)
+    strips_b = jnp.asarray(rng.random((16, 1024, 416)), jnp.float32)
+    phase_cross_correlation_batch(strips_a, strips_b, 10).block_until_ready()
+    t0 = time.perf_counter()
+    reps = 10
+    out = strips_b
+    for _ in range(reps):
+        # feed the previous output's ... keep inputs varying so nothing
+        # can be served from any result cache
+        strips_a = strips_a + 1.0
+        out = phase_cross_correlation_batch(strips_a, strips_b, 10)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    results.append({"kernel": "phase correlation uf=10 (batched)",
+                    "value": round(16 * reps / dt, 1), "unit": "pairs/s"})
+    print(json.dumps(results))
+
+
 def main():
+    if "--kernels" in sys.argv:
+        kernel_bench()
+        return
     # The shared host's CPU allocation fluctuates several-fold over
     # minutes; interleave repeats of both contenders and score each by
     # its best run so both sides get comparable weather.

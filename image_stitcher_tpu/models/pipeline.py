@@ -291,7 +291,7 @@ class StitchPipeline:
         rows). Falls back to the center-pair scope via
         EngineOptions.registration_scope = 'center'.
         """
-        from ..ops.phasecorr import phase_cross_correlation_batch
+        from ..ops.phasecorr import phase_cross_correlation_conf_batch
         acq = self.acq
         if not self.registration_channel or \
                 self.registration_channel not in acq.channel_names:
@@ -338,14 +338,14 @@ class StitchPipeline:
             strips = dict(pool.map(load_strips, coords))
 
         def batch_measure(pairs):
-            """pairs: list of (ref_strip, mov_strip, tag); -> shifts list."""
+            """pairs: list of (ref, mov) strips -> (shifts, confidences)."""
             if not pairs:
-                return []
+                return [], []
             a = jnp.asarray(np.stack([p[0] for p in pairs]))
             b = jnp.asarray(np.stack([p[1] for p in pairs]))
-            out = np.asarray(phase_cross_correlation_batch(
-                a, b, self.options.upsample_factor))
-            return list(out)
+            shifts, peaks = phase_cross_correlation_conf_batch(
+                a, b, self.options.upsample_factor)
+            return list(np.asarray(shifts)), list(np.asarray(peaks))
 
         h_pairs, h_keys = [], []
         if ox:
@@ -364,11 +364,12 @@ class StitchPipeline:
                         v_pairs.append((sa['bottom'], sb['top']))
                         v_keys.append((r, c))
 
-        h_shifts = batch_measure([(a, b, None) for a, b in h_pairs])
-        v_shifts = batch_measure([(a, b, None) for a, b in v_pairs])
+        h_shifts, h_conf = batch_measure(h_pairs)
+        v_shifts, v_conf = batch_measure(v_pairs)
         h_tags = [k[0] for k in h_keys]
         self.pair_shifts = {'horizontal': h_shifts, 'vertical': v_shifts,
-                            'h_keys': h_keys, 'v_keys': v_keys}
+                            'h_keys': h_keys, 'v_keys': v_keys,
+                            'h_conf': h_conf, 'v_conf': v_conf}
 
         def agg_h(shifts):
             if not shifts:
@@ -407,9 +408,12 @@ class StitchPipeline:
                      for k, s in zip(h_keys, h_shifts)}
             v_map = {k: tuple(map(float, s))
                      for k, s in zip(v_keys, v_shifts)}
+            h_w = {k: float(c) for k, c in zip(h_keys, h_conf)}
+            v_w = {k: float(c) for k, c in zip(v_keys, v_conf)}
             pairs = grid_pairs_from_shifts(
                 h_map, v_map, n_rows, n_cols,
-                acq.input_width, acq.input_height, ox, oy)
+                acq.input_width, acq.input_height, ox, oy,
+                h_weights=h_w, v_weights=v_w)
             pos = positions_to_int(solve_positions(pairs, n_rows * n_cols))
             self.global_positions[region] = {
                 (r, c): (int(pos[r * n_cols + c, 0]),

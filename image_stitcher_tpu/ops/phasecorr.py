@@ -111,6 +111,36 @@ phase_cross_correlation_batch = jax.jit(
     static_argnames=('upsample_factor',))
 
 
+@functools.partial(jax.jit, static_argnames=('upsample_factor',))
+def phase_cross_correlation_conf(reference: jnp.ndarray, moving: jnp.ndarray,
+                                 upsample_factor: int = 10):
+    """Like :func:`phase_cross_correlation`, also returning a confidence.
+
+    Confidence = the normalized correlation peak height (the whitened
+    cross-power spectrum's inverse transform peaks at 1.0 for a perfect
+    circular shift and near 1/sqrt(HW) for unrelated content); used to
+    weight pairwise constraints in the global position solve.
+    """
+    a = reference.astype(jnp.float32)
+    b = moving.astype(jnp.float32)
+    h, w = a.shape
+    fa = jnp.fft.fft2(a)
+    fb = jnp.fft.fft2(b)
+    product = fa * jnp.conj(fb)
+    eps = 100.0 * jnp.finfo(jnp.float32).eps
+    product = product / jnp.maximum(jnp.abs(product), eps)
+    corr = jnp.abs(jnp.fft.ifft2(product))
+    peak = jnp.max(corr)
+    shift = phase_cross_correlation(reference, moving,
+                                    upsample_factor=upsample_factor)
+    return shift, peak
+
+
+phase_cross_correlation_conf_batch = jax.jit(
+    jax.vmap(phase_cross_correlation_conf, in_axes=(0, 0, None)),
+    static_argnames=('upsample_factor',))
+
+
 def phase_cross_correlation_np(reference: np.ndarray, moving: np.ndarray,
                                upsample_factor: int = 10) -> np.ndarray:
     """Host (SciPy FFT, float64) twin of :func:`phase_cross_correlation`.

@@ -120,3 +120,31 @@ def test_grid_model_fails_on_jitter_where_global_succeeds(tmp_path):
             worst = max(worst, abs((y_px - 0) - (ty - ty0)),
                         abs((x_px - 0) - (tx - tx0)))
     assert worst > 1
+
+
+def test_confidence_weights_downweight_bad_pair(tmp_path):
+    """A corrupted tile's pairs carry low correlation confidence; the
+    weighted solve keeps its neighbors accurate."""
+    import cv2
+    acq_dir = str(tmp_path / "acqw")
+    desc = write_synthetic_acquisition(
+        acq_dir, grid_cols=3, grid_rows=3, tile_w=256, tile_h=256,
+        overlap=64, seed=3, acq_params_overrides={"pixel_binning": 2})
+    victim = os.path.join(acq_dir, "0", "A1_4_0_Fluorescence_488_nm_Ex.tiff")
+    noise = (np.random.default_rng(1).integers(0, 65535, (256, 256))
+             .astype(np.uint16))
+    cv2.imwrite(victim, noise, [int(cv2.IMWRITE_TIFF_COMPRESSION), 1])
+    pipe = stitch(acq_dir, use_registration=True,
+                  options=EngineOptions(registration_scope='global'))
+    # noisy-pair confidences measurably below clean-pair confidences
+    conf = pipe.pair_shifts
+    assert min(conf['h_conf']) < 0.5 * max(conf['h_conf'])
+    # corner tiles (never touching the corrupt center) stay correct
+    pos = pipe.global_positions["A1"]
+    for rc in [(0, 0), (0, 2), (2, 0), (2, 2)]:
+        ty, tx = desc.tile_origins[("A1", 0, rc[0], rc[1])]
+        ty0, tx0 = desc.tile_origins[("A1", 0, 0, 0)]
+        gy, gx = pos[rc]
+        gy0, gx0 = pos[(0, 0)]
+        assert abs((gy - gy0) - (ty - ty0)) <= 1
+        assert abs((gx - gx0) - (tx - tx0)) <= 1

@@ -99,12 +99,14 @@ class Acquisition:
 
     def find_tile(self, t: int, region: str, x: float, y: float,
                   channel: str, z_level: int) -> Optional[TileRecord]:
-        """Locate a tile by stage position (reference get_tile, stitcher.py:526-542)."""
-        for rec in self.region_tiles(int(t), str(region)).values():
-            if (rec.x == x and rec.y == y and rec.channel == channel
-                    and rec.z_level == z_level):
-                return rec
-        return None
+        """Locate a tile by stage position (reference get_tile,
+        stitcher.py:526-542) — O(1) via a lazily-built position index."""
+        if not hasattr(self, '_pos_index') or self._pos_index is None:
+            object.__setattr__(self, '_pos_index', {
+                (rec.t, rec.region, rec.x, rec.y, rec.channel, rec.z_level): rec
+                for rec in self.tiles.values()})
+        return self._pos_index.get(
+            (int(t), str(region), x, y, channel, z_level))
 
     def rows_and_columns(self) -> Tuple[List[str], List[str]]:
         """HCS well rows/columns derived from region names

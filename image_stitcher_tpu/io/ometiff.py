@@ -10,16 +10,19 @@ from __future__ import annotations
 import numpy as np
 
 
-def write_ome_tiff_region(pipeline, t, region: str, canvas, output_path: str) -> str:
+def write_ome_tiff_region(pipeline, t, region: str, canvas, output_path: str,
+                          num_levels=None) -> str:
     from .tiffwriter import write_ome_tiff_pyramid
     from ..ops import pyramid as pyr_ops
     from ..ops.host_fuse import host_downsample
 
     acq = pipeline.acq
+    if num_levels is None:
+        num_levels = pipeline.num_pyramid_levels
     is_host = isinstance(canvas, np.ndarray)
     levels = []
     level = canvas
-    for lv in range(pipeline.num_pyramid_levels):
+    for lv in range(num_levels):
         if lv > 0:
             level = (host_downsample(level, pipeline.options.pyramid_downsample)
                      if is_host else

@@ -100,27 +100,43 @@ class TileBatchLoader:
             return
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        abandoned = threading.Event()
+
+        def put(item) -> bool:
+            # never block forever: the consumer may abandon iteration
+            # (cancellation / error) without draining the queue
+            while not abandoned.is_set():
+                try:
+                    out_q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             with ThreadPoolExecutor(max_workers=self.num_threads) as pool:
                 try:
                     for chunk in chunks:
-                        out_q.put(self._build_batch(chunk, pool))
+                        if not put(self._build_batch(chunk, pool)):
+                            return
                 except Exception as e:  # surface in consumer
-                    out_q.put(e)
+                    put(e)
                 finally:
-                    out_q.put(sentinel)
+                    put(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = out_q.get()
-            if item is sentinel:
-                break
-            if isinstance(item, Exception):
-                raise item
-            yield item
-        t.join()
+        try:
+            while True:
+                item = out_q.get()
+                if item is sentinel:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+            t.join()
+        finally:
+            abandoned.set()
 
 
 def expand_tile_jobs(monochrome_channels: Sequence[str],

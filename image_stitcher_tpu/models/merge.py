@@ -9,12 +9,13 @@ Parity with the reference post-passes (stitcher.py:900-1218):
 - create_complete_hcs_ome_zarr: single plate with merged timepoints at
   ``hcs_timepoints/complete_hcs.ome.zarr``.
 
-Unlike the reference (which materializes merged dask arrays), every merge
-streams one timepoint volume at a time: read level 0 -> device -> iterated
-downsample -> async slab writes, so peak memory is one region volume.
-Merges downsample with the 2x2 mean, matching the reference merge paths
-(da.coarsen(np.mean), stitcher.py:887-898) rather than its nearest-mode
-save path.
+Unlike the reference (which materializes merged dask arrays), merges
+stream band-by-band: each chunk-aligned row band is read from the source
+level 0, written, and folded into every pyramid level — peak memory is
+one band, independent of volume size (the same discipline as
+models/streaming). Merges downsample with the 2x2 mean, matching the
+reference merge paths (da.coarsen(np.mean), stitcher.py:887-898) rather
+than its nearest-mode save path.
 """
 
 from __future__ import annotations
@@ -22,12 +23,12 @@ from __future__ import annotations
 import os
 from typing import List, Tuple
 
-import jax.numpy as jnp
 import numpy as np
 
 from ..io.omezarr import MultiscaleWriter, plate_attrs, well_attrs
 from ..io.zarr_store import open_zarr_array, write_group
-from ..ops import pyramid as pyr_ops
+from ..ops.host_fuse import host_downsample
+from .streaming import band_rows_for
 
 MERGE_DOWNSAMPLE = 'mean'
 
@@ -38,33 +39,50 @@ def _region_level0_path(pipeline, t, region: str) -> str:
         f"{region}_stitched{pipeline.output_format}", "0")
 
 
-def _load_region_volume(pipeline, t, region: str) -> Tuple[np.ndarray, Tuple[int, ...]]:
-    arr = open_zarr_array(_region_level0_path(pipeline, t, region))
-    data = np.asarray(arr.read().result())
-    return data, data.shape
+def _open_region_level0(pipeline, t, region: str):
+    return open_zarr_array(_region_level0_path(pipeline, t, region))
 
 
 def _max_region_shape(pipeline, region: str) -> Tuple[int, ...]:
     shapes = []
     for t in pipeline.acq.timepoints:
-        arr = open_zarr_array(_region_level0_path(pipeline, int(t), region))
+        arr = _open_region_level0(pipeline, int(t), region)
         shapes.append(tuple(arr.shape))
     return tuple(max(s) for s in zip(*shapes))
+
+
+def _stream_volume_banded(pipeline, writer: MultiscaleWriter, src_arr,
+                          ti: int, num_levels: int) -> None:
+    """Copy one timepoint's volume into the writer band by band,
+    downsampling each band into every pyramid level — peak memory is one
+    band, never the volume (the merge counterpart of models/streaming)."""
+    _, c, z, h, w = src_arr.shape
+    band = band_rows_for(pipeline.options.chunks[3], num_levels)
+    for band0 in range(0, h, band):
+        rows = min(band, h - band0)
+        slab = np.asarray(
+            src_arr[0:1, :, :, band0:band0 + rows, :].read().result())
+        writer.write_level(0, slab, sel=(
+            slice(ti, ti + 1), slice(None), slice(None),
+            slice(band0, band0 + rows), slice(0, w)))
+        level = slab[0]  # (C, Z, rows, W)
+        for lv in range(1, num_levels):
+            level = host_downsample(level, MERGE_DOWNSAMPLE)
+            h_lv, w_lv = level.shape[-2], level.shape[-1]
+            if h_lv == 0 or w_lv == 0:
+                break
+            b_lv = band0 >> lv
+            writer.write_level(lv, level[None], sel=(
+                slice(ti, ti + 1), slice(None), slice(None),
+                slice(b_lv, b_lv + h_lv), slice(0, w_lv)))
 
 
 def _stream_timepoints(pipeline, writer: MultiscaleWriter, region: str,
                        num_levels: int):
     """Write each timepoint's pyramid slab-by-slab into a T-stacked store."""
     for ti, t in enumerate(pipeline.acq.timepoints):
-        data, shape = _load_region_volume(pipeline, int(t), region)
-        level = jnp.asarray(data[0])  # (C, Z, H, W)
-        for lv in range(num_levels):
-            if lv > 0:
-                level = pyr_ops.downsample(level, MERGE_DOWNSAMPLE)
-            h, w = level.shape[-2], level.shape[-1]
-            sel = (slice(ti, ti + 1), slice(None), slice(None),
-                   slice(0, h), slice(0, w))
-            writer.write_level(lv, np.asarray(level)[None], sel=sel)
+        src = _open_region_level0(pipeline, int(t), region)
+        _stream_volume_banded(pipeline, writer, src, ti, num_levels)
     writer.close()
 
 
@@ -121,14 +139,12 @@ def create_hcs_ome_zarr_per_timepoint(pipeline) -> str:
         write_group(output_path, plate_attrs(
             regions, f"HCS Dataset - Timepoint {t}", f"Timepoint {t} Acquisition"))
         for region in regions:
-            data, shape = _load_region_volume(pipeline, t, region)
+            src = _open_region_level0(pipeline, t, region)
+            shape = tuple(src.shape)
 
-            def stream(writer, data=data):
-                level = jnp.asarray(data[0])
-                for lv in range(pipeline.num_pyramid_levels):
-                    if lv > 0:
-                        level = pyr_ops.downsample(level, MERGE_DOWNSAMPLE)
-                    writer.write_level(lv, np.asarray(level)[None])
+            def stream(writer, src=src):
+                _stream_volume_banded(pipeline, writer, src, 0,
+                                      pipeline.num_pyramid_levels)
                 writer.close()
 
             _write_well_tree(pipeline, output_path, region,

@@ -57,7 +57,8 @@ class StitchPipeline:
         self.resumed = False
         if resume:
             from ..utils.manifest import find_resumable
-            prior = find_resumable(self.input_folder, params.to_dict())
+            prior = find_resumable(self.input_folder, params.to_dict(),
+                                   self.options.output_fingerprint())
             if prior is not None:
                 self.output_folder = prior
                 self.resumed = True
@@ -415,10 +416,15 @@ class StitchPipeline:
                 acq.input_width, acq.input_height, ox, oy,
                 h_weights=h_w, v_weights=v_w)
             pos = positions_to_int(solve_positions(pairs, n_rows * n_cols))
+            # only cells with at least one constraint get solved
+            # positions; unconstrained tiles (e.g. missing registration-
+            # channel file) fall back to the grid model in _build_jobs
+            constrained = {i for p_ in pairs for i in (p_[0], p_[1])}
             self.global_positions[region] = {
                 (r, c): (int(pos[r * n_cols + c, 0]),
                          int(pos[r * n_cols + c, 1]))
-                for r in range(n_rows) for c in range(n_cols)}
+                for r in range(n_rows) for c in range(n_cols)
+                if r * n_cols + c in constrained}
 
     def _ensure_global_positions(self, t, region: str):
         """Per-region global solve: each region's stage error is its own
@@ -584,8 +590,8 @@ class StitchPipeline:
                                                valid)
             else:
                 canvas = fuse_ops.fuse_overwrite(canvas, tiles, info, crops, valid)
-            self.reporter.update_progress(processed, total)
             processed += batch.count
+            self.reporter.update_progress(processed, total)
 
         if use_feather:
             canvas = fuse_ops.finalize_feather(acc, wsum, acq.dtype)
@@ -658,34 +664,43 @@ class StitchPipeline:
                                                  acq.dtype)
             canvas.fuse_batch(tiles, info, jnp.asarray(batch.crops),
                               jnp.asarray(batch.valid))
-            self.reporter.update_progress(processed, total)
             processed += batch.count
+            self.reporter.update_progress(processed, total)
         return canvas.finalize()
 
     # ------------------------------------------------------------------ save
 
-    def save_region(self, t, region: str, canvas: jnp.ndarray) -> str:
-        """Write the multiscale OME-Zarr for one region/timepoint."""
+    def save_region(self, t, region: str, canvas: jnp.ndarray,
+                    num_levels: Optional[int] = None) -> str:
+        """Write the multiscale OME-Zarr for one region/timepoint.
+
+        ``num_levels`` is passed explicitly by the pipelined-save path so
+        a background save is immune to the next region recomputing
+        ``self.num_pyramid_levels``.
+        """
         acq = self.acq
         opts = self.options
+        if num_levels is None:
+            num_levels = self.num_pyramid_levels
         output_path = self.per_timepoint_region_output_template.format(
             timepoint=t, region=region)
         os.makedirs(os.path.dirname(output_path), exist_ok=True)
 
         if not self.output_format.endswith('.zarr'):
             from ..io.ometiff import write_ome_tiff_region
-            return write_ome_tiff_region(self, t, region, canvas, output_path)
+            return write_ome_tiff_region(self, t, region, canvas, output_path,
+                                         num_levels=num_levels)
 
         c, z, h, w = canvas.shape
         writer = MultiscaleWriter(
-            output_path, (1, c, z, h, w), self.num_pyramid_levels,
+            output_path, (1, c, z, h, w), num_levels,
             acq.dtype, opts.chunks, f"{region}_t{t}", acq.dz_um,
             acq.pixel_size_um, acq.monochrome_channels, acq.monochrome_colors,
             cname=opts.compressor_cname, clevel=opts.compressor_clevel,
             shuffle=opts.compressor_shuffle)
         is_host = isinstance(canvas, np.ndarray)
         level = canvas
-        for lv in range(self.num_pyramid_levels):
+        for lv in range(num_levels):
             if lv > 0:
                 if is_host:
                     from ..ops.host_fuse import host_downsample
@@ -709,9 +724,10 @@ class StitchPipeline:
         executor = (ThreadPoolExecutor(max_workers=1)
                     if self.options.pipelined_save else None)
 
-        def do_save(timepoint, region, canvas):
+        def do_save(timepoint, region, canvas, num_levels):
             with self.timers.time('save'):
-                return self.save_region(timepoint, region, canvas)
+                return self.save_region(timepoint, region, canvas,
+                                        num_levels=num_levels)
 
         def reap(entry):
             nonlocal final_path
@@ -773,15 +789,18 @@ class StitchPipeline:
                             f"region {region} t{timepoint} failed: {e}")
                         continue
                     self.reporter.starting_saving(False)
+                    levels_now = self.num_pyramid_levels
                     if executor is not None:
                         if pending is not None:
                             reap(pending)  # bound in-flight canvases to 1
                         pending = (executor.submit(do_save, timepoint,
-                                                   region, canvas),
+                                                   region, canvas,
+                                                   levels_now),
                                    timepoint, region)
                     else:
                         try:
-                            path = do_save(timepoint, region, canvas)
+                            path = do_save(timepoint, region, canvas,
+                                           levels_now)
                         except StitchCancelled:
                             raise
                         except Exception as e:
@@ -809,7 +828,8 @@ class StitchPipeline:
 
             manifest = (RunManifest.load(self.output_folder)
                         if self.resumed else None) or RunManifest(self.output_folder)
-            manifest.set_params(self.params.to_dict())
+            manifest.set_params(self.params.to_dict(),
+                                self.options.output_fingerprint())
 
             if self.params.apply_flatfield:
                 if self.resumed:

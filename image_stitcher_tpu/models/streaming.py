@@ -136,12 +136,23 @@ class StreamingFuser:
             if progress_cb is not None:
                 progress_cb(done[0], n_jobs)
 
+        cancelled = [False]
+
         def run_task(key):
+            if cancelled[0]:
+                return
             if stop_check is not None:
                 stop_check()
             c, z, band0 = key
             self._process_band(c, z, band0, tasks[key], load_fn, progress)
 
-        with ThreadPoolExecutor(self.num_threads) as pool:
+        pool = ThreadPoolExecutor(self.num_threads)
+        try:
             list(pool.map(run_task, sorted(tasks.keys())))
+        except BaseException:
+            cancelled[0] = True
+            pool.shutdown(wait=False, cancel_futures=True)
+            raise
+        finally:
+            pool.shutdown(wait=True)
         self.writer.close()

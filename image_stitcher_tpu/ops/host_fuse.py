@@ -136,7 +136,11 @@ class HostCanvas:
             for job in plane_jobs:
                 self._place(job)
 
-        list(self.pool.map(run_plane, planes.values()))
+        try:
+            list(self.pool.map(run_plane, planes.values()))
+        except BaseException:
+            self.pool.shutdown(wait=False, cancel_futures=True)
+            raise
 
     def fuse_streaming(self, jobs, load_fn, progress_cb=None,
                        stop_check=None) -> None:
@@ -152,8 +156,12 @@ class HostCanvas:
             planes.setdefault((job.channel_idx, job.z_level), []).append(job)
         done = [0]
 
+        cancelled = [False]
+
         def run_plane(plane_jobs):
             for job in plane_jobs:
+                if cancelled[0]:
+                    return
                 if stop_check is not None:
                     stop_check()
                 tile = load_fn(job)
@@ -163,7 +171,12 @@ class HostCanvas:
                 if progress_cb is not None:
                     progress_cb(done[0])
 
-        list(self.pool.map(run_plane, planes.values()))
+        try:
+            list(self.pool.map(run_plane, planes.values()))
+        except BaseException:
+            cancelled[0] = True  # running planes bail at their next job
+            self.pool.shutdown(wait=False, cancel_futures=True)
+            raise
 
     def finalize(self) -> np.ndarray:
         if self.blend == 'feather':

@@ -187,6 +187,20 @@ class EngineOptions:
     # zarr_stitcher.py:487-489).
     continue_on_error: bool = False
 
+    # EngineOptions fields that change the OUTPUT (not just performance);
+    # a resumed run must match these to keep one coherent output tree.
+    OUTPUT_AFFECTING = (
+        'chunks', 'overlap_fudge', 'registration_margin', 'upsample_factor',
+        'flatfield_tiles_per_timepoint', 'flatfield_max_tiles',
+        'compressor_cname', 'compressor_clevel', 'compressor_shuffle',
+        'blend_method', 'pyramid_downsample', 'registration_scope',
+        'feather_px')
+
+    def output_fingerprint(self) -> Dict[str, Any]:
+        return {name: list(v) if isinstance((v := getattr(self, name)), tuple)
+                else v
+                for name in self.OUTPUT_AFFECTING}
+
     def resolved_reader_threads(self) -> int:
         if self.reader_threads is not None:
             return self.reader_threads
@@ -211,5 +225,9 @@ class EngineOptions:
             raise ValueError("device_fusion_kernel must be 'xla' or 'pallas'")
         if self.streaming not in ('auto', 'on', 'off'):
             raise ValueError("streaming must be 'auto', 'on' or 'off'")
+        if self.mesh_shape is not None and self.blend_method == 'feather':
+            raise ValueError(
+                "mesh-sharded fusion does not support blend_method='feather' "
+                "yet; use overwrite or drop mesh_shape")
         if len(self.chunks) != 5:
             raise ValueError("chunks must be a 5-tuple (T,C,Z,Y,X)")

@@ -59,15 +59,23 @@ class RunManifest:
 
     # ------------------------------------------------------------- content
 
-    def set_params(self, params_dict: Dict) -> None:
+    def set_params(self, params_dict: Dict,
+                   options_fingerprint: Optional[Dict] = None) -> None:
         self.data["params"] = params_dict
+        if options_fingerprint is not None:
+            self.data["engine_options"] = options_fingerprint
 
-    def compatible_with(self, params_dict: Dict) -> bool:
+    def compatible_with(self, params_dict: Dict,
+                        options_fingerprint: Optional[Dict] = None) -> bool:
         saved = dict(self.data.get("params") or {})
-        now = dict(params_dict)
-        # the output folder derives from input_folder; everything else
-        # must match for outputs to be interchangeable
-        return saved == now
+        if saved != dict(params_dict):
+            return False
+        if options_fingerprint is not None:
+            saved_opts = self.data.get("engine_options")
+            # legacy manifests without a fingerprint stay resumable
+            if saved_opts is not None and saved_opts != options_fingerprint:
+                return False
+        return True
 
     def set_shifts(self, shifts) -> None:
         self.data["shifts"] = {
@@ -131,14 +139,16 @@ class RunManifest:
         return f"{t}/{region}" in self.data["completed"]
 
 
-def find_resumable(input_folder: str, params_dict: Dict) -> Optional[str]:
+def find_resumable(input_folder: str, params_dict: Dict,
+                   options_fingerprint: Optional[Dict] = None) -> Optional[str]:
     """Newest output folder of this acquisition with a compatible,
     UNFINISHED manifest; None if a fresh run is needed (finished runs are
     never resumed — rerunning without --resume makes a new folder)."""
     candidates = sorted(glob.glob(input_folder + "_stitched_*"), reverse=True)
     for folder in candidates:
         m = RunManifest.load(folder)
-        if (m is not None and m.compatible_with(params_dict)
+        if (m is not None
+                and m.compatible_with(params_dict, options_fingerprint)
                 and not m.data.get("finished")):
             return folder
     return None

@@ -154,3 +154,28 @@ def test_gui_wavelength_extraction():
     assert f("Fluorescence 488 nm Ex") == "488"
     assert f("BF_R") == "R"
     assert f("plain") is None
+
+
+def test_stitcher_process_spawned_child(tmp_path):
+    """Real child-process edition end to end (spawn + queue protocol)."""
+    from image_stitcher_tpu.models.editions import StitcherProcess
+    from image_stitcher_tpu.params import EngineOptions, StitchingParameters
+    acq_dir = str(tmp_path / "acq")
+    write_synthetic_acquisition(acq_dir, grid_cols=2, grid_rows=1,
+                                tile_w=48, tile_h=48, overlap=16)
+    params = StitchingParameters(input_folder=acq_dir)
+    sp = StitcherProcess(params, options=EngineOptions(fusion_device='host'))
+    sp.start()
+    sp.join(timeout=180)
+    if sp.is_alive():
+        sp.terminate()
+        sp.join(timeout=10)
+        pytest.skip("child did not finish in time (environment)")
+    assert sp.exitcode == 0
+    messages = []
+    while not sp.complete_queue.empty():
+        messages.append(sp.complete_queue.get_nowait())
+    assert messages and messages[-1][0] == 'complete'
+    path, dtype = messages[-1][1]
+    assert path.endswith("A1_stitched.ome.zarr")
+    assert os.path.isdir(path)

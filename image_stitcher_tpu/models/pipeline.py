@@ -599,7 +599,7 @@ class StitchPipeline:
 
     def _should_stream(self, t, region: str) -> bool:
         opts = self.options
-        if (opts.streaming == 'off' or opts.blend_method != 'overwrite'
+        if (opts.streaming == 'off'
                 or opts.mesh_shape is not None
                 or opts.fusion_device == 'device'
                 or not self.output_format.endswith('.zarr')):
@@ -635,7 +635,8 @@ class StitchPipeline:
             self.num_pyramid_levels, opts.pyramid_downsample,
             chunk_rows=opts.chunks[3],
             num_threads=opts.resolved_fusion_threads(),
-            flatfields=self._flatfield_stack_np() if self.flatfields else None)
+            flatfields=self._flatfield_stack_np() if self.flatfields else None,
+            blend_method=opts.blend_method, blend_px=opts.feather_px)
 
         fuser.run(jobs, load_tile_plane,
                   progress_cb=self.reporter.update_progress,

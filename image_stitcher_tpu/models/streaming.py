@@ -38,7 +38,8 @@ class StreamingFuser:
                  height: int, width: int, tile_h: int, tile_w: int, dtype,
                  num_levels: int, downsample_mode: str = 'nearest',
                  chunk_rows: int = 2048, num_threads: int = 2,
-                 flatfields: Optional[np.ndarray] = None):
+                 flatfields: Optional[np.ndarray] = None,
+                 blend_method: str = 'overwrite', blend_px: int = 64):
         self.writer = writer
         self.num_c, self.num_z = num_c, num_z
         self.height, self.width = height, width
@@ -49,6 +50,8 @@ class StreamingFuser:
         self.band = band_rows_for(chunk_rows, num_levels)
         self.num_threads = num_threads
         self.flatfields = flatfields
+        self.blend = blend_method
+        self.blend_px = blend_px
 
     # ------------------------------------------------------------------
 
@@ -72,7 +75,8 @@ class StreamingFuser:
         y1 = min(y1, y0 + (self.height - yy))
         x1 = min(x1, x0 + (self.width - xx))
         # clamp to band rows [band0, band0+buf rows)
-        b_lo, b_hi = band0, band0 + buf.shape[0]
+        n_rows = buf[0].shape[0] if isinstance(buf, tuple) else buf.shape[0]
+        b_lo, b_hi = band0, band0 + n_rows
         if yy < b_lo:
             y0 += b_lo - yy
             yy = b_lo
@@ -80,17 +84,50 @@ class StreamingFuser:
         if y1 <= y0 or x1 <= x0:
             return
         t = self._correct(tile, job.channel_idx)[y0:y1, x0:x1]
-        buf[yy - band0:yy - band0 + t.shape[0], xx:xx + t.shape[1]] = t
+        if self.blend == 'feather':
+            # Feather weights are distances from the tile's FULL cropped
+            # window edges (identical to the in-RAM paths), evaluated on
+            # this band's slice of the window.
+            acc, wsum = buf
+            top, bottom = job.crops[0], job.crops[1]
+            wy0 = job.y + top
+            wy1 = min(job.y + self.tile_h - bottom, self.height)
+            wx0 = job.x + job.crops[2]
+            wx1 = wx0 + (x1 - x0)
+            gy = np.arange(yy, yy + t.shape[0])
+            gx = np.arange(xx, xx + t.shape[1])
+            dy = np.minimum(gy - wy0 + 1, wy1 - gy)
+            dx = np.minimum(gx - wx0 + 1, wx1 - gx)
+            wgt = (np.minimum.outer(dy, dx).astype(np.float32)
+                   / self.blend_px).clip(0, 1)
+            acc[yy - band0:yy - band0 + t.shape[0],
+                xx:xx + t.shape[1]] += wgt * t.astype(np.float32)
+            wsum[yy - band0:yy - band0 + t.shape[0],
+                 xx:xx + t.shape[1]] += wgt
+        else:
+            buf[yy - band0:yy - band0 + t.shape[0], xx:xx + t.shape[1]] = t
 
     def _process_band(self, c: int, z: int, band0: int,
                       jobs: Sequence, load_fn: Callable,
                       progress_cb=None) -> None:
         rows = min(self.band, self.height - band0)
-        buf = np.zeros((rows, self.width), self.dtype)
+        if self.blend == 'feather':
+            buf = (np.zeros((rows, self.width), np.float32),
+                   np.zeros((rows, self.width), np.float32))
+        else:
+            buf = np.zeros((rows, self.width), self.dtype)
         for job, is_primary in jobs:
             self._place_in_band(buf, band0, job, load_fn(job))
             if progress_cb is not None and is_primary:
                 progress_cb()
+        if self.blend == 'feather':
+            acc, wsum = buf
+            out = acc / np.maximum(wsum, 1e-6)
+            out[wsum == 0] = 0
+            if np.issubdtype(self.dtype, np.integer):
+                info = np.iinfo(self.dtype)
+                out = np.clip(np.round(out), info.min, info.max)
+            buf = out.astype(self.dtype)
         # level 0 slab
         sel0 = (slice(0, 1), slice(c, c + 1), slice(z, z + 1),
                 slice(band0, band0 + rows), slice(0, self.width))

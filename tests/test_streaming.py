@@ -77,3 +77,21 @@ def test_streaming_multi_timepoint_merge(tmp_path):
     ts = os.path.join(out, "region_time_series", "A1_time_series.ome.zarr")
     data = np.asarray(open_zarr_array(os.path.join(ts, "0")).read().result())
     assert data.shape[0] == 2
+
+
+def test_streaming_feather_matches_in_ram(tmp_path):
+    """Feathered streaming (band accumulators, full-window ramps) must
+    match the in-RAM feather path within rounding."""
+    results = {}
+    for mode in ("on", "off"):
+        acq_dir = str(tmp_path / f"fth_{mode}")
+        write_synthetic_acquisition(acq_dir, grid_cols=3, grid_rows=3,
+                                    tile_w=96, tile_h=96, overlap=32)
+        stitch(acq_dir, options=EngineOptions(
+            streaming=mode, blend_method='feather',
+            chunks=(1, 1, 1, 64, 64), fusion_device='host'))
+        results[mode] = _outputs(acq_dir)
+    for lv in results["on"]:
+        a = results["on"][lv].astype(int)
+        b = results["off"][lv].astype(int)
+        assert np.abs(a - b).max() <= 1

@@ -292,7 +292,8 @@ class StitchPipeline:
         rows). Falls back to the center-pair scope via
         EngineOptions.registration_scope = 'center'.
         """
-        from ..ops.phasecorr import phase_cross_correlation_conf_batch
+        from ..ops.phasecorr import (phase_cross_correlation_conf_batch,
+                                     phase_cross_correlation_conf_np)
         acq = self.acq
         if not self.registration_channel or \
                 self.registration_channel not in acq.channel_names:
@@ -339,9 +340,19 @@ class StitchPipeline:
             strips = dict(pool.map(load_strips, coords))
 
         def batch_measure(pairs):
-            """pairs: list of (ref, mov) strips -> (shifts, confidences)."""
+            """pairs: list of (ref, mov) strips -> (shifts, confidences).
+
+            Small batches run the host (f64 SciPy) twin — a one-shot
+            device compile can cost more than the whole measurement on
+            remote backends; large batches amortize the jitted kernel.
+            """
             if not pairs:
                 return [], []
+            if len(pairs) <= self.options.registration_device_threshold:
+                out = [phase_cross_correlation_conf_np(
+                    a, b, self.options.upsample_factor) for a, b in pairs]
+                return ([np.asarray(s) for s, _ in out],
+                        [float(c) for _, c in out])
             a = jnp.asarray(np.stack([p[0] for p in pairs]))
             b = jnp.asarray(np.stack([p[1] for p in pairs]))
             shifts, peaks = phase_cross_correlation_conf_batch(

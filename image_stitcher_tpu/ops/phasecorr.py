@@ -141,6 +141,22 @@ phase_cross_correlation_conf_batch = jax.jit(
     static_argnames=('upsample_factor',))
 
 
+def phase_cross_correlation_conf_np(reference: np.ndarray,
+                                    moving: np.ndarray,
+                                    upsample_factor: int = 10):
+    """Host twin of :func:`phase_cross_correlation_conf`:
+    (shift, normalized correlation peak)."""
+    from scipy import fft as sfft
+    a = np.asarray(reference, np.float64)
+    b = np.asarray(moving, np.float64)
+    product = sfft.fft2(a) * np.conj(sfft.fft2(b))
+    eps = 100 * np.finfo(np.float64).eps
+    product /= np.maximum(np.abs(product), eps)
+    peak = float(np.max(np.abs(sfft.ifft2(product))))
+    shift = phase_cross_correlation_np(reference, moving, upsample_factor)
+    return shift, peak
+
+
 def phase_cross_correlation_np(reference: np.ndarray, moving: np.ndarray,
                                upsample_factor: int = 10) -> np.ndarray:
     """Host (SciPy FFT, float64) twin of :func:`phase_cross_correlation`.

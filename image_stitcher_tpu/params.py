@@ -146,6 +146,10 @@ class EngineOptions:
     # (median over every adjacent pair); 'global' = MIST/ASHLAR-class
     # per-tile position optimization over the pairwise-shift graph.
     registration_scope: str = 'center'
+    # Pair batches at or below this size measure on the host f64 twin
+    # (a one-shot remote compile can cost more than the measurement);
+    # larger batches run the jitted device kernel. 0 = always device.
+    registration_device_threshold: int = 32
     # Where fusion runs: 'device' (TPU canvas, right for DMA-attached
     # chips), 'host' (threaded NumPy, right for slow tunneled links), or
     # 'auto' (pick by a measured link-bandwidth probe).

@@ -55,3 +55,16 @@ def test_all_pairs_s_pattern_split(tmp_path):
     assert pipe.shifts.h_shift == (0, -32)
     assert pipe.shifts.h_shift_rev == (0, -32)
     assert pipe.shifts.v_shift == (-32, 0)
+
+
+def test_all_pairs_device_batch_path(tmp_path):
+    """threshold=0 forces the jitted batched kernel; same shifts."""
+    acq_dir = str(tmp_path / "acqdev")
+    write_synthetic_acquisition(acq_dir, grid_cols=3, grid_rows=3,
+                                tile_w=256, tile_h=256, overlap=64,
+                                acq_params_overrides={"pixel_binning": 2})
+    pipe = stitch(acq_dir, use_registration=True,
+                  options=EngineOptions(registration_scope='all-pairs',
+                                        registration_device_threshold=0))
+    assert pipe.shifts.h_shift == (0, -64)
+    assert pipe.shifts.v_shift == (-64, 0)

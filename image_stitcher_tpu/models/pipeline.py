@@ -128,11 +128,14 @@ class StitchPipeline:
             # cycle-pad/trim to ONE fixed sample budget (the reference's
             # worst-case collection: the >48 break fires after adding a
             # full timepoint, so <= 48+32 samples, stitcher.py:389-394) —
-            # a single static shape for the jitted solver everywhere
+            # a single static shape for the jitted solver everywhere.
+            # Unique files are read once; padding tiles the arrays.
             target = (opts.flatfield_max_tiles
                       + opts.flatfield_tiles_per_timepoint)
-            full = (paths * ((target + len(paths) - 1) // len(paths)))[:target]
-            images = np.stack(list(pool.map(read_image, full)))
+            paths = paths[:target]
+            unique = np.stack(list(pool.map(read_image, paths)))
+            reps = (target + len(unique) - 1) // len(unique)
+            images = np.concatenate([unique] * reps)[:target]
             if images.ndim == 4 and images.shape[-1] == 3:
                 base = channel.split('_')[0]
                 for plane, suffix in enumerate('RGB'):
@@ -877,12 +880,20 @@ class StitchPipeline:
             final_path = self._process_regions(manifest) or ''
 
             if self.params.merge_timepoints or self.params.merge_hcs_regions:
-                from .merge import run_merges
-                self.reporter.starting_saving(True)
-                with self.timers.time('merge'):
-                    final_path = run_merges(self)
-                manifest.data["merges_done"] = True
-                manifest.save()
+                if self.resumed and manifest.data.get("merges_done"):
+                    self.reporter.status("Merges already complete; skipping",
+                                         False)
+                else:
+                    from .merge import run_merges
+                    self.reporter.starting_saving(True)
+                    # a fully-resumed run may have skipped every region;
+                    # recompute the pyramid depth the merges must use
+                    self._region_dimensions(int(self.acq.timepoints[0]),
+                                            self.acq.regions[0])
+                    with self.timers.time('merge'):
+                        final_path = run_merges(self)
+                    manifest.data["merges_done"] = True
+                    manifest.save()
 
             manifest.mark_finished()
             self.reporter.finished_saving(final_path, self.acq.dtype)

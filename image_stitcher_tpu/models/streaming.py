@@ -22,7 +22,7 @@ from typing import Callable, Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from ..io.omezarr import MultiscaleWriter
-from ..ops.host_fuse import host_downsample
+from ..ops.host_fuse import correct_tile, host_downsample
 
 
 def band_rows_for(chunk_rows: int, num_levels: int) -> int:
@@ -56,13 +56,7 @@ class StreamingFuser:
     # ------------------------------------------------------------------
 
     def _correct(self, tile: np.ndarray, c: int) -> np.ndarray:
-        if self.flatfields is None:
-            return tile
-        corrected = tile / self.flatfields[c]
-        if np.issubdtype(self.dtype, np.integer):
-            info = np.iinfo(self.dtype)
-            np.clip(corrected, info.min, info.max, out=corrected)
-        return corrected.astype(self.dtype)
+        return correct_tile(tile, self.flatfields, c, self.dtype)
 
     def _place_in_band(self, buf: np.ndarray, band0: int, job,
                        tile: np.ndarray) -> None:
@@ -166,12 +160,16 @@ class StreamingFuser:
                                   b * self.band), []).append((job, first))
                 first = False  # progress counts each job exactly once
 
+        import threading
         done = [0]
+        done_lock = threading.Lock()
 
         def progress():
-            done[0] += 1
+            with done_lock:
+                done[0] += 1
+                n = done[0]
             if progress_cb is not None:
-                progress_cb(done[0], n_jobs)
+                progress_cb(n, n_jobs)
 
         cancelled = [False]
 

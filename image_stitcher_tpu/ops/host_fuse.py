@@ -20,6 +20,20 @@ from typing import Optional, Sequence, Tuple
 import numpy as np
 
 
+def correct_tile(tile: np.ndarray, flatfields: Optional[np.ndarray],
+                 c: int, dtype: np.dtype) -> np.ndarray:
+    """Reference flatfield correction: divide, clip to dtype range, cast
+    (stitcher.py:607-611). The one shared implementation for every host
+    backend (HostCanvas, StreamingFuser; the C kernel mirrors it)."""
+    if flatfields is None:
+        return tile
+    corrected = tile / flatfields[c]
+    if np.issubdtype(dtype, np.integer):
+        info = np.iinfo(dtype)
+        np.clip(corrected, info.min, info.max, out=corrected)
+    return corrected.astype(dtype)
+
+
 class HostCanvas:
     """A (C, Z, H, W) canvas fused by a host thread pool."""
 
@@ -42,13 +56,7 @@ class HostCanvas:
         self.pool = ThreadPoolExecutor(max_workers=num_threads)
 
     def _correct(self, tile: np.ndarray, c: int) -> np.ndarray:
-        if self.flatfields is None:
-            return tile
-        corrected = tile / self.flatfields[c]
-        if np.issubdtype(self.dtype, np.integer):
-            info = np.iinfo(self.dtype)
-            np.clip(corrected, info.min, info.max, out=corrected)
-        return corrected.astype(self.dtype)
+        return correct_tile(tile, self.flatfields, c, self.dtype)
 
     def _place_native(self, tile, c, z, yy, xx, y0, y1, x0, x1) -> bool:
         """Fused C kernel: divide-clip-cast-place in one pass (native/).
@@ -151,10 +159,12 @@ class HostCanvas:
         partitioned by (c, z) plane; each plane streams sequentially in
         order (exact overwrite semantics), planes in parallel.
         """
+        import threading
         planes = {}
         for job in jobs:
             planes.setdefault((job.channel_idx, job.z_level), []).append(job)
         done = [0]
+        done_lock = threading.Lock()
 
         cancelled = [False]
 
@@ -167,9 +177,11 @@ class HostCanvas:
                 tile = load_fn(job)
                 self._place((tile, job.channel_idx, job.z_level,
                              job.y, job.x, job.crops))
-                done[0] += 1
+                with done_lock:
+                    done[0] += 1
+                    n = done[0]
                 if progress_cb is not None:
-                    progress_cb(done[0])
+                    progress_cb(n)
 
         try:
             list(self.pool.map(run_plane, planes.values()))

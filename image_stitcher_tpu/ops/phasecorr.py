@@ -29,7 +29,6 @@ import numpy as np
 
 def _fftfreq(n: int, d: float) -> jnp.ndarray:
     """np.fft.fftfreq as a jnp constant (static n)."""
-    results = jnp.empty(n, dtype=jnp.float32)
     val = 1.0 / (n * d)
     m = (n - 1) // 2 + 1
     p1 = jnp.arange(0, m, dtype=jnp.float32)
@@ -145,15 +144,8 @@ def phase_cross_correlation_conf_np(reference: np.ndarray,
                                     moving: np.ndarray,
                                     upsample_factor: int = 10):
     """Host twin of :func:`phase_cross_correlation_conf`:
-    (shift, normalized correlation peak)."""
-    from scipy import fft as sfft
-    a = np.asarray(reference, np.float64)
-    b = np.asarray(moving, np.float64)
-    product = sfft.fft2(a) * np.conj(sfft.fft2(b))
-    eps = 100 * np.finfo(np.float64).eps
-    product /= np.maximum(np.abs(product), eps)
-    peak = float(np.max(np.abs(sfft.ifft2(product))))
-    shift = phase_cross_correlation_np(reference, moving, upsample_factor)
+    (shift, normalized correlation peak). Shares one set of FFTs."""
+    shift, peak = _pcc_np(reference, moving, upsample_factor)
     return shift, peak
 
 
@@ -166,6 +158,11 @@ def phase_cross_correlation_np(reference: np.ndarray, moving: np.ndarray,
     batched all-pairs path runs the jitted device version. Same
     algorithm, same results within 0.1 px (tested).
     """
+    return _pcc_np(reference, moving, upsample_factor)[0]
+
+
+def _pcc_np(reference: np.ndarray, moving: np.ndarray,
+            upsample_factor: int) -> tuple:
     from scipy import fft as sfft
     a = np.asarray(reference, np.float64)
     b = np.asarray(moving, np.float64)
@@ -178,8 +175,9 @@ def phase_cross_correlation_np(reference: np.ndarray, moving: np.ndarray,
     shifts = np.array([my, mx], np.float64)
     mids = np.array([np.fix(h / 2), np.fix(w / 2)])
     shifts[shifts > mids] -= np.array([h, w])[shifts > mids]
+    peak = float(np.max(np.abs(corr)))
     if upsample_factor <= 1:
-        return shifts
+        return shifts, peak
     uf = float(upsample_factor)
     shifts = np.round(shifts * uf) / uf
     ups_size = int(math.ceil(uf * 1.5))
@@ -195,7 +193,7 @@ def phase_cross_correlation_np(reference: np.ndarray, moving: np.ndarray,
         data = np.tensordot(kernel, data, axes=((1,), (1,)))
     patch = np.conj(data)
     py, px = np.unravel_index(np.argmax(np.abs(patch)), patch.shape)
-    return shifts + (np.array([py, px], np.float64) - dftshift) / uf
+    return shifts + (np.array([py, px], np.float64) - dftshift) / uf, peak
 
 
 @functools.partial(jax.jit, static_argnames=('dtype_max',))

@@ -32,9 +32,11 @@ def make_mesh(shape: Optional[Tuple[int, int]] = None,
     n = len(devices)
     if shape is None:
         shape = (1, n)
-    if shape[0] * shape[1] != n:
-        raise ValueError(f"mesh shape {shape} != {n} devices")
-    arr = np.asarray(devices).reshape(shape)
+    needed = shape[0] * shape[1]
+    if needed > n:
+        raise ValueError(f"mesh shape {shape} needs {needed} devices, "
+                         f"only {n} available")
+    arr = np.asarray(devices[:needed]).reshape(shape)
     return Mesh(arr, (AXIS_DATA, AXIS_CANVAS))
 
 

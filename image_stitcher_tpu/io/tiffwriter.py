@@ -139,7 +139,8 @@ class BigTiffWriter:
         return ifd_offset
 
     def add_plane(self, levels: Sequence[np.ndarray],
-                  description: Optional[str] = None):
+                  description: Optional[str] = None,
+                  subfile_type: int = 0):
         """Write one plane: levels[0] as a top-level page, the rest as its
         SubIFD reduced-resolution pages."""
         sub_offsets = []
@@ -149,7 +150,7 @@ class BigTiffWriter:
                 self._plane_entries(lv, offs, cnts, subfile=1), chain=False))
         plane = levels[0]
         offs, cnts = self._write_tiles(plane)
-        entries = self._plane_entries(plane, offs, cnts, subfile=0)
+        entries = self._plane_entries(plane, offs, cnts, subfile=subfile_type)
         if description is not None:
             entries.append((T_IMAGEDESCRIPTION, TY_ASCII, description))
         if sub_offsets:
@@ -219,10 +220,15 @@ def write_ome_tiff_pyramid(path: str, levels: List[np.ndarray],
                            image_name: str, channel_names: Sequence[str],
                            channel_colors: Sequence[int],
                            pixel_size_um: float, dz_um: float,
-                           compression: str = 'deflate') -> str:
+                           compression: str = 'deflate',
+                           thumbnail: bool = True,
+                           thumbnail_max: int = 512) -> str:
     """Write a (C, Z, H, W) multiscale stack as pyramidal OME-TIFF.
 
     ``levels`` are the pyramid levels, level 0 first, each (C, Z, h, w).
+    A reduced-resolution overview of the first channel is appended as a
+    final page when ``thumbnail`` is set (the layout the reference's
+    tifffile writer produced, stitcher_process.py:1344-1427).
     """
     c, z, h, w = levels[0].shape
     xml = ome_xml(image_name, w, h, z, c, 1, levels[0].dtype,
@@ -235,5 +241,12 @@ def write_ome_tiff_pyramid(path: str, levels: List[np.ndarray],
             plane_levels = [lv[ci, zi] for lv in levels]
             writer.add_plane(plane_levels, description=xml if first else None)
             first = False
+    if thumbnail:
+        thumb = levels[-1][0, 0]
+        while max(thumb.shape) > thumbnail_max:
+            thumb = thumb[::2, ::2]
+        writer.add_plane([np.ascontiguousarray(thumb)],
+                         description="reduced-resolution overview",
+                         subfile_type=1)
     writer.close()
     return path

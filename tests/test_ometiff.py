@@ -98,3 +98,24 @@ def test_pipeline_tiff_output(tmp_path):
     y0, x0 = desc.tile_origins[("A1", 0, 0, 0)]
     gt = desc.ground_truth[y0:y0 + arr.shape[0], x0:x0 + arr.shape[1]]
     np.testing.assert_array_equal(arr, gt)
+
+
+def test_thumbnail_page(tmp_path):
+    from PIL import Image
+    data = make_stack(c=2, z=1, h=1200, w=1600)
+    path = str(tmp_path / "t.ome.tiff")
+    write_ome_tiff_pyramid(path, [data, data[..., ::2, ::2]], "img",
+                           ["a", "b"], [1, 2], 1.0, 1.0)
+    img = Image.open(path)
+    pages = []
+    i = 0
+    while True:
+        try:
+            img.seek(i)
+            pages.append(img.size)
+            i += 1
+        except EOFError:
+            break
+    assert len(pages) == 3  # 2 planes + thumbnail
+    tw, thh = pages[-1]
+    assert max(tw, thh) <= 512

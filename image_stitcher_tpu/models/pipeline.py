@@ -492,11 +492,17 @@ class StitchPipeline:
                 if (row, col) in region_pos:
                     y_px, x_px = region_pos[(row, col)]
                     pos = (x_px, y_px)
+                    # per-tile positions express stage jitter; symmetric
+                    # median crops would leave unfilled gaps where tiles
+                    # diverge — keep full tiles and let overwrite/feather
+                    # resolve the (larger) overlaps
+                    crops = (0, 0, 0, 0)
                 else:
                     pos = geo.tile_position_registered(
                         col, row, len(xs), len(ys),
                         acq.input_width, acq.input_height, self.shifts)
-                crops = geo.tile_crops(col, row, len(xs), len(ys), self.shifts)
+                    crops = geo.tile_crops(col, row, len(xs), len(ys),
+                                           self.shifts)
             else:
                 pos = geo.tile_position_coordinate(
                     rec.x, rec.y, x_min, y_min, acq.pixel_size_um)

@@ -273,6 +273,9 @@ def scan_acquisition(input_folder: str) -> Acquisition:
     for channel in channel_names:
         probe_key = (first.t, first.region, first.fov_idx, first.z_level, channel)
         rec = tiles.get(probe_key)
+        if rec is None:  # degraded acquisitions: probe any tile of the channel
+            rec = next((r for r in tiles.values() if r.channel == channel),
+                       None)
         img = read_image(rec.filepath) if rec is not None else None
         if img is not None and img.ndim == 3 and img.shape[2] == 3:
             base = channel.split('_')[0]

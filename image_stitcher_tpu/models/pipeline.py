@@ -178,17 +178,13 @@ class StitchPipeline:
         Strip geometry parity with reference stitcher.py:500-524
         (25% margin on the orthogonal axis).
         """
+        from ..ops.phasecorr import normalize_to_dtype_range_np
         dmax = self._dtype_max()
-
         # Host-side min-max normalize (reference stitcher.py:613-617):
         # cheap vector math; keeps full-resolution images off the link —
         # only the overlap strips are shipped to the device.
-        def norm(img):
-            img = np.asarray(img, np.float32)
-            lo, hi = img.min(), img.max()
-            return (img - lo) / max(hi - lo, 1e-12) * dmax
-
-        a, b = norm(img_a), norm(img_b)
+        a = normalize_to_dtype_range_np(img_a, dmax)
+        b = normalize_to_dtype_range_np(img_b, dmax)
         margin_frac = self.options.registration_margin
         if axis == 'horizontal':
             margin = int(a.shape[0] * margin_frac)
@@ -325,11 +321,11 @@ class StitchPipeline:
             rec = acq.find_tile(t, region, xs[c], ys[r], ch, z_level)
             if rec is None:
                 return rc, None
-            img = np.asarray(read_image(rec.filepath), np.float32)
+            from ..ops.phasecorr import normalize_to_dtype_range_np
+            img = read_image(rec.filepath)
             if img.ndim == 3:
                 img = img[..., 0]
-            lo, hi = img.min(), img.max()
-            img = (img - lo) / max(hi - lo, 1e-12) * dmax
+            img = normalize_to_dtype_range_np(img, dmax)
             h_img, w_img = img.shape
             return rc, {
                 'left': img[my:h_img - my, :ox] if ox else None,
@@ -465,6 +461,13 @@ class StitchPipeline:
             xs_px = [p[1] for p in region_pos.values()]
             w = max(xs_px) + acq.input_width
             h = max(ys_px) + acq.input_height
+            # unconstrained tiles fall back to the grid model; the canvas
+            # must cover them too, or backends clamp/truncate differently
+            if len(region_pos) < len(xs) * len(ys):
+                gw, gh = geo.output_dimensions_registered(
+                    len(xs), len(ys), acq.input_width, acq.input_height,
+                    self.shifts)
+                w, h = max(w, gw), max(h, gh)
         elif self.params.use_registration:
             w, h = geo.output_dimensions_registered(
                 len(xs), len(ys), acq.input_width, acq.input_height, self.shifts)
@@ -546,9 +549,9 @@ class StitchPipeline:
             self.reporter.status(summarize_plan(jobs, th, tw), False)
 
         # An explicit device mesh overrides backend selection: the user
-        # asked for sharded multi-chip fusion.
-        if (opts.mesh_shape is not None
-                and opts.blend_method != 'feather'):
+        # asked for sharded multi-chip fusion (mesh+feather is rejected
+        # at EngineOptions.validate).
+        if opts.mesh_shape is not None:
             loader = TileBatchLoader(jobs, opts.fusion_batch, th, tw,
                                      acq.dtype,
                                      num_threads=opts.resolved_reader_threads())

@@ -83,11 +83,11 @@ class StreamingFuser:
             # window edges (identical to the in-RAM paths), evaluated on
             # this band's slice of the window.
             acc, wsum = buf
-            top, bottom = job.crops[0], job.crops[1]
+            top, bottom, left, right = job.crops
             wy0 = job.y + top
-            wy1 = min(job.y + self.tile_h - bottom, self.height)
-            wx0 = job.x + job.crops[2]
-            wx1 = wx0 + (x1 - x0)
+            wy1 = job.y + (self.tile_h - bottom if bottom else self.tile_h)
+            wx0 = job.x + left
+            wx1 = job.x + (self.tile_w - right if right else self.tile_w)
             gy = np.arange(yy, yy + t.shape[0])
             gx = np.arange(xx, xx + t.shape[1])
             dy = np.minimum(gy - wy0 + 1, wy1 - gy)

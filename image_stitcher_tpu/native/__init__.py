@@ -72,6 +72,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
                                       ci, ci, ci, ci, pd, pd]
             lib.place_u8.argtypes = list(lib.place_u16.argtypes)
             lib.feather_u16.argtypes = [vp, vp, pd, vp, pd, vp, pd,
+                                        ci, ci, ci, ci,
                                         ci, ci, ci, ci, pd, pd,
                                         ctypes.c_float]
             for f in (lib.place_u16, lib.place_u8, lib.feather_u16):

@@ -58,7 +58,8 @@ class HostCanvas:
     def _correct(self, tile: np.ndarray, c: int) -> np.ndarray:
         return correct_tile(tile, self.flatfields, c, self.dtype)
 
-    def _place_native(self, tile, c, z, yy, xx, y0, y1, x0, x1) -> bool:
+    def _place_native(self, tile, c, z, yy, xx, y0, y1, x0, x1,
+                      wy1, wx1) -> bool:
         """Fused C kernel: divide-clip-cast-place in one pass (native/).
         Returns False if this job can't take the native path."""
         from .. import native
@@ -79,7 +80,8 @@ class HostCanvas:
             lib.feather_u16(ap.ctypes.data, wp.ctypes.data,
                             ap.strides[0] // 4,
                             tile.ctypes.data, tile.strides[0] // 2,
-                            ffp, ffs, y0, y1, x0, x1, yy, xx,
+                            ffp, ffs, y0, y1, x0, x1,
+                            y0, wy1, x0, wx1, yy, xx,
                             1.0 / float(self.blend_px))
             return True
         if tile.dtype == np.uint16:
@@ -100,9 +102,12 @@ class HostCanvas:
         tile, c, z, y, x, crops = job
         top, bottom, left, right = crops
         th, tw = tile.shape
-        # crop window within the tile, clamped to the canvas
-        y0, y1 = top, th - bottom if bottom else th
-        x0, x1 = left, tw - right if right else tw
+        # full crop window within the tile (feather ramps measure from
+        # these edges, matching the device kernel), then canvas clamp
+        wy1 = th - bottom if bottom else th
+        wx1 = tw - right if right else tw
+        y0, y1 = top, wy1
+        x0, x1 = left, wx1
         yy, xx = y + top, x + left
         y1 = min(y1, y0 + (self.height - yy))
         x1 = min(x1, x0 + (self.width - xx))
@@ -110,16 +115,17 @@ class HostCanvas:
             return
 
         if self.dtype == tile.dtype and self._place_native(
-                tile, c, z, yy, xx, y0, y1, x0, x1):
+                tile, c, z, yy, xx, y0, y1, x0, x1, wy1, wx1):
             return
 
         t = self._correct(tile, c)[y0:y1, x0:x1]
         ye, xe = yy + (y1 - y0), xx + (x1 - x0)
         if self.blend == 'feather':
-            h, w = t.shape
-            ry = np.minimum(np.arange(1, h + 1), np.arange(h, 0, -1))
-            rx = np.minimum(np.arange(1, w + 1), np.arange(w, 0, -1))
-            wgt = (np.minimum.outer(ry, rx).astype(np.float32)
+            dy = np.minimum(np.arange(y0, y1) - y0 + 1,
+                            wy1 - np.arange(y0, y1))
+            dx = np.minimum(np.arange(x0, x1) - x0 + 1,
+                            wx1 - np.arange(x0, x1))
+            wgt = (np.minimum.outer(dy, dx).astype(np.float32)
                    / self.blend_px).clip(0, 1)
             self.acc[c, z, yy:ye, xx:xe] += wgt * t.astype(np.float32)
             self.wsum[c, z, yy:ye, xx:xe] += wgt

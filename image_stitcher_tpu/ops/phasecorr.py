@@ -209,6 +209,13 @@ def normalize_to_dtype_range(img: jnp.ndarray, dtype_max: float) -> jnp.ndarray:
     return (img.astype(jnp.float32) - lo) / jnp.maximum(hi - lo, 1e-12) * dtype_max
 
 
+def normalize_to_dtype_range_np(img: np.ndarray, dtype_max: float) -> np.ndarray:
+    """Host twin of :func:`normalize_to_dtype_range`."""
+    img = np.asarray(img, np.float32)
+    lo, hi = float(img.min()), float(img.max())
+    return (img - lo) / max(hi - lo, 1e-12) * dtype_max
+
+
 def horizontal_shift_from_pcc(shift: jnp.ndarray, strip_w: int) -> Tuple[int, int]:
     """h_shift = (round(sy), round(sx - strip_w)) (reference stitcher.py:511)."""
     sy, sx = float(shift[0]), float(shift[1])

@@ -42,19 +42,23 @@ def probe_link_bandwidth(size_mb: int = 16, force: bool = False) -> Dict[str, fl
 
     import json
     import os
+
+    import jax
+    backend = jax.default_backend()
     path = _PROBE_FILE or _probe_cache_path()
     if not force:
         try:
             with open(path) as f:
                 saved = json.load(f)
-            if time.time() - saved.get('ts', 0) < _PROBE_TTL_S:
+            # bandwidth is a property of (machine, backend): a CPU-run
+            # probe must never drive a TPU run's placement decision
+            if (saved.get('backend') == backend
+                    and time.time() - saved.get('ts', 0) < _PROBE_TTL_S):
                 _PROBE_CACHE = {'h2d_mbps': saved['h2d_mbps'],
                                 'd2h_mbps': saved['d2h_mbps']}
                 return _PROBE_CACHE
         except Exception:
             pass
-
-    import jax
     n = size_mb * 1024 * 1024 // 2
     rng = np.random.default_rng(0)
     host_a = rng.integers(0, 60000, (n,), dtype=np.uint16)
@@ -79,7 +83,8 @@ def probe_link_bandwidth(size_mb: int = 16, force: bool = False) -> Dict[str, fl
     try:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, 'w') as f:
-            json.dump({**_PROBE_CACHE, 'ts': time.time()}, f)
+            json.dump({**_PROBE_CACHE, 'ts': time.time(),
+                       'backend': backend}, f)
     except Exception:
         pass
     return _PROBE_CACHE

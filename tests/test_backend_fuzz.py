@@ -53,3 +53,33 @@ def test_all_backends_identical(tmp_path, cfg):
     ref = results.pop("host")
     for name, data in results.items():
         np.testing.assert_array_equal(data, ref, err_msg=name)
+
+
+@pytest.mark.parametrize("use_registration", [False, True])
+def test_feather_backends_agree(tmp_path, use_registration):
+    """Feather blending must agree across host/streaming/device — in
+    particular at canvas-edge overlaps, where clamped windows must not
+    change blend weights (regression for the ramp-divergence finding)."""
+    feather_backends = {
+        "host": dict(fusion_device='host', streaming='off'),
+        "streaming": dict(fusion_device='host', streaming='on',
+                          chunks=(1, 1, 1, 64, 64)),
+        "device": dict(fusion_device='device', streaming='off'),
+    }
+    results = {}
+    for name, opts in feather_backends.items():
+        acq_dir = str(tmp_path / f"f{use_registration}_{name}")
+        write_synthetic_acquisition(
+            acq_dir, grid_cols=3, grid_rows=3, tile_w=96, tile_h=96,
+            overlap=40, seed=9, jitter=3 if use_registration else 0,
+            acq_params_overrides={"pixel_binning": 2})
+        stitch(acq_dir, use_registration=use_registration,
+               options=EngineOptions(blend_method='feather', feather_px=24,
+                                     **opts))
+        out = sorted(glob.glob(acq_dir + "_stitched_*"))[-1]
+        results[name] = np.asarray(open_zarr_array(os.path.join(
+            out, "0_stitched", "A1_stitched.ome.zarr", "0")).read().result())
+    ref = results.pop("host").astype(int)
+    for name, data in results.items():
+        diff = np.abs(data.astype(int) - ref)
+        assert diff.max() <= 1, (name, diff.max())  # f32 accumulation order

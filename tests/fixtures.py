@@ -92,11 +92,15 @@ def write_synthetic_acquisition(
     ext: str = "tiff",
     acq_params_overrides: Optional[dict] = None,
     gt_gamma: float = 1.0,
+    backlash_x: int = 0,
 ) -> SyntheticAcquisition:
     """Write a synthetic acquisition folder and return its description.
 
     ``jitter`` shifts each tile's source window by a deterministic integer
-    amount (simulating stage error, for registration tests). ``vignette``
+    amount (simulating stage error, for registration tests).
+    ``backlash_x`` offsets every odd row's tiles by that many pixels in x
+    (simulating bidirectional S-Pattern stage backlash: reverse-direction
+    rows land systematically displaced). ``vignette``
     multiplies every tile (simulating uneven illumination, for flatfield
     tests). Stage coordinates in coordinates.csv always claim the ideal
     grid spacing, like a real microscope would.
@@ -112,7 +116,7 @@ def write_synthetic_acquisition(
 
     step_x = tile_w - overlap          # px between tile origins
     step_y = tile_h - overlap
-    margin = 2 * max(jitter, 0) + 8
+    margin = 2 * max(jitter, 0) + abs(backlash_x) + 8
     gt_h = step_y * (grid_rows - 1) + tile_h + 2 * margin
     gt_w = step_x * (grid_cols - 1) + tile_w + 2 * margin
     gt = make_ground_truth(gt_h, gt_w, seed=seed, dtype=dtype, gamma=gt_gamma)
@@ -141,8 +145,9 @@ def write_synthetic_acquisition(
                     fov = r * grid_cols + c
                     jy = int(rng.integers(-jitter, jitter + 1)) if jitter else 0
                     jx = int(rng.integers(-jitter, jitter + 1)) if jitter else 0
+                    bx = backlash_x if (r % 2 == 1) else 0
                     y0 = margin + r * step_y + jy
-                    x0 = margin + c * step_x + jx
+                    x0 = margin + c * step_x + jx + bx
                     acq.tile_origins[(region, t, r, c)] = (y0, x0)
                     for z in range(num_z):
                         # stage coords claim the ideal grid (mm), 1 px = pixel_size_um

@@ -68,3 +68,39 @@ def test_all_pairs_device_batch_path(tmp_path):
                                         registration_device_threshold=0))
     assert pipe.shifts.h_shift == (0, -64)
     assert pipe.shifts.v_shift == (-64, 0)
+
+
+def test_s_pattern_backlash_measured(tmp_path):
+    """Bidirectional stage backlash: odd rows systematically displaced in
+    x. S-Pattern all-pairs must measure DIFFERENT forward/reverse
+    horizontal shifts, and placement must absorb the offset."""
+    import glob, os
+    from image_stitcher_tpu.io.zarr_store import open_zarr_array
+    acq_dir = str(tmp_path / "acqS")
+    desc = write_synthetic_acquisition(
+        acq_dir, grid_cols=3, grid_rows=4, tile_w=256, tile_h=256,
+        overlap=64, backlash_x=6, seed=4,
+        acq_params_overrides={"pixel_binning": 2})
+    pipe = stitch(acq_dir, use_registration=True, scan_pattern='S-Pattern',
+                  options=EngineOptions(registration_scope='all-pairs'))
+    # even rows: true step 192 -> h_shift (0,-64); odd rows same step
+    # (backlash is a constant row offset, not a step change)
+    assert pipe.shifts.h_shift == (0, -64)
+    assert pipe.shifts.h_shift_rev == (0, -64)
+    # vertical pairs alternate +-6 in x; the median lands in between
+    assert pipe.shifts.v_shift[0] == -64
+    assert abs(pipe.shifts.v_shift[1]) <= 6
+
+    # global scope fully recovers the per-row offset
+    acq_dir2 = str(tmp_path / "acqSg")
+    desc2 = write_synthetic_acquisition(
+        acq_dir2, grid_cols=3, grid_rows=4, tile_w=256, tile_h=256,
+        overlap=64, backlash_x=6, seed=4,
+        acq_params_overrides={"pixel_binning": 2})
+    pipe2 = stitch(acq_dir2, use_registration=True, scan_pattern='S-Pattern',
+                   options=EngineOptions(registration_scope='global'))
+    pos = pipe2.global_positions["A1"]
+    # odd-row tiles sit 6 px right of even-row tiles at the same column
+    dx01 = pos[(1, 1)][1] - pos[(0, 1)][1]
+    dx12 = pos[(2, 1)][1] - pos[(1, 1)][1]
+    assert dx01 == 6 and dx12 == -6

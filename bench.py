@@ -238,12 +238,17 @@ def main():
     # minutes; interleave repeats of both contenders and score each by
     # its best run so both sides get comparable weather.
     repeats = int(os.environ.get("BENCH_REPEATS", "2"))
+    time_budget = float(os.environ.get("BENCH_TIME_BUDGET", "360"))
+    bench_t0 = time.perf_counter()
     acq_dir = cached_acquisition()
     try:
         n_tiles = GRID * GRID * len(CHANNELS)
         ours_best, base_best = None, None
         pipe = None
         for rep in range(repeats):
+            if rep > 0 and time.perf_counter() - bench_t0 > time_budget:
+                log(f"time budget reached after {rep} repeat(s)")
+                break
             ours_dt, pipe = run_ours(acq_dir)
             log(f"ours[{rep}]: {ours_dt:.1f}s "
                 f"(shifts h={pipe.shifts.h_shift} v={pipe.shifts.v_shift})")

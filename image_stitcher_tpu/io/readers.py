@@ -21,12 +21,22 @@ from .acquisition import read_image
 
 def load_tile_plane(job: "TileJob") -> np.ndarray:
     """Read the (th, tw) plane a TileJob refers to (RGB plane select,
-    leading-singleton squeeze) — the one canonical plane loader."""
+    leading-singleton squeeze) — the one canonical plane loader.
+
+    When the job carries a fractional placement residual (subpixel
+    global positions), the plane is bilinearly shifted by it here, so
+    every fusion backend places subpixel-corrected content."""
     img = read_image(job.filepath)
     if job.plane >= 0:
         img = img[:, :, job.plane]
     elif img.ndim == 3 and img.shape[0] == 1:
         img = img[0]
+    if job.fy or job.fx:
+        import cv2
+        m = np.array([[1.0, 0.0, job.fx], [0.0, 1.0, job.fy]], np.float64)
+        img = cv2.warpAffine(img, m, (img.shape[1], img.shape[0]),
+                             flags=cv2.INTER_LINEAR,
+                             borderMode=cv2.BORDER_REPLICATE)
     return img
 
 
@@ -40,6 +50,8 @@ class TileJob:
     y: int                # pre-crop top-left in canvas coords
     x: int
     crops: Tuple[int, int, int, int]  # top, bottom, left, right
+    fy: float = 0.0       # fractional placement residual (subpixel mode)
+    fx: float = 0.0
 
 
 @dataclass
@@ -148,15 +160,17 @@ def expand_tile_jobs(monochrome_channels: Sequence[str],
     indices), matching reference place_tile (stitcher.py:550-556).
     """
     jobs: List[TileJob] = []
-    for rec, (x, y), crops in positions_and_crops:
+    for rec, pos, crops in positions_and_crops:
+        x, y = pos[0], pos[1]
+        fy, fx = (pos[3], pos[2]) if len(pos) > 2 else (0.0, 0.0)
         if rec.channel in rgb_channels:
             base = rec.channel.split('_')[0]
             for plane, suffix in enumerate('RGB'):
                 cidx = monochrome_channels.index(f"{base}_{suffix}")
                 jobs.append(TileJob(rec.filepath, plane, cidx, rec.z_level,
-                                    y, x, tuple(crops)))
+                                    y, x, tuple(crops), fy, fx))
         else:
             cidx = monochrome_channels.index(rec.channel)
             jobs.append(TileJob(rec.filepath, -1, cidx, rec.z_level,
-                                y, x, tuple(crops)))
+                                y, x, tuple(crops), fy, fx))
     return jobs

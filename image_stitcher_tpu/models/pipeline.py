@@ -425,7 +425,8 @@ class StitchPipeline:
                 h_map, v_map, n_rows, n_cols,
                 acq.input_width, acq.input_height, ox, oy,
                 h_weights=h_w, v_weights=v_w)
-            pos = positions_to_int(solve_positions(pairs, n_rows * n_cols))
+            pos_f = solve_positions(pairs, n_rows * n_cols)
+            pos = positions_to_int(pos_f)
             # only cells with at least one constraint get solved
             # positions; unconstrained tiles (e.g. missing registration-
             # channel file) fall back to the grid model in _build_jobs
@@ -433,6 +434,13 @@ class StitchPipeline:
             self.global_positions[region] = {
                 (r, c): (int(pos[r * n_cols + c, 0]),
                          int(pos[r * n_cols + c, 1]))
+                for r in range(n_rows) for c in range(n_cols)
+                if r * n_cols + c in constrained}
+            self.global_positions_float = getattr(
+                self, 'global_positions_float', {})
+            self.global_positions_float[region] = {
+                (r, c): (float(pos_f[r * n_cols + c, 0]),
+                         float(pos_f[r * n_cols + c, 1]))
                 for r in range(n_rows) for c in range(n_cols)
                 if r * n_cols + c in constrained}
 
@@ -495,6 +503,13 @@ class StitchPipeline:
                 if (row, col) in region_pos:
                     y_px, x_px = region_pos[(row, col)]
                     pos = (x_px, y_px)
+                    if self.options.subpixel_placement:
+                        fpos = self.global_positions_float[region][(row, col)]
+                        y_px = int(np.floor(fpos[0]))
+                        x_px = int(np.floor(fpos[1]))
+                        # content shifts by the fractional residual at
+                        # load time (io.readers.load_tile_plane)
+                        pos = (x_px, y_px, fpos[1] - x_px, fpos[0] - y_px)
                     # per-tile positions express stage jitter; symmetric
                     # median crops would leave unfilled gaps where tiles
                     # diverge — keep full tiles and let overwrite/feather

@@ -146,6 +146,10 @@ class EngineOptions:
     # (median over every adjacent pair); 'global' = MIST/ASHLAR-class
     # per-tile position optimization over the pairwise-shift graph.
     registration_scope: str = 'center'
+    # Subpixel placement (global scope): keep the solve's fractional
+    # positions and shift tile content by the residual (bilinear) at
+    # load time. Best combined with blend_method='feather'.
+    subpixel_placement: bool = False
     # Pair batches at or below this size measure on the host f64 twin
     # (a one-shot remote compile can cost more than the measurement);
     # larger batches run the jitted device kernel. 0 = always device.

@@ -77,6 +77,7 @@ class StitchPipeline:
         self.registration_channel = params.registration_channel
         self.saved_paths: List[str] = []
         self.global_positions: Dict = {}
+        self.global_positions_float: Dict = {}
         self.timers = StageTimers()
 
     # ------------------------------------------------------------------ util
@@ -436,8 +437,6 @@ class StitchPipeline:
                          int(pos[r * n_cols + c, 1]))
                 for r in range(n_rows) for c in range(n_cols)
                 if r * n_cols + c in constrained}
-            self.global_positions_float = getattr(
-                self, 'global_positions_float', {})
             self.global_positions_float[region] = {
                 (r, c): (float(pos_f[r * n_cols + c, 0]),
                          float(pos_f[r * n_cols + c, 1]))
@@ -454,7 +453,8 @@ class StitchPipeline:
                 self.calculate_shifts_all_pairs(int(t), region)
             m = getattr(self, '_manifest', None)
             if m is not None:
-                m.set_global_positions(self.global_positions)
+                m.set_global_positions(self.global_positions,
+                                       self.global_positions_float)
                 m.save()
 
     # -------------------------------------------------------------- stitching
@@ -882,7 +882,8 @@ class StitchPipeline:
                 saved_shifts = manifest.get_shifts() if self.resumed else None
                 if saved_shifts is not None:
                     self.shifts = saved_shifts
-                    self.global_positions = manifest.get_global_positions()
+                    (self.global_positions,
+                     self.global_positions_float) =                         manifest.get_global_positions()
                 if saved_shifts is None or (
                         self.options.registration_scope == 'global'
                         and not self.global_positions):
@@ -897,7 +898,8 @@ class StitchPipeline:
                                                   self.acq.regions[0])
                 manifest.set_shifts(self.shifts)
                 if self.global_positions:
-                    manifest.set_global_positions(self.global_positions)
+                    manifest.set_global_positions(
+                        self.global_positions, self.global_positions_float)
             manifest.save()
             self._manifest = manifest
 

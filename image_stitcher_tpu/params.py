@@ -202,7 +202,7 @@ class EngineOptions:
         'flatfield_tiles_per_timepoint', 'flatfield_max_tiles',
         'compressor_cname', 'compressor_clevel', 'compressor_shuffle',
         'blend_method', 'pyramid_downsample', 'registration_scope',
-        'feather_px')
+        'feather_px', 'subpixel_placement')
 
     def output_fingerprint(self) -> Dict[str, Any]:
         return {name: list(v) if isinstance((v := getattr(self, name)), tuple)
@@ -233,6 +233,9 @@ class EngineOptions:
             raise ValueError("device_fusion_kernel must be 'xla' or 'pallas'")
         if self.streaming not in ('auto', 'on', 'off'):
             raise ValueError("streaming must be 'auto', 'on' or 'off'")
+        if self.subpixel_placement and self.registration_scope != 'global':
+            raise ValueError(
+                "subpixel_placement requires registration_scope='global'")
         if self.mesh_shape is not None and self.blend_method == 'feather':
             raise ValueError(
                 "mesh-sharded fusion does not support blend_method='feather' "

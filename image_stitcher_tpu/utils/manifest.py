@@ -112,18 +112,29 @@ class RunManifest:
         with np.load(path) as z:
             return {int(k): z[k] for k in z.files}
 
-    def set_global_positions(self, positions: Dict) -> None:
-        """positions: {region: {(row, col): (y, x)}} -> JSON-safe lists."""
+    def set_global_positions(self, positions: Dict,
+                             positions_float: Optional[Dict] = None) -> None:
+        """positions: {region: {(row, col): (y, x)}} -> JSON-safe lists.
+        Float positions (subpixel mode) persist alongside the ints."""
         self.data["global_positions"] = {
             region: [[r, c, y, x] for (r, c), (y, x) in per.items()]
             for region, per in positions.items()}
+        if positions_float:
+            self.data["global_positions_float"] = {
+                region: [[r, c, y, x] for (r, c), (y, x) in per.items()]
+                for region, per in positions_float.items()}
 
-    def get_global_positions(self) -> Dict:
-        raw = self.data.get("global_positions")
-        if not raw:
-            return {}
-        return {region: {(r, c): (y, x) for r, c, y, x in entries}
-                for region, entries in raw.items()}
+    def get_global_positions(self) -> Tuple[Dict, Dict]:
+        """Returns (int positions, float positions) keyed by region."""
+        def parse(raw, cast):
+            if not raw:
+                return {}
+            return {region: {(int(r), int(c)): (cast(y), cast(x))
+                             for r, c, y, x in entries}
+                    for region, entries in raw.items()}
+
+        return (parse(self.data.get("global_positions"), int),
+                parse(self.data.get("global_positions_float"), float))
 
     def mark_finished(self) -> None:
         self.data["finished"] = True

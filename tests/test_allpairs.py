@@ -74,10 +74,8 @@ def test_s_pattern_backlash_measured(tmp_path):
     """Bidirectional stage backlash: odd rows systematically displaced in
     x. S-Pattern all-pairs must measure DIFFERENT forward/reverse
     horizontal shifts, and placement must absorb the offset."""
-    import glob, os
-    from image_stitcher_tpu.io.zarr_store import open_zarr_array
     acq_dir = str(tmp_path / "acqS")
-    desc = write_synthetic_acquisition(
+    write_synthetic_acquisition(
         acq_dir, grid_cols=3, grid_rows=4, tile_w=256, tile_h=256,
         overlap=64, backlash_x=6, seed=4,
         acq_params_overrides={"pixel_binning": 2})
@@ -93,7 +91,7 @@ def test_s_pattern_backlash_measured(tmp_path):
 
     # global scope fully recovers the per-row offset
     acq_dir2 = str(tmp_path / "acqSg")
-    desc2 = write_synthetic_acquisition(
+    write_synthetic_acquisition(
         acq_dir2, grid_cols=3, grid_rows=4, tile_w=256, tile_h=256,
         overlap=64, backlash_x=6, seed=4,
         acq_params_overrides={"pixel_binning": 2})

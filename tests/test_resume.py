@@ -145,3 +145,35 @@ def test_continue_on_error(tmp_path, monkeypatch):
     out = pipe.output_folder
     assert os.path.isdir(os.path.join(out, "0_stitched", "A2_stitched.ome.zarr"))
     assert not os.path.isdir(os.path.join(out, "0_stitched", "A1_stitched.ome.zarr"))
+
+
+def test_subpixel_global_resume(tmp_path):
+    """Resume restores float positions (regression: AttributeError)."""
+    acq_dir = make_acq(tmp_path, regions=("A1", "A2"), timepoints=1)
+    stop = threading.Event()
+    rep = ProgressReporter(
+        status=lambda m, s=False: stop.set()
+        if m.startswith("Completed region") else None)
+    opts = EngineOptions(registration_scope='global',
+                         subpixel_placement=True, pipelined_save=False)
+    p = StitchingParameters(input_folder=acq_dir, use_registration=True)
+    pipe = StitchPipeline(p, opts, rep, stop_event=stop)
+    with pytest.raises(StitchCancelled):
+        pipe.run()
+    floats = {r: dict(v) for r, v in pipe.global_positions_float.items()}
+
+    p2 = StitchingParameters(input_folder=acq_dir, use_registration=True)
+    pipe2 = StitchPipeline(p2, EngineOptions(registration_scope='global',
+                                             subpixel_placement=True),
+                           resume=True)
+    pipe2.run()  # must not raise
+    assert pipe2.resumed
+    for region, per in floats.items():
+        assert pipe2.global_positions_float.get(region) == per
+
+    # toggling subpixel changes the output fingerprint -> fresh run
+    p3 = StitchingParameters(input_folder=acq_dir, use_registration=True)
+    pipe3 = StitchPipeline(p3, EngineOptions(registration_scope='global',
+                                             subpixel_placement=False),
+                           resume=True)
+    assert not pipe3.resumed

@@ -4,7 +4,6 @@ import glob
 import os
 
 import numpy as np
-import pytest
 
 from fixtures import write_synthetic_acquisition
 from image_stitcher_tpu import EngineOptions, stitch

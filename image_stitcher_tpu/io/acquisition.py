@@ -171,7 +171,7 @@ def parse_tile_filename(filename: str) -> Optional[Tuple[str, int, int, str]]:
     return region, fov, z_level, channel
 
 
-def read_image(filepath: str) -> np.ndarray:
+def read_image(filepath: str, prefer_mmap: bool = False) -> np.ndarray:
     """Read a tile image as (H, W) or (H, W, 3) RGB ndarray.
 
     Uncompressed TIFFs (the Squid default) take a zero-copy fast path
@@ -179,10 +179,14 @@ def read_image(filepath: str) -> np.ndarray:
     (native C++) with IMREAD_UNCHANGED to preserve uint16. Color images
     are converted BGR->RGB so channel order matches the reference's
     PIL/tifffile-based readers.
+
+    ``prefer_mmap`` returns a lazily-paged view for the fast-TIFF case:
+    callers that consume only a slice (band fusion, decimated flatfield
+    sampling) never pull the rest of the file through memory.
     """
     if filepath.endswith(('.tif', '.tiff')):
         from .fast_tiff import read_tiff_fast
-        fast = read_tiff_fast(filepath)
+        fast = read_tiff_fast(filepath, use_mmap=prefer_mmap)
         if fast is not None:
             return fast
     import cv2

@@ -38,11 +38,29 @@ def _read_values(data, bo, ty, count, payload, inline_size):
     return struct.unpack(bo + _TYPE_FMT[ty] * count, raw)
 
 
-def read_tiff_fast(path: str) -> Optional[np.ndarray]:
-    """Read an uncompressed striped TIFF; None if the file needs libtiff."""
+def read_tiff_fast(path: str,
+                   use_mmap: bool = False) -> Optional[np.ndarray]:
+    """Read an uncompressed striped TIFF; None if the file needs libtiff.
+
+    With ``use_mmap`` the returned array is a zero-copy view over a
+    memory-mapped file (contiguous-strip case): no bytes move until the
+    caller touches them, so consumers that read only a row band (the
+    streaming fuser) or a row decimation (flatfield sampling) pull just
+    those pages from the page cache. The mmap stays alive through the
+    array's ``.base`` chain.
+    """
     try:
-        with open(path, 'rb') as f:
-            data = f.read()
+        if use_mmap:
+            import mmap as _mmap
+            with open(path, 'rb') as f:
+                try:
+                    data = _mmap.mmap(f.fileno(), 0,
+                                      access=_mmap.ACCESS_READ)
+                except (ValueError, OSError):
+                    data = f.read()  # empty/special file
+        else:
+            with open(path, 'rb') as f:
+                data = f.read()
         if len(data) < 16:
             return None
         if data[:2] == b'II':

@@ -125,7 +125,8 @@ class MultiscaleWriter:
                  name: str, dz_um: float, pixel_size_um: float,
                  channel_names: Sequence[str], channel_colors: Sequence[int],
                  cname: str = 'zstd', clevel: int = 1, shuffle: int = 1,
-                 omero_full: bool = True, write_omero: bool = True):
+                 omero_full: bool = True, write_omero: bool = True,
+                 max_pending_bytes: int = 512 << 20):
         from ..ops.pyramid import level_shapes
         self.path = path
         self.num_levels = num_levels
@@ -141,19 +142,40 @@ class MultiscaleWriter:
                               cname=cname, clevel=clevel, shuffle=shuffle)
             for level in range(num_levels)
         ]
-        self._pending = []
+        self._pending = []          # (future, nbytes) in issue order
+        self._pending_bytes = 0
+        self._max_pending_bytes = max_pending_bytes
+        import threading
+        self._lock = threading.Lock()
 
     def write_level(self, level: int, data: np.ndarray, sel: Optional[Tuple] = None,
                     block: bool = False):
-        """Write a full level or a slab (sel = tuple of slices)."""
+        """Write a full level or a slab (sel = tuple of slices).
+
+        Writes land asynchronously (tensorstore compresses + commits on
+        its own executor) with backpressure: once ``max_pending_bytes``
+        of slabs are in flight, the oldest futures are drained first so
+        bounded-memory streaming stays bounded end to end.
+        """
         target = self.arrays[level] if sel is None else self.arrays[level][sel]
         fut = target.write(data)
         if block:
             fut.result()
-        else:
-            self._pending.append(fut)
+            return
+        drain = []
+        with self._lock:
+            self._pending.append((fut, data.nbytes))
+            self._pending_bytes += data.nbytes
+            while self._pending_bytes > self._max_pending_bytes and self._pending:
+                old, nbytes = self._pending.pop(0)
+                self._pending_bytes -= nbytes
+                drain.append(old)
+        for old in drain:
+            old.result()
 
     def close(self):
-        for fut in self._pending:
+        with self._lock:
+            pending, self._pending = self._pending, []
+            self._pending_bytes = 0
+        for fut, _ in pending:
             fut.result()
-        self._pending = []

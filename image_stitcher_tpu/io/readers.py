@@ -25,8 +25,12 @@ def load_tile_plane(job: "TileJob") -> np.ndarray:
 
     When the job carries a fractional placement residual (subpixel
     global positions), the plane is bilinearly shifted by it here, so
-    every fusion backend places subpixel-corrected content."""
-    img = read_image(job.filepath)
+    every fusion backend places subpixel-corrected content.
+
+    Planes come back mmap-backed (zero-copy): band-wise consumers touch
+    only the rows they place, so tiles straddling a band boundary cost
+    one header parse per band instead of a full decode."""
+    img = read_image(job.filepath, prefer_mmap=True)
     if job.plane >= 0:
         img = img[:, :, job.plane]
     elif img.ndim == 3 and img.shape[0] == 1:
@@ -83,13 +87,13 @@ class TileBatchLoader:
     def __len__(self) -> int:
         return (len(self.jobs) + self.batch_size - 1) // self.batch_size
 
-    def _load_plane(self, job: TileJob) -> np.ndarray:
+    def _load_plane(self, job: TileJob) -> Tuple[np.ndarray, int, int]:
         img = load_tile_plane(job)
         tile = np.zeros((self.tile_h, self.tile_w), self.dtype)
         h = min(img.shape[0], self.tile_h)
         w = min(img.shape[1], self.tile_w)
         tile[:h, :w] = img[:h, :w]
-        return tile
+        return tile, h, w
 
     def _build_batch(self, chunk: List[TileJob], pool: ThreadPoolExecutor) -> TileBatch:
         n = self.batch_size
@@ -98,10 +102,16 @@ class TileBatchLoader:
         crops = np.zeros((n, 4), np.int32)
         valid = np.zeros((n,), bool)
         planes = list(pool.map(self._load_plane, chunk))
-        for i, (job, plane) in enumerate(zip(chunk, planes)):
+        for i, (job, (plane, h, w)) in enumerate(zip(chunk, planes)):
             tiles[i] = plane
             info[i] = (job.channel_idx, job.z_level, job.y, job.x)
-            crops[i] = job.crops
+            # undersized tiles fold the zero-pad deficit into the
+            # bottom/right crops so padding never overwrites canvas
+            # content the host backends (which slice by the loaded
+            # shape) would have preserved
+            top, bottom, left, right = job.crops
+            crops[i] = (top, max(bottom, self.tile_h - h),
+                        left, max(right, self.tile_w - w))
             valid[i] = True
         return TileBatch(tiles, info, crops, valid, len(chunk))
 

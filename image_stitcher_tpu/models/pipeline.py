@@ -112,6 +112,20 @@ class StitchPipeline:
             pool.shutdown(wait=False)
 
     def _compute_flatfields_inner(self, acq, opts, rnd, pool):
+        from ..ops.flatfield import (finalize_flatfield, fit_flatfield_stack,
+                                     fit_flatfield_stack_np,
+                                     load_sample_small, pad_stack_cycled)
+        use_device = opts.flatfield_device == 'device'
+        out_hw = (acq.input_height, acq.input_width)
+
+        def fit(stack2d: np.ndarray) -> np.ndarray:
+            if use_device:
+                import jax.numpy as _jnp
+                s = np.asarray(fit_flatfield_stack(_jnp.asarray(stack2d)))
+            else:
+                s = fit_flatfield_stack_np(stack2d)
+            return finalize_flatfield(s, out_hw)
+
         for channel in acq.channel_names:
             paths = []
             for t in acq.timepoints:
@@ -126,26 +140,27 @@ class StitchPipeline:
                     break
             if not paths:
                 continue
-            # cycle-pad/trim to ONE fixed sample budget (the reference's
-            # worst-case collection: the >48 break fires after adding a
-            # full timepoint, so <= 48+32 samples, stitcher.py:389-394) —
-            # a single static shape for the jitted solver everywhere.
-            # Unique files are read once; padding tiles the arrays.
+            # The reference's worst-case collection: the >48 break fires
+            # after adding a full timepoint, so <= 48+32 samples
+            # (stitcher.py:389-394). Samples are read decimated straight
+            # to the fit's working resolution — never at full size.
             target = (opts.flatfield_max_tiles
                       + opts.flatfield_tiles_per_timepoint)
             paths = paths[:target]
-            unique = np.stack(list(pool.map(read_image, paths)))
-            reps = (target + len(unique) - 1) // len(unique)
-            images = np.concatenate([unique] * reps)[:target]
-            if images.ndim == 4 and images.shape[-1] == 3:
+            small = np.stack(list(pool.map(load_sample_small, paths)))
+            if use_device:
+                # the jitted solver compiles ONE static shape; pad by
+                # whole cycles + an evenly-strided remainder
+                small = pad_stack_cycled(small, target)
+            if small.ndim == 4 and small.shape[-1] == 3:
                 base = channel.split('_')[0]
                 for plane, suffix in enumerate('RGB'):
                     idx = acq.monochrome_channels.index(f"{base}_{suffix}")
-                    self.flatfields[idx] = fit_flatfield(images[..., plane])
+                    self.flatfields[idx] = fit(small[..., plane])
                     self.reporter.update_progress(idx + 1, acq.num_c)
-            elif images.ndim == 3:
+            elif small.ndim == 3:
                 idx = acq.monochrome_channels.index(channel)
-                self.flatfields[idx] = fit_flatfield(images)
+                self.flatfields[idx] = fit(small)
                 self.reporter.update_progress(idx + 1, acq.num_c)
             self._check_stop()
 
@@ -312,9 +327,14 @@ class StitchPipeline:
         mfrac = self.options.registration_margin
         my = int(acq.input_height * mfrac)
         mx = int(acq.input_width * mfrac)
-        dmax = self._dtype_max()
 
-        # Load each grid tile once (threaded), keep only normalized strips.
+        # Load each grid tile once (threaded, mmap-backed), keep only the
+        # RAW overlap strips. Unlike the center-pair parity path, no
+        # normalization happens here: phase correlation whitens the
+        # cross-power spectrum, so a per-image affine rescale cannot move
+        # the peak — skipping it avoids a full-image min/max + float
+        # materialization per tile and ships half the bytes (u16) to the
+        # device kernel.
         from concurrent.futures import ThreadPoolExecutor
 
         def load_strips(rc):
@@ -322,17 +342,16 @@ class StitchPipeline:
             rec = acq.find_tile(t, region, xs[c], ys[r], ch, z_level)
             if rec is None:
                 return rc, None
-            from ..ops.phasecorr import normalize_to_dtype_range_np
-            img = read_image(rec.filepath)
+            img = read_image(rec.filepath, prefer_mmap=True)
             if img.ndim == 3:
                 img = img[..., 0]
-            img = normalize_to_dtype_range_np(img, dmax)
             h_img, w_img = img.shape
+            cc = np.ascontiguousarray
             return rc, {
-                'left': img[my:h_img - my, :ox] if ox else None,
-                'right': img[my:h_img - my, -ox:] if ox else None,
-                'top': img[:oy, mx:w_img - mx] if oy else None,
-                'bottom': img[-oy:, mx:w_img - mx] if oy else None,
+                'left': cc(img[my:h_img - my, :ox]) if ox else None,
+                'right': cc(img[my:h_img - my, -ox:]) if ox else None,
+                'top': cc(img[:oy, mx:w_img - mx]) if oy else None,
+                'bottom': cc(img[-oy:, mx:w_img - mx]) if oy else None,
             }
 
         coords = [(r, c) for r in range(n_rows) for c in range(n_cols)]
@@ -679,6 +698,9 @@ class StitchPipeline:
         fuser.run(jobs, load_tile_plane,
                   progress_cb=self.reporter.update_progress,
                   stop_check=self._check_stop)
+        self.reporter.status(
+            "stream stages: " + " ".join(
+                f"{k}={v:.2f}s" for k, v in fuser.stats.items()), False)
         return output_path
 
     def _stitch_region_sharded(self, loader, height: int, width: int,

@@ -22,7 +22,7 @@ from typing import Callable, Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from ..io.omezarr import MultiscaleWriter
-from ..ops.host_fuse import correct_tile, host_downsample
+from ..ops.host_fuse import correct_tile, host_downsample, place_window_native
 
 
 def band_rows_for(chunk_rows: int, num_levels: int) -> int:
@@ -52,6 +52,18 @@ class StreamingFuser:
         self.flatfields = flatfields
         self.blend = blend_method
         self.blend_px = blend_px
+        # per-stage wall-clock accumulators (summed across band threads)
+        self.stats = {'decode': 0.0, 'place': 0.0, 'finalize': 0.0,
+                      'pyramid': 0.0, 'write': 0.0, 'close': 0.0}
+        import threading as _threading
+        self._stats_lock = _threading.Lock()
+
+    def _tick(self, key: str, t0: float) -> float:
+        import time as _time
+        t1 = _time.perf_counter()
+        with self._stats_lock:
+            self.stats[key] += t1 - t0
+        return t1
 
     # ------------------------------------------------------------------
 
@@ -62,13 +74,16 @@ class StreamingFuser:
                        tile: np.ndarray) -> None:
         top, bottom, left, right = job.crops
         th, tw = tile.shape
-        y0, y1 = top, th - bottom if bottom else th
-        x0, x1 = left, tw - right if right else tw
+        # full crop window in TILE coordinates, from the actual loaded
+        # shape (matching HostCanvas._place; feather ramps measure from
+        # these edges), then canvas + band clamping of the visible part
+        wy1 = th - bottom if bottom else th
+        wx1 = tw - right if right else tw
+        y0, y1 = top, wy1
+        x0, x1 = left, wx1
         yy, xx = job.y + top, job.x + left
-        # clamp to canvas
         y1 = min(y1, y0 + (self.height - yy))
         x1 = min(x1, x0 + (self.width - xx))
-        # clamp to band rows [band0, band0+buf rows)
         n_rows = buf[0].shape[0] if isinstance(buf, tuple) else buf.shape[0]
         b_lo, b_hi = band0, band0 + n_rows
         if yy < b_lo:
@@ -77,21 +92,21 @@ class StreamingFuser:
         y1 = min(y1, y0 + (b_hi - yy))
         if y1 <= y0 or x1 <= x0:
             return
-        t = self._correct(tile, job.channel_idx)[y0:y1, x0:x1]
+        c = job.channel_idx
+        ff_c = self.flatfields[c] if self.flatfields is not None else None
+        feather = ((top, wy1, left, wx1, 1.0 / float(self.blend_px))
+                   if self.blend == 'feather' else None)
+        if self.dtype == tile.dtype and place_window_native(
+                buf, tile, ff_c, y0, y1, x0, x1, yy - band0, xx,
+                feather=feather):
+            return
+        t = self._correct(tile, c)[y0:y1, x0:x1]
         if self.blend == 'feather':
-            # Feather weights are distances from the tile's FULL cropped
-            # window edges (identical to the in-RAM paths), evaluated on
-            # this band's slice of the window.
             acc, wsum = buf
-            top, bottom, left, right = job.crops
-            wy0 = job.y + top
-            wy1 = job.y + (self.tile_h - bottom if bottom else self.tile_h)
-            wx0 = job.x + left
-            wx1 = job.x + (self.tile_w - right if right else self.tile_w)
-            gy = np.arange(yy, yy + t.shape[0])
-            gx = np.arange(xx, xx + t.shape[1])
-            dy = np.minimum(gy - wy0 + 1, wy1 - gy)
-            dx = np.minimum(gx - wx0 + 1, wx1 - gx)
+            dy = np.minimum(np.arange(y0, y1) - top + 1,
+                            wy1 - np.arange(y0, y1))
+            dx = np.minimum(np.arange(x0, x1) - left + 1,
+                            wx1 - np.arange(x0, x1))
             wgt = (np.minimum.outer(dy, dx).astype(np.float32)
                    / self.blend_px).clip(0, 1)
             acc[yy - band0:yy - band0 + t.shape[0],
@@ -104,6 +119,7 @@ class StreamingFuser:
     def _process_band(self, c: int, z: int, band0: int,
                       jobs: Sequence, load_fn: Callable,
                       progress_cb=None) -> None:
+        import time as _time
         rows = min(self.band, self.height - band0)
         if self.blend == 'feather':
             buf = (np.zeros((rows, self.width), np.float32),
@@ -111,9 +127,14 @@ class StreamingFuser:
         else:
             buf = np.zeros((rows, self.width), self.dtype)
         for job, is_primary in jobs:
-            self._place_in_band(buf, band0, job, load_fn(job))
+            t0 = _time.perf_counter()
+            tile = load_fn(job)
+            t0 = self._tick('decode', t0)
+            self._place_in_band(buf, band0, job, tile)
+            self._tick('place', t0)
             if progress_cb is not None and is_primary:
                 progress_cb()
+        t0 = _time.perf_counter()
         if self.blend == 'feather':
             acc, wsum = buf
             out = acc / np.maximum(wsum, 1e-6)
@@ -122,10 +143,12 @@ class StreamingFuser:
                 info = np.iinfo(self.dtype)
                 out = np.clip(np.round(out), info.min, info.max)
             buf = out.astype(self.dtype)
+        t0 = self._tick('finalize', t0)
         # level 0 slab
         sel0 = (slice(0, 1), slice(c, c + 1), slice(z, z + 1),
                 slice(band0, band0 + rows), slice(0, self.width))
         self.writer.write_level(0, buf[None, None, None], sel=sel0)
+        t0 = self._tick('write', t0)
         # pyramid slabs: band rows align with every level's pooling grid
         level = buf
         for lv in range(1, self.num_levels):
@@ -134,9 +157,11 @@ class StreamingFuser:
             h_lv, w_lv = level.shape
             if h_lv == 0 or w_lv == 0:
                 break
+            t0 = self._tick('pyramid', t0)
             sel = (slice(0, 1), slice(c, c + 1), slice(z, z + 1),
                    slice(b_lv, b_lv + h_lv), slice(0, w_lv))
             self.writer.write_level(lv, level[None, None, None], sel=sel)
+            t0 = self._tick('write', t0)
 
     # ------------------------------------------------------------------
 
@@ -190,4 +215,7 @@ class StreamingFuser:
             raise
         finally:
             pool.shutdown(wait=True)
+        import time as _time
+        t0 = _time.perf_counter()
         self.writer.close()
+        self._tick('close', t0)

@@ -75,7 +75,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
                                         ci, ci, ci, ci,
                                         ci, ci, ci, ci, pd, pd,
                                         ctypes.c_float]
-            for f in (lib.place_u16, lib.place_u8, lib.feather_u16):
+            lib.feather_u8.argtypes = list(lib.feather_u16.argtypes)
+            for f in (lib.place_u16, lib.place_u8, lib.feather_u16,
+                      lib.feather_u8):
                 f.restype = None
             _LIB = lib
         except Exception:

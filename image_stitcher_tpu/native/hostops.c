@@ -76,6 +76,40 @@ void place_u8(
  * are measured from the FULL crop window [wy0,wy1)x[wx0,wx1) (matching
  * the device kernel), while only the visible [y0,y1)x[x0,x1) sub-window
  * is written (canvas clamping must not change weights). */
+void feather_u8(
+    float *acc, float *wsum, ptrdiff_t canvas_stride,
+    const uint8_t *tile, ptrdiff_t tile_stride,
+    const float *ff, ptrdiff_t ff_stride,
+    int y0, int y1, int x0, int x1,
+    int wy0, int wy1, int wx0, int wx1,
+    ptrdiff_t cy, ptrdiff_t cx,
+    float inv_blend_px)
+{
+    for (int y = y0; y < y1; ++y) {
+        const uint8_t *trow = tile + (ptrdiff_t)y * tile_stride;
+        float *arow = acc + (cy + (y - y0)) * canvas_stride + cx;
+        float *wrow = wsum + (cy + (y - y0)) * canvas_stride + cx;
+        int dy = (y - wy0 + 1) < (wy1 - y) ? (y - wy0 + 1) : (wy1 - y);
+        float wy = dy * inv_blend_px;
+        if (wy > 1.0f) wy = 1.0f;
+        for (int x = x0; x < x1; ++x) {
+            int dx = (x - wx0 + 1) < (wx1 - x) ? (x - wx0 + 1) : (wx1 - x);
+            float w = dx * inv_blend_px;
+            if (w > 1.0f) w = 1.0f;
+            if (wy < w) w = wy;
+            float v = (float)trow[x];
+            if (ff) {
+                v /= ff[(ptrdiff_t)y * ff_stride + x];
+                if (v < 0.0f) v = 0.0f;
+                if (v > 255.0f) v = 255.0f;
+                v = (float)(uint8_t)v;
+            }
+            arow[x - x0] += w * v;
+            wrow[x - x0] += w;
+        }
+    }
+}
+
 void feather_u16(
     float *acc, float *wsum, ptrdiff_t canvas_stride,
     const uint16_t *tile, ptrdiff_t tile_stride,

@@ -143,6 +143,54 @@ def resize_stack(images: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
                             method='linear')
 
 
+def load_sample_small(path: str,
+                      working_size: int = WORKING_SIZE) -> np.ndarray:
+    """Read one sample tile decimated straight to working resolution.
+
+    The fit happens at ``working_size``^2, so full-resolution decodes are
+    pure waste (VERDICT r1: ~190 full 2048^2 reads for 128^2 fits). The
+    mmap-backed reader + row decimation touch only every ``sy``-th row's
+    pages; the final INTER_AREA resample runs on the small array.
+    Returns (ws, ws) float32, or (ws, ws, 3) for RGB tiles.
+    """
+    import cv2
+    from ..io.acquisition import read_image
+    img = read_image(path, prefer_mmap=True)
+    h, w = img.shape[:2]
+    sy = max(1, h // (2 * working_size))
+    sx = max(1, w // (2 * working_size))
+    img = np.ascontiguousarray(img[::sy, ::sx]).astype(np.float32)
+    return cv2.resize(img, (working_size, working_size),
+                      interpolation=cv2.INTER_AREA)
+
+
+def pad_stack_cycled(stack: np.ndarray, target: int) -> np.ndarray:
+    """Pad a sample stack to ``target`` by whole cycles plus an
+    evenly-strided remainder, so no sample is over-weighted by more than
+    one extra copy and the extras spread uniformly (the jitted device
+    solver wants ONE static shape)."""
+    n = len(stack)
+    if n >= target:
+        return stack[:target]
+    reps = target // n
+    rem = target - reps * n
+    parts = [stack] * reps
+    if rem:
+        idx = np.linspace(0, n - 1, rem).round().astype(int)
+        parts.append(stack[idx])
+    return np.concatenate(parts)
+
+
+def finalize_flatfield(s: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
+    """Resize a working-resolution flatfield to full tile size and
+    re-normalize to unit mean (shared tail of every fit path)."""
+    import cv2
+    full = cv2.resize(np.asarray(s, dtype=np.float32),
+                      (out_hw[1], out_hw[0]), interpolation=cv2.INTER_LINEAR)
+    full = np.maximum(full, 1e-3)
+    return (full / full.mean()).astype(np.float32)
+
+
 def fit_flatfield(tiles: np.ndarray, smoothness: float = 1.0,
                   working_size: int = WORKING_SIZE,
                   max_iters: int = 100, prefer_device: bool = False) -> np.ndarray:
@@ -178,7 +226,4 @@ def fit_flatfield(tiles: np.ndarray, smoothness: float = 1.0,
     else:
         s = fit_flatfield_stack_np(small, smoothness=smoothness,
                                    max_iters=max_iters)
-    full = cv2.resize(np.asarray(s, dtype=np.float32), (w, h),
-                      interpolation=cv2.INTER_LINEAR)
-    full = np.maximum(full, 1e-3)
-    return (full / full.mean()).astype(np.float32)
+    return finalize_flatfield(s, (h, w))

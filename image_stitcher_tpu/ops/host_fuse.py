@@ -34,6 +34,54 @@ def correct_tile(tile: np.ndarray, flatfields: Optional[np.ndarray],
     return corrected.astype(dtype)
 
 
+def place_window_native(dst, tile: np.ndarray, ff_c: Optional[np.ndarray],
+                        y0: int, y1: int, x0: int, x1: int,
+                        cy: int, cx: int,
+                        feather: Optional[Tuple] = None) -> bool:
+    """Fused C divide-clip-cast-place of tile[y0:y1, x0:x1] at dst[cy, cx].
+
+    The one native entry point shared by HostCanvas and StreamingFuser
+    (native/hostops.c). ``dst`` is a 2D plane whose dtype equals the
+    tile's (overwrite), or an (acc, wsum) float32 pair (feather).
+    ``ff_c`` is the per-channel (th, tw) float32 flatfield or None.
+    ``feather`` = (wy0, wy1, wx0, wx1, inv_blend_px): the FULL crop
+    window in tile coordinates that feather ramps measure from.
+    Returns False when this job can't take the native path (no library,
+    unsupported dtype/layout) so callers fall back to NumPy.
+    """
+    from .. import native
+    lib = native.get_lib()
+    if lib is None or not tile.flags['C_CONTIGUOUS']:
+        return False
+    if tile.dtype == np.uint16:
+        suffix, fmax = 'u16', 2
+    elif tile.dtype == np.uint8:
+        suffix, fmax = 'u8', 1
+    else:
+        return False
+    if ff_c is not None and (ff_c.dtype != np.float32
+                             or not ff_c.flags['C_CONTIGUOUS']):
+        return False
+    ffp = ff_c.ctypes.data if ff_c is not None else None
+    ffs = ff_c.strides[0] // 4 if ff_c is not None else 0
+    if feather is not None:
+        acc, wsum = dst
+        wy0, wy1, wx0, wx1, inv_px = feather
+        getattr(lib, f'feather_{suffix}')(
+            acc.ctypes.data, wsum.ctypes.data, acc.strides[0] // 4,
+            tile.ctypes.data, tile.strides[0] // fmax,
+            ffp, ffs, y0, y1, x0, x1,
+            wy0, wy1, wx0, wx1, cy, cx, inv_px)
+        return True
+    if dst.dtype != tile.dtype:
+        return False
+    getattr(lib, f'place_{suffix}')(
+        dst.ctypes.data, dst.strides[0] // fmax,
+        tile.ctypes.data, tile.strides[0] // fmax,
+        ffp, ffs, y0, y1, x0, x1, cy, cx)
+    return True
+
+
 class HostCanvas:
     """A (C, Z, H, W) canvas fused by a host thread pool."""
 
@@ -60,43 +108,15 @@ class HostCanvas:
 
     def _place_native(self, tile, c, z, yy, xx, y0, y1, x0, x1,
                       wy1, wx1) -> bool:
-        """Fused C kernel: divide-clip-cast-place in one pass (native/).
-        Returns False if this job can't take the native path."""
-        from .. import native
-        lib = native.get_lib()
-        if lib is None or not tile.flags['C_CONTIGUOUS']:
-            return False
-        ff = self.flatfields
-        if ff is not None and (ff.dtype != np.float32
-                               or not ff[c].flags['C_CONTIGUOUS']):
-            return False
-        ffp = ff[c].ctypes.data if ff is not None else None
-        ffs = ff[c].strides[0] // 4 if ff is not None else 0
+        """Fused C kernel (shared place_window_native); False = fall back."""
+        ff_c = self.flatfields[c] if self.flatfields is not None else None
         if self.blend == 'feather':
-            if tile.dtype != np.uint16:
-                return False
-            ap = self.acc[c, z]
-            wp = self.wsum[c, z]
-            lib.feather_u16(ap.ctypes.data, wp.ctypes.data,
-                            ap.strides[0] // 4,
-                            tile.ctypes.data, tile.strides[0] // 2,
-                            ffp, ffs, y0, y1, x0, x1,
-                            y0, wy1, x0, wx1, yy, xx,
-                            1.0 / float(self.blend_px))
-            return True
-        if tile.dtype == np.uint16:
-            plane = self.canvas[c, z]
-            lib.place_u16(plane.ctypes.data, plane.strides[0] // 2,
-                          tile.ctypes.data, tile.strides[0] // 2,
-                          ffp, ffs, y0, y1, x0, x1, yy, xx)
-            return True
-        if tile.dtype == np.uint8:
-            plane = self.canvas[c, z]
-            lib.place_u8(plane.ctypes.data, plane.strides[0],
-                         tile.ctypes.data, tile.strides[0],
-                         ffp, ffs, y0, y1, x0, x1, yy, xx)
-            return True
-        return False
+            return place_window_native(
+                (self.acc[c, z], self.wsum[c, z]), tile, ff_c,
+                y0, y1, x0, x1, yy, xx,
+                feather=(y0, wy1, x0, wx1, 1.0 / float(self.blend_px)))
+        return place_window_native(self.canvas[c, z], tile, ff_c,
+                                   y0, y1, x0, x1, yy, xx)
 
     def _place(self, job) -> None:
         tile, c, z, y, x, crops = job

@@ -150,6 +150,11 @@ class EngineOptions:
     # positions and shift tile content by the residual (bilinear) at
     # load time. Best combined with blend_method='feather'.
     subpixel_placement: bool = False
+    # Where the flatfield ADMM solve runs: 'host' (NumPy twin — the
+    # working-resolution solve is ~100 MFLOP) or 'device' (jitted
+    # lax.fori_loop on one fixed padded shape; right once the compile is
+    # cached or the chip is DMA-attached).
+    flatfield_device: str = 'host'
     # Pair batches at or below this size measure on the host f64 twin
     # (a one-shot remote compile can cost more than the measurement);
     # larger batches run the jitted device kernel. 0 = always device.
@@ -229,6 +234,8 @@ class EngineOptions:
                 "registration_scope must be 'center', 'all-pairs' or 'global'")
         if self.fusion_device not in ('auto', 'device', 'host'):
             raise ValueError("fusion_device must be 'auto', 'device' or 'host'")
+        if self.flatfield_device not in ('host', 'device'):
+            raise ValueError("flatfield_device must be 'host' or 'device'")
         if self.device_fusion_kernel not in ('xla', 'pallas'):
             raise ValueError("device_fusion_kernel must be 'xla' or 'pallas'")
         if self.streaming not in ('auto', 'on', 'off'):

@@ -100,26 +100,27 @@ def test_flatfield_samples_span_timepoints(tmp_path, monkeypatch):
     pipe.acq = acq_mod.scan_acquisition(acq_dir)
 
     sampled = []
-    import image_stitcher_tpu.models.pipeline as pl_mod
-    real_fit = pl_mod.fit_flatfield
+    from image_stitcher_tpu.ops import flatfield as ff_mod
+    real_fit = ff_mod.fit_flatfield_stack_np
 
     def spy_fit(images, *a, **k):
         sampled.append(images.shape[0])
         return real_fit(images, *a, **k)
 
-    monkeypatch.setattr(pl_mod, "fit_flatfield", spy_fit)
-    # spy on which files get read: collect paths via read_image wrapper
+    monkeypatch.setattr(ff_mod, "fit_flatfield_stack_np", spy_fit)
+    # spy on which files get sampled
     read_paths = []
-    real_read = pl_mod.read_image
+    real_load = ff_mod.load_sample_small
 
-    def spy_read(path):
+    def spy_load(path, *a, **k):
         read_paths.append(path)
-        return real_read(path)
+        return real_load(path, *a, **k)
 
-    monkeypatch.setattr(pl_mod, "read_image", spy_read)
+    monkeypatch.setattr(ff_mod, "load_sample_small", spy_load)
     pipe.compute_flatfields()
-    # fixed 80-sample budget (48 cap + one timepoint's 32)
-    assert sampled == [80]
+    # host path fits every unique sample once (no cycle padding):
+    # 32 from each of the two timepoints
+    assert sampled == [64]
     # samples drawn from both timepoints (32 from t0 + 32 from t1)
     t0 = sum(1 for p_ in set(read_paths) if f"{os.sep}0{os.sep}" in p_)
     t1 = sum(1 for p_ in set(read_paths) if f"{os.sep}1{os.sep}" in p_)

@@ -78,6 +78,8 @@ class StitchPipeline:
         self.saved_paths: List[str] = []
         self.global_positions: Dict = {}
         self.global_positions_float: Dict = {}
+        self._global_rejected: set = set()  # regions whose solve failed
+        # the canvas sanity clamp (grid-model fallback, no re-solve)
         self.timers = StageTimers()
 
     # ------------------------------------------------------------------ util
@@ -447,6 +449,24 @@ class StitchPipeline:
                 h_weights=h_w, v_weights=v_w)
             pos_f = solve_positions(pairs, n_rows * n_cols)
             pos = positions_to_int(pos_f)
+            # Sanity clamp: solved positions must stay within the
+            # stage/grid-model extent plus slack — one confidently-wrong
+            # pair chain must not balloon the canvas. On violation, warn
+            # and fall back to the (median-aggregated) grid model.
+            gw, gh = geo.output_dimensions_registered(
+                n_cols, n_rows, acq.input_width, acq.input_height,
+                self.shifts)
+            slack_y, slack_x = 2 * acq.input_height, 2 * acq.input_width
+            ys_px, xs_px = pos[:, 0], pos[:, 1]
+            if (ys_px.max() + acq.input_height > gh + slack_y
+                    or xs_px.max() + acq.input_width > gw + slack_x
+                    or ys_px.min() < -slack_y or xs_px.min() < -slack_x):
+                self.reporter.status(
+                    f"global solve for region {region} exceeds the stage "
+                    f"extent (+{slack_y}/{slack_x} px slack); falling back "
+                    "to the grid shift model", False)
+                self._global_rejected.add(region)
+                return
             # only cells with at least one constraint get solved
             # positions; unconstrained tiles (e.g. missing registration-
             # channel file) fall back to the grid model in _build_jobs
@@ -467,7 +487,8 @@ class StitchPipeline:
         (solved lazily the first time a region is stitched)."""
         if (self.options.registration_scope == 'global'
                 and self.params.use_registration
-                and region not in self.global_positions):
+                and region not in self.global_positions
+                and region not in self._global_rejected):
             with self.timers.time('registration'):
                 self.calculate_shifts_all_pairs(int(t), region)
             m = getattr(self, '_manifest', None)
@@ -583,8 +604,8 @@ class StitchPipeline:
             self.reporter.status(summarize_plan(jobs, th, tw), False)
 
         # An explicit device mesh overrides backend selection: the user
-        # asked for sharded multi-chip fusion (mesh+feather is rejected
-        # at EngineOptions.validate).
+        # asked for sharded multi-chip fusion (overwrite or feather —
+        # the banded (acc, wsum) pair shards like the canvas).
         if opts.mesh_shape is not None:
             loader = TileBatchLoader(jobs, opts.fusion_batch, th, tw,
                                      acq.dtype,
@@ -658,7 +679,6 @@ class StitchPipeline:
         opts = self.options
         if (opts.streaming == 'off'
                 or opts.mesh_shape is not None
-                or opts.fusion_device == 'device'
                 or not self.output_format.endswith('.zarr')):
             return False
         if opts.streaming == 'on':
@@ -670,8 +690,14 @@ class StitchPipeline:
         return canvas_bytes > opts.streaming_threshold_bytes
 
     def _stitch_and_save_streaming(self, t, region: str) -> str:
-        """Fuse + write in bounded-memory bands (models/streaming.py)."""
-        from .streaming import StreamingFuser
+        """Fuse + write in bounded-memory bands (models/streaming.py).
+
+        The band pipeline has a host twin (threaded NumPy + native C)
+        and a device twin (HBM-resident bands through the jitted fusion
+        kernels); selection follows the same fusion_device/auto probe
+        as the in-RAM paths.
+        """
+        from .streaming import DeviceStreamingFuser, StreamingFuser
         acq = self.acq
         opts = self.options
         width, height = self._region_dimensions(t, region)
@@ -686,21 +712,34 @@ class StitchPipeline:
             acq.monochrome_channels, acq.monochrome_colors,
             cname=opts.compressor_cname, clevel=opts.compressor_clevel,
             shuffle=opts.compressor_shuffle)
-        fuser = StreamingFuser(
-            writer, acq.num_c, acq.num_z, height, width,
-            acq.input_height, acq.input_width, acq.dtype,
-            self.num_pyramid_levels, opts.pyramid_downsample,
-            chunk_rows=opts.chunks[3],
-            num_threads=opts.resolved_fusion_threads(),
-            flatfields=self._flatfield_stack_np() if self.flatfields else None,
-            blend_method=opts.blend_method, blend_px=opts.feather_px)
+        backend = self._select_fusion_backend(height, width, len(jobs))
+        ff = self._flatfield_stack_np() if self.flatfields else None
+        if backend == 'device':
+            fuser = DeviceStreamingFuser(
+                writer, acq.num_c, acq.num_z, height, width,
+                acq.input_height, acq.input_width, acq.dtype,
+                self.num_pyramid_levels, opts.pyramid_downsample,
+                chunk_rows=opts.chunks[3], batch_size=opts.fusion_batch,
+                reader_threads=opts.resolved_reader_threads(),
+                flatfields=ff, blend_method=opts.blend_method,
+                blend_px=opts.feather_px)
+        else:
+            fuser = StreamingFuser(
+                writer, acq.num_c, acq.num_z, height, width,
+                acq.input_height, acq.input_width, acq.dtype,
+                self.num_pyramid_levels, opts.pyramid_downsample,
+                chunk_rows=opts.chunks[3],
+                num_threads=opts.resolved_fusion_threads(),
+                flatfields=ff, blend_method=opts.blend_method,
+                blend_px=opts.feather_px)
 
         fuser.run(jobs, load_tile_plane,
                   progress_cb=self.reporter.update_progress,
                   stop_check=self._check_stop)
-        self.reporter.status(
-            "stream stages: " + " ".join(
-                f"{k}={v:.2f}s" for k, v in fuser.stats.items()), False)
+        if hasattr(fuser, 'stats'):
+            self.reporter.status(
+                "stream stages: " + " ".join(
+                    f"{k}={v:.2f}s" for k, v in fuser.stats.items()), False)
         return output_path
 
     def _stitch_region_sharded(self, loader, height: int, width: int,
@@ -713,7 +752,9 @@ class StitchPipeline:
         opts = self.options
         mesh = make_mesh(opts.mesh_shape)
         canvas = ShardedCanvas(mesh, acq.num_c, acq.num_z, height, width,
-                               acq.input_height, acq.input_width, acq.dtype)
+                               acq.input_height, acq.input_width, acq.dtype,
+                               blend_method=opts.blend_method,
+                               blend_px=opts.feather_px)
         ff_stack = self._flatfield_stack() if self.flatfields else None
         processed = 0
         for batch in loader:

@@ -31,6 +31,32 @@ def band_rows_for(chunk_rows: int, num_levels: int) -> int:
     return max(chunk_rows, ((chunk_rows + align - 1) // align) * align)
 
 
+def partition_jobs_by_band(jobs: Sequence, tile_h: int, height: int,
+                           band: int):
+    """Group jobs by (channel, z, band_start), preserving plan order
+    within each band. A job appears in every band its cropped window
+    intersects; ``is_primary`` is True only for its first band so
+    progress counts each job exactly once.
+
+    Returns (tasks dict, n_jobs).
+    """
+    tasks: Dict[Tuple[int, int, int], List] = {}
+    n_jobs = 0
+    for job in jobs:
+        top, bottom = job.crops[0], job.crops[1]
+        y0e = job.y + top
+        y1e = min(job.y + tile_h - bottom, height)
+        if y1e <= y0e:
+            continue
+        n_jobs += 1
+        first = True
+        for b in range(y0e // band, (y1e - 1) // band + 1):
+            tasks.setdefault((job.channel_idx, job.z_level,
+                              b * band), []).append((job, first))
+            first = False
+    return tasks, n_jobs
+
+
 class StreamingFuser:
     """Fuse per-plane bands and stream them into a MultiscaleWriter."""
 
@@ -169,21 +195,8 @@ class StreamingFuser:
             progress_cb: Optional[Callable[[int], None]] = None,
             stop_check: Optional[Callable] = None) -> None:
         """Fuse all jobs (TileJob-likes) through band tasks."""
-        # Partition jobs by (plane, band); preserve plan order per band.
-        tasks: Dict[Tuple[int, int, int], List] = {}
-        n_jobs = 0
-        for job in jobs:
-            top, bottom = job.crops[0], job.crops[1]
-            y0e = job.y + top
-            y1e = min(job.y + self.tile_h - bottom, self.height)
-            if y1e <= y0e:
-                continue
-            n_jobs += 1
-            first = True
-            for b in range(y0e // self.band, (y1e - 1) // self.band + 1):
-                tasks.setdefault((job.channel_idx, job.z_level,
-                                  b * self.band), []).append((job, first))
-                first = False  # progress counts each job exactly once
+        tasks, n_jobs = partition_jobs_by_band(jobs, self.tile_h,
+                                               self.height, self.band)
 
         import threading
         done = [0]
@@ -219,3 +232,147 @@ class StreamingFuser:
         t0 = _time.perf_counter()
         self.writer.close()
         self._tick('close', t0)
+
+
+class DeviceStreamingFuser:
+    """HBM-resident Y-band fusion: the device twin of StreamingFuser.
+
+    The reference's canvas-free architecture (zarr_stitcher.py:421-489)
+    with the canvas band living in HBM: tile batches fuse on device
+    through the SAME jitted kernels as the in-RAM device path
+    (ops/fuse.fuse_overwrite / fuse_feather), finished bands come back
+    as one D2H slab and stream into the async writer while the next
+    band fuses. Canvases beyond HBM capacity therefore stay on the
+    device fusion path instead of falling back to the host.
+
+    Placement parity trick: each band canvas carries a one-tile apron
+    on ALL four sides, so a tile straddling the band's top edge keeps
+    its full pre-crop slice origin in-bounds (the kernels' masks and
+    ramps are evaluated on the whole tile exactly as in the in-RAM
+    path) — band output is bit-identical to the unbanded device canvas.
+    """
+
+    def __init__(self, writer: MultiscaleWriter, num_c: int, num_z: int,
+                 height: int, width: int, tile_h: int, tile_w: int, dtype,
+                 num_levels: int, downsample_mode: str = 'nearest',
+                 chunk_rows: int = 2048, batch_size: int = 8,
+                 reader_threads: int = 4,
+                 flatfields: Optional[np.ndarray] = None,
+                 blend_method: str = 'overwrite', blend_px: int = 64):
+        self.writer = writer
+        self.num_c, self.num_z = num_c, num_z
+        self.height, self.width = height, width
+        self.tile_h, self.tile_w = tile_h, tile_w
+        self.dtype = np.dtype(dtype)
+        self.num_levels = num_levels
+        self.mode = downsample_mode
+        self.band = band_rows_for(chunk_rows, num_levels)
+        self.batch_size = batch_size
+        self.reader_threads = reader_threads
+        self.flatfields = flatfields
+        self.blend = blend_method
+        self.blend_px = blend_px
+
+    def _fuse_band(self, band0: int, jobs: Sequence, load_fn: Callable,
+                   pool, progress_cb=None) -> np.ndarray:
+        import jax.numpy as jnp
+        from ..ops import fuse as fuse_ops
+        th, tw = self.tile_h, self.tile_w
+        rows = min(self.band, self.height - band0)
+        # apron: th above (straddlers from the previous band), th below +
+        # tw right (dynamic_update_slice stays in-bounds, as in
+        # ops/fuse.padded_canvas_shape)
+        shape = (1, 1, th + self.band + th, self.width + tw)
+        if self.blend == 'feather':
+            acc = jnp.zeros(shape, jnp.float32)
+            wsum = jnp.zeros(shape, jnp.float32)
+        else:
+            canvas = jnp.zeros(shape, self.dtype)
+        ff = (jnp.asarray(self.flatfields)
+              if self.flatfields is not None else None)
+
+        n = self.batch_size
+        chunks = [jobs[i:i + n] for i in range(0, len(jobs), n)]
+        for chunk in chunks:
+            tiles = np.zeros((n, th, tw), self.dtype)
+            info = np.zeros((n, 4), np.int32)
+            crops = np.zeros((n, 4), np.int32)
+            valid = np.zeros((n,), bool)
+            chans = np.zeros((n,), np.int32)
+            planes = list(pool.map(load_fn, [j for j, _ in chunk]))
+            for i, ((job, _), img) in enumerate(zip(chunk, planes)):
+                h, w = min(img.shape[0], th), min(img.shape[1], tw)
+                tiles[i, :h, :w] = img[:h, :w]
+                # band-local coordinates; the +th apron keeps origins >= 0
+                info[i] = (0, 0, job.y - band0 + th, job.x)
+                top, bottom, left, right = job.crops
+                crops[i] = (top, max(bottom, th - h),
+                            left, max(right, tw - w))
+                valid[i] = True
+                chans[i] = job.channel_idx
+            dtiles = jnp.asarray(tiles)
+            if ff is not None:
+                dtiles = fuse_ops.apply_flatfield(dtiles, ff,
+                                                  jnp.asarray(chans),
+                                                  self.dtype)
+            dinfo = jnp.asarray(info)
+            dcrops = jnp.asarray(crops)
+            dvalid = jnp.asarray(valid)
+            if self.blend == 'feather':
+                acc, wsum = fuse_ops.fuse_feather(acc, wsum, dtiles, dinfo,
+                                                  dcrops, dvalid,
+                                                  blend_px=self.blend_px)
+            else:
+                canvas = fuse_ops.fuse_overwrite(canvas, dtiles, dinfo,
+                                                 dcrops, dvalid)
+            if progress_cb is not None:
+                for job, is_primary in chunk:
+                    if is_primary:
+                        progress_cb()
+        if self.blend == 'feather':
+            canvas = fuse_ops.finalize_feather(acc, wsum, self.dtype)
+        # D2H only the real rows/cols of this band
+        return np.asarray(canvas[0, 0, th:th + rows, :self.width])
+
+    def _write_band(self, c: int, z: int, band0: int,
+                    buf: np.ndarray) -> None:
+        rows = buf.shape[0]
+        sel0 = (slice(0, 1), slice(c, c + 1), slice(z, z + 1),
+                slice(band0, band0 + rows), slice(0, self.width))
+        self.writer.write_level(0, buf[None, None, None], sel=sel0)
+        level = buf
+        for lv in range(1, self.num_levels):
+            level = host_downsample(level, self.mode)
+            b_lv = band0 >> lv
+            h_lv, w_lv = level.shape
+            if h_lv == 0 or w_lv == 0:
+                break
+            sel = (slice(0, 1), slice(c, c + 1), slice(z, z + 1),
+                   slice(b_lv, b_lv + h_lv), slice(0, w_lv))
+            self.writer.write_level(lv, level[None, None, None], sel=sel)
+
+    def run(self, jobs: Sequence, load_fn: Callable,
+            progress_cb: Optional[Callable[[int], None]] = None,
+            stop_check: Optional[Callable] = None) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+        tasks, n_jobs = partition_jobs_by_band(jobs, self.tile_h,
+                                               self.height, self.band)
+        done = [0]
+
+        def progress():
+            done[0] += 1
+            if progress_cb is not None:
+                progress_cb(done[0], n_jobs)
+
+        pool = ThreadPoolExecutor(self.reader_threads)
+        try:
+            for key in sorted(tasks.keys()):
+                if stop_check is not None:
+                    stop_check()
+                c, z, band0 = key
+                buf = self._fuse_band(band0, tasks[key], load_fn, pool,
+                                      progress)
+                self._write_band(c, z, band0, buf)
+        finally:
+            pool.shutdown(wait=False)
+        self.writer.close()

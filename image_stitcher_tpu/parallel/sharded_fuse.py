@@ -8,6 +8,12 @@ straddling tiles land partially in the top/bottom aprons, which are
 discarded at finalize). No halo exchange and no collectives in the hot
 loop — each output row has exactly one owner.
 
+Feather blending shards the same way: the (acc, wsum) f32 pair is banded,
+each band accumulates the rows it owns (ramps are computed on the whole
+tile from its crops, so a straddler contributes identical weights to both
+its bands), and the divide+cast finalize is per-band local — bit-equal to
+the single-device feather path (tested).
+
 This is the TPU-mesh replacement for the reference's multiprocessing
 fan-out of disjoint zarr slice writes (zarr_stitcher.py:421-489).
 """
@@ -23,7 +29,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from ..ops.fuse import _tile_mask
+from ..ops.fuse import _feather_ramp, _tile_mask
 from .mesh import AXIS_CANVAS, AXIS_DATA, band_sharding
 
 
@@ -31,36 +37,51 @@ class ShardedCanvas:
     """A (C, Z, H, W) canvas banded across the mesh 'canvas' axis."""
 
     def __init__(self, mesh: Mesh, num_c: int, num_z: int,
-                 height: int, width: int, tile_h: int, tile_w: int, dtype):
+                 height: int, width: int, tile_h: int, tile_w: int, dtype,
+                 blend_method: str = 'overwrite', blend_px: int = 64):
         self.mesh = mesh
         self.n_bands = mesh.shape[AXIS_CANVAS]
         self.height, self.width = height, width
         self.tile_h, self.tile_w = tile_h, tile_w
         self.band = -(-height // self.n_bands)  # ceil rows per band
         self.band_pad = self.band + 2 * tile_h
+        self.dtype = np.dtype(dtype)
+        self.blend = blend_method
+        self.blend_px = blend_px
         shape = (self.n_bands, num_c, num_z, self.band_pad, width + tile_w)
-        self.array = jax.device_put(
-            jnp.zeros(shape, dtype), band_sharding(mesh))
-        self._fuse = self._build_fuse(shape, dtype)
+        if blend_method == 'feather':
+            self.acc = jax.device_put(jnp.zeros(shape, jnp.float32),
+                                      band_sharding(mesh))
+            self.wsum = jax.device_put(jnp.zeros(shape, jnp.float32),
+                                       band_sharding(mesh))
+            self._fuse = self._build_fuse_feather()
+        else:
+            self.array = jax.device_put(
+                jnp.zeros(shape, dtype), band_sharding(mesh))
+            self._fuse = self._build_fuse()
 
-    def _build_fuse(self, shape, dtype):
+    def _band_local_pos(self, meta, cv_rows):
+        """Band-local y origin + intersection flag for one tile."""
         band = self.band
+        tile_h = self.tile_h
+        b = jax.lax.axis_index(AXIS_CANVAS)
+        band_start = b * band
+        y = meta[2]
+        y_local = jnp.clip(y - band_start + tile_h, 0, cv_rows - tile_h)
+        intersects = (y + tile_h > band_start) & (y < band_start + band)
+        return y_local, intersects
+
+    def _build_fuse(self):
         tile_h, tile_w = self.tile_h, self.tile_w
         mesh = self.mesh
 
         def local_fuse(canvas, tiles, info, crops, valid):
             # canvas: (1, C, Z, band_pad, Wp) local shard
-            b = jax.lax.axis_index(AXIS_CANVAS)
-            band_start = b * band
-
             def body(cv, inp):
                 tile, meta, crop, ok = inp
-                c, z, y, x = meta[0], meta[1], meta[2], meta[3]
-                y_local = y - band_start + tile_h
-                intersects = (y + tile_h > band_start) & (y < band_start + band)
-                ok = ok & intersects
-                y_local = jnp.clip(y_local, 0, cv.shape[3] - tile_h)
-                mask = _tile_mask(crop, tile_h, tile_w, ok)
+                c, z, x = meta[0], meta[1], meta[3]
+                y_local, intersects = self._band_local_pos(meta, cv.shape[3])
+                mask = _tile_mask(crop, tile_h, tile_w, ok & intersects)
                 cur = jax.lax.dynamic_slice(
                     cv, (0, c, z, y_local, x), (1, 1, 1, tile_h, tile_w))
                 upd = jnp.where(mask[None, None, None], tile[None, None, None], cur)
@@ -77,25 +98,77 @@ class ShardedCanvas:
             check_vma=False)
         return jax.jit(fuse, donate_argnums=(0,))
 
+    def _build_fuse_feather(self):
+        tile_h, tile_w = self.tile_h, self.tile_w
+        blend_px = self.blend_px
+        mesh = self.mesh
+
+        def local_fuse(acc, wsum, tiles, info, crops, valid):
+            def body(carry, inp):
+                a, w = carry
+                tile, meta, crop, ok = inp
+                c, z, x = meta[0], meta[1], meta[3]
+                y_local, intersects = self._band_local_pos(meta, a.shape[3])
+                # ramp from the tile's full crop window — identical on
+                # every band the tile touches (no boundary seams)
+                ramp = _feather_ramp(crop, tile_h, tile_w, ok & intersects,
+                                     blend_px)
+                cur_a = jax.lax.dynamic_slice(
+                    a, (0, c, z, y_local, x), (1, 1, 1, tile_h, tile_w))
+                cur_w = jax.lax.dynamic_slice(
+                    w, (0, c, z, y_local, x), (1, 1, 1, tile_h, tile_w))
+                new_a = cur_a + (ramp * tile.astype(jnp.float32))[None, None, None]
+                new_w = cur_w + ramp[None, None, None]
+                a = jax.lax.dynamic_update_slice(a, new_a, (0, c, z, y_local, x))
+                w = jax.lax.dynamic_update_slice(w, new_w, (0, c, z, y_local, x))
+                return (a, w), None
+
+            (acc, wsum), _ = jax.lax.scan(body, (acc, wsum),
+                                          (tiles, info, crops, valid))
+            return acc, wsum
+
+        fuse = shard_map(
+            local_fuse, mesh=mesh,
+            in_specs=(P(AXIS_CANVAS), P(AXIS_CANVAS), P(), P(), P(), P()),
+            out_specs=(P(AXIS_CANVAS), P(AXIS_CANVAS)),
+            check_vma=False)
+        return jax.jit(fuse, donate_argnums=(0, 1))
+
     def fuse_batch(self, tiles: jnp.ndarray, info: jnp.ndarray,
                    crops: jnp.ndarray, valid: jnp.ndarray):
         """Fuse a replicated batch; tiles (N, th, tw), info (N,4) [c,z,y,x]."""
-        self.array = self._fuse(self.array, tiles, info, crops, valid)
+        if self.blend == 'feather':
+            self.acc, self.wsum = self._fuse(self.acc, self.wsum, tiles,
+                                             info, crops, valid)
+        else:
+            self.array = self._fuse(self.array, tiles, info, crops, valid)
 
     @functools.cached_property
     def _finalize(self):
         th = self.tile_h
 
-        @jax.jit
-        def fin(banded):
+        def assemble(banded):
             d, c, z, bp, wp = banded.shape
             core = banded[:, :, :, th:th + self.band, :]
             out = jnp.transpose(core, (1, 2, 0, 3, 4)).reshape(
                 c, z, d * self.band, wp)
             return out[:, :, :self.height, :self.width]
 
-        return fin
+        if self.blend == 'feather':
+            from ..ops.fuse import finalize_feather
+            out_dtype = self.dtype
+
+            @jax.jit
+            def fin(acc, wsum):
+                # per-band divide+cast is local (each row has one owner
+                # accumulating it), then assemble
+                return assemble(finalize_feather(acc, wsum, out_dtype))
+
+            return fin
+        return jax.jit(assemble)
 
     def finalize(self) -> jnp.ndarray:
         """Assemble the (C, Z, H, W) canvas (device-resident)."""
+        if self.blend == 'feather':
+            return self._finalize(self.acc, self.wsum)
         return self._finalize(self.array)

@@ -243,9 +243,5 @@ class EngineOptions:
         if self.subpixel_placement and self.registration_scope != 'global':
             raise ValueError(
                 "subpixel_placement requires registration_scope='global'")
-        if self.mesh_shape is not None and self.blend_method == 'feather':
-            raise ValueError(
-                "mesh-sharded fusion does not support blend_method='feather' "
-                "yet; use overwrite or drop mesh_shape")
         if len(self.chunks) != 5:
             raise ValueError("chunks must be a 5-tuple (T,C,Z,Y,X)")

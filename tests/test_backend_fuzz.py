@@ -29,6 +29,8 @@ BACKENDS = {
     "streaming": dict(fusion_device='host', streaming='on',
                       chunks=(1, 1, 1, 64, 64)),
     "device_xla": dict(fusion_device='device', streaming='off'),
+    "device_streaming": dict(fusion_device='device', streaming='on',
+                             chunks=(1, 1, 1, 64, 64)),
     "mesh": dict(mesh_shape=(1, 4), streaming='off'),
 }
 
@@ -65,6 +67,9 @@ def test_feather_backends_agree(tmp_path, use_registration):
         "streaming": dict(fusion_device='host', streaming='on',
                           chunks=(1, 1, 1, 64, 64)),
         "device": dict(fusion_device='device', streaming='off'),
+        "device_streaming": dict(fusion_device='device', streaming='on',
+                                 chunks=(1, 1, 1, 64, 64)),
+        "mesh": dict(mesh_shape=(1, 4), streaming='off'),
     }
     results = {}
     for name, opts in feather_backends.items():

@@ -78,14 +78,17 @@ def test_streaming_progress_counts_jobs_once(tmp_path):
 
 
 def test_streaming_respects_explicit_device(tmp_path):
-    """Finding: streaming hijacked fusion_device='device'."""
+    """Finding (r1): streaming hijacked fusion_device='device' onto the
+    host path. Since r2 the device choice is honored WITHIN streaming:
+    an explicit device + streaming='on' runs the HBM-banded device
+    fuser (stream_fuse_save), not the host bands and not in-RAM."""
     acq_dir = str(tmp_path / "acq")
     write_synthetic_acquisition(acq_dir, grid_cols=2, grid_rows=2,
                                 tile_w=64, tile_h=64, overlap=16)
     pipe = stitch(acq_dir, options=EngineOptions(
         streaming='on', fusion_device='device'))
-    assert 'stream_fuse_save' not in pipe.timers.totals
-    assert 'fuse' in pipe.timers.totals
+    assert 'stream_fuse_save' in pipe.timers.totals
+    assert 'fuse' not in pipe.timers.totals
 
 
 def test_flatfield_samples_span_timepoints(tmp_path, monkeypatch):

@@ -99,6 +99,42 @@ def test_undersized_tile_feather_backends_agree(tmp_path):
     assert diff.max() <= 1  # f32 accumulation order
 
 
+def test_global_solve_canvas_clamp(tmp_path, monkeypatch):
+    """A confidently-wrong pair chain must not balloon the canvas: the
+    solve's positions are bounded by the grid-model extent + 2-tile
+    slack, else the region falls back to the grid shift model."""
+    from image_stitcher_tpu.ops import globalopt
+    real_solve = globalopt.solve_positions
+
+    def bad_solve(pairs, n, **kw):
+        pos = real_solve(pairs, n, **kw)
+        pos = np.asarray(pos).copy()
+        pos[-1] += 50000.0  # one tile flies off the canvas
+        return pos
+
+    monkeypatch.setattr(globalopt, "solve_positions", bad_solve)
+    acq_dir = str(tmp_path / "acq")
+    write_synthetic_acquisition(acq_dir, grid_cols=3, grid_rows=3,
+                                tile_w=96, tile_h=96, overlap=32, jitter=2,
+                                acq_params_overrides={"pixel_binning": 2})
+    msgs = []
+    from image_stitcher_tpu.utils.progress import ProgressReporter
+    from image_stitcher_tpu import StitchingParameters
+    from image_stitcher_tpu.models.pipeline import StitchPipeline
+    p = StitchingParameters(input_folder=acq_dir, use_registration=True)
+    pipe = StitchPipeline(
+        p, EngineOptions(registration_scope='global'),
+        reporter=ProgressReporter(status=lambda m, s=False: msgs.append(m)))
+    pipe.run()
+    # fell back: no global positions kept, warning surfaced
+    assert not pipe.global_positions
+    assert any("exceeds the stage extent" in m for m in msgs)
+    # canvas stayed grid-sized (not 50000+ px)
+    arr = _read_level0(acq_dir)
+    assert arr.shape[-1] < 1000 and arr.shape[-2] < 1000
+    assert (arr != 0).mean() > 0.5
+
+
 def test_flatfield_device_matches_host(tmp_path):
     """flatfield_device='device' (jitted solver on the padded stack)
     produces a field close to the host fit on the unique stack."""

@@ -49,15 +49,21 @@ class ShardedCanvas:
         self.blend = blend_method
         self.blend_px = blend_px
         shape = (self.n_bands, num_c, num_z, self.band_pad, width + tile_w)
+
+        def banded_zeros(dt):
+            # jit-init with out_shardings: zeros materialize directly in
+            # their bands (no replicated host buffer), and this works
+            # under multi-controller JAX where device_put from a host
+            # value cannot target non-addressable devices.
+            return jax.jit(lambda: jnp.zeros(shape, dt),
+                           out_shardings=band_sharding(mesh))()
+
         if blend_method == 'feather':
-            self.acc = jax.device_put(jnp.zeros(shape, jnp.float32),
-                                      band_sharding(mesh))
-            self.wsum = jax.device_put(jnp.zeros(shape, jnp.float32),
-                                       band_sharding(mesh))
+            self.acc = banded_zeros(jnp.float32)
+            self.wsum = banded_zeros(jnp.float32)
             self._fuse = self._build_fuse_feather()
         else:
-            self.array = jax.device_put(
-                jnp.zeros(shape, dtype), band_sharding(mesh))
+            self.array = banded_zeros(dtype)
             self._fuse = self._build_fuse()
 
     def _band_local_pos(self, meta, cv_rows):

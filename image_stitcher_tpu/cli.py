@@ -51,6 +51,19 @@ def parse_args(argv=None) -> argparse.Namespace:
     parser.add_argument('--fusion-device', choices=['auto', 'device', 'host'],
                         default='auto',
                         help="Where fusion runs (default: auto via link probe)")
+    parser.add_argument('--registration-scope',
+                        choices=['center', 'all-pairs', 'global'],
+                        default=None,
+                        help="Shift measurement scope: reference-parity "
+                             "center pair, robust all-pairs median, or the "
+                             "global per-tile position solve")
+    parser.add_argument('--flatfield-device', choices=['host', 'device'],
+                        default='host',
+                        help="Where the flatfield ADMM solve runs")
+    parser.add_argument('--streaming', choices=['auto', 'on', 'off'],
+                        default='auto',
+                        help="Bounded-memory band-streaming fusion "
+                             "(default: auto above the canvas threshold)")
     parser.add_argument('--resume', action='store_true',
                         help="Continue the most recent interrupted run for this acquisition")
     parser.add_argument('--continue-on-error', action='store_true',
@@ -82,11 +95,15 @@ def create_options(args: argparse.Namespace) -> EngineOptions:
         chunks=(1, 1, 1, args.chunk_size, args.chunk_size),
         fusion_batch=args.fusion_batch,
         fusion_device=getattr(args, 'fusion_device', 'auto'),
+        flatfield_device=getattr(args, 'flatfield_device', 'host'),
+        streaming=getattr(args, 'streaming', 'auto'),
         continue_on_error=getattr(args, 'continue_on_error', False),
-        # the reference parsed but never used dynamic_registration
-        # (SURVEY.md §2c); here it selects the robust all-pairs scope
-        registration_scope=('all-pairs' if args.dynamic_registration
-                            else 'center'),
+        # explicit --registration-scope wins; otherwise the reference's
+        # dead dynamic_registration flag (SURVEY.md §2c) selects the
+        # robust all-pairs scope
+        registration_scope=(getattr(args, 'registration_scope', None)
+                            or ('all-pairs' if args.dynamic_registration
+                                else 'center')),
     )
 
 

@@ -10,8 +10,10 @@ output-format combo gating merges to zarr, progress bar driven by a
 100 ms queue-polling timer, stop/terminate escalation, and napari
 launch with per-channel colormaps.
 
-PyQt5/napari are optional: importing this module without them raises a
-clear error only when the GUI is actually launched.
+PyQt5/napari are optional: without them the widgets come from the
+headless stand-ins in qt_compat, so the full GUI logic constructs and
+drives in tests anywhere; launching the real window (main()) still
+requires PyQt5.
 """
 
 from __future__ import annotations
@@ -19,17 +21,10 @@ from __future__ import annotations
 import queue as queue_mod
 import sys
 
-try:
-    from PyQt5.QtCore import QTimer, Qt
-    from PyQt5.QtWidgets import (QApplication, QCheckBox, QComboBox,
-                                 QFileDialog, QHBoxLayout, QLabel,
-                                 QMessageBox, QProgressBar, QPushButton,
-                                 QSpinBox, QVBoxLayout, QWidget)
-    HAVE_QT = True
-except ImportError:  # headless environment
-    HAVE_QT = False
-    QWidget = object  # type: ignore
-
+from .qt_compat import (HAVE_QT, QApplication, QCheckBox, QComboBox,
+                        QFileDialog, QHBoxLayout, QLabel, QMessageBox,
+                        QProgressBar, QPushButton, QSpinBox, QTimer, Qt,
+                        QVBoxLayout, QWidget)
 from .params import EngineOptions, StitchingParameters
 
 # Display colormaps per wavelength (reference stitcher_gui.py:11-20).
@@ -51,10 +46,6 @@ class StitchingGUI(QWidget):
     POLL_MS = 100  # queue polling period (reference stitcher_process_gui.py:46-49)
 
     def __init__(self):
-        if not HAVE_QT:
-            raise ImportError(
-                "PyQt5 is required for the GUI; install PyQt5 and napari "
-                "or use image_stitcher_tpu.cli / process_cli instead.")
         super().__init__()
         self.stitcher = None
         self.input_folder = None

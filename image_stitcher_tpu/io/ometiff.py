@@ -28,11 +28,22 @@ def write_ome_tiff_region(pipeline, t, region: str, canvas, output_path: str,
                      if is_host else
                      pyr_ops.downsample(level, pipeline.options.pyramid_downsample))
         levels.append(np.asarray(level))
+    # RGB acquisitions (channels expanded to {ch}_R/_G/_B) write true
+    # SamplesPerPixel=3 pages, matching the reference's production RGB
+    # TIFF path (stitcher_process.py:1429-1549)
+    mono = list(acq.monochrome_channels)
+    rgb = (len(mono) == 3 and len(acq.rgb_channels) > 0
+           and [m.rsplit('_', 1)[-1] for m in mono] == ['R', 'G', 'B'])
+    # stage origin of this region, recorded per OME-XML Plane (mm -> um)
+    xs, ys = acq.region_positions(int(t), region)
+    position_um = (min(xs) * 1000.0, min(ys) * 1000.0) if xs and ys else None
     write_ome_tiff_pyramid(
         output_path, levels,
         image_name=f"{region}_t{t}",
-        channel_names=acq.monochrome_channels,
+        channel_names=mono,
         channel_colors=acq.monochrome_colors,
         pixel_size_um=acq.pixel_size_um,
-        dz_um=acq.dz_um)
+        dz_um=acq.dz_um,
+        rgb=rgb,
+        position_um=position_um)
     return output_path

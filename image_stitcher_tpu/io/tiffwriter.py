@@ -34,6 +34,7 @@ T_TILEOFFSETS = 324
 T_TILEBYTECOUNTS = 325
 T_SUBIFDS = 330
 T_SAMPLEFORMAT = 339
+T_PLANARCONFIG = 284
 
 # TIFF types
 TY_SHORT = 3      # u16
@@ -76,13 +77,19 @@ class BigTiffWriter:
             self.f.write(b'\x00')
 
     def _write_tiles(self, plane: np.ndarray):
-        """Compress and write tile data; returns (offsets, bytecounts)."""
-        h, w = plane.shape
+        """Compress and write tile data; returns (offsets, bytecounts).
+
+        ``plane`` is (h, w) monochrome or (h, w, 3) interleaved RGB
+        (PlanarConfiguration=1: samples contiguous within each tile).
+        """
+        h, w = plane.shape[:2]
+        spp = plane.shape[2] if plane.ndim == 3 else 1
         ts = self.tile
         offsets, counts = [], []
         for ty in range(0, h, ts):
             for tx in range(0, w, ts):
-                block = np.zeros((ts, ts), plane.dtype)
+                shape = (ts, ts, spp) if spp > 1 else (ts, ts)
+                block = np.zeros(shape, plane.dtype)
                 sub = plane[ty:ty + ts, tx:tx + ts]
                 block[:sub.shape[0], :sub.shape[1]] = sub
                 raw = block.tobytes()
@@ -158,24 +165,28 @@ class BigTiffWriter:
         self._write_ifd(entries, chain=True)
 
     def _plane_entries(self, plane: np.ndarray, offsets, counts, subfile: int):
-        h, w = plane.shape
+        h, w = plane.shape[:2]
+        spp = plane.shape[2] if plane.ndim == 3 else 1
         bits = plane.dtype.itemsize * 8
         comp = 8 if self.compression == 'deflate' else 1
-        return [
+        entries = [
             (T_NEWSUBFILETYPE, TY_LONG, [subfile]),
             (T_IMAGEWIDTH, TY_LONG, [w]),
             (T_IMAGELENGTH, TY_LONG, [h]),
-            (T_BITSPERSAMPLE, TY_SHORT, [bits]),
+            (T_BITSPERSAMPLE, TY_SHORT, [bits] * spp),
             (T_COMPRESSION, TY_SHORT, [comp]),
-            (T_PHOTOMETRIC, TY_SHORT, [1]),
-            (T_SAMPLESPERPIXEL, TY_SHORT, [1]),
+            (T_PHOTOMETRIC, TY_SHORT, [2 if spp == 3 else 1]),
+            (T_SAMPLESPERPIXEL, TY_SHORT, [spp]),
             (T_SOFTWARE, TY_ASCII, 'image_stitcher_tpu'),
             (T_TILEWIDTH, TY_SHORT, [self.tile]),
             (T_TILELENGTH, TY_SHORT, [self.tile]),
             (T_TILEOFFSETS, TY_LONG8, offsets),
             (T_TILEBYTECOUNTS, TY_LONG8, counts),
-            (T_SAMPLEFORMAT, TY_SHORT, [_sample_format(plane.dtype)]),
+            (T_SAMPLEFORMAT, TY_SHORT, [_sample_format(plane.dtype)] * spp),
         ]
+        if spp > 1:
+            entries.append((T_PLANARCONFIG, TY_SHORT, [1]))
+        return entries
 
     def close(self):
         self.f.close()
@@ -184,20 +195,47 @@ class BigTiffWriter:
 def ome_xml(image_name: str, size_x: int, size_y: int, size_z: int,
             size_c: int, size_t: int, dtype: np.dtype,
             channel_names: Sequence[str], channel_colors: Sequence[int],
-            pixel_size_um: float, dz_um: float) -> str:
-    """Minimal valid OME-XML 2016-06 metadata block."""
+            pixel_size_um: float, dz_um: float,
+            rgb: bool = False,
+            planes: Optional[Sequence[dict]] = None) -> str:
+    """Valid OME-XML 2016-06 metadata block.
+
+    ``rgb`` groups the three samples under one Channel with
+    SamplesPerPixel=3 (the structure the reference's RGB pyvips path
+    carried, stitcher_process.py:1429-1549). ``planes`` adds per-plane
+    Plane elements with stage positions — dicts with keys
+    the_c/the_z/the_t and optional x_um/y_um/z_um (structure of the
+    reference's tifffile/ashlar metadata, stitcher_process.py:1344-1427,
+    ashlar_stitcher.py:141-219).
+    """
     ome_type = {np.dtype('uint8'): 'uint8', np.dtype('uint16'): 'uint16',
                 np.dtype('uint32'): 'uint32', np.dtype('int16'): 'int16',
                 np.dtype('float32'): 'float'}.get(np.dtype(dtype), 'uint16')
     channels = []
-    for i, (name, color) in enumerate(zip(channel_names, channel_colors)):
-        r, g, b = (color >> 16) & 0xFF, (color >> 8) & 0xFF, color & 0xFF
-        rgba = (r << 24) | (g << 16) | (b << 8) | 0xFF
-        if rgba >= 2 ** 31:
-            rgba -= 2 ** 32
+    if rgb:
+        name = channel_names[0].rsplit('_', 1)[0] if channel_names else 'RGB'
         channels.append(
-            f'<Channel ID="Channel:0:{i}" Name="{name}" Color="{rgba}" '
-            f'SamplesPerPixel="1"/>')
+            f'<Channel ID="Channel:0:0" Name="{name}" SamplesPerPixel="3"/>')
+    else:
+        for i, (name, color) in enumerate(zip(channel_names, channel_colors)):
+            r, g, b = (color >> 16) & 0xFF, (color >> 8) & 0xFF, color & 0xFF
+            rgba = (r << 24) | (g << 16) | (b << 8) | 0xFF
+            if rgba >= 2 ** 31:
+                rgba -= 2 ** 32
+            channels.append(
+                f'<Channel ID="Channel:0:{i}" Name="{name}" Color="{rgba}" '
+                f'SamplesPerPixel="1"/>')
+    plane_elems = []
+    for p in planes or ():
+        attrs = (f'TheC="{p["the_c"]}" TheZ="{p["the_z"]}" '
+                 f'TheT="{p["the_t"]}"')
+        if 'x_um' in p:
+            attrs += (f' PositionX="{p["x_um"]}" PositionXUnit="µm"'
+                      f' PositionY="{p["y_um"]}" PositionYUnit="µm"')
+        if 'z_um' in p:
+            attrs += f' PositionZ="{p["z_um"]}" PositionZUnit="µm"'
+        plane_elems.append(f'<Plane {attrs}/>')
+    n_pages = size_z * size_t * (1 if rgb else size_c)
     return (
         '<?xml version="1.0" encoding="UTF-8"?>'
         '<OME xmlns="http://www.openmicroscopy.org/Schemas/OME/2016-06" '
@@ -208,11 +246,13 @@ def ome_xml(image_name: str, size_x: int, size_y: int, size_z: int,
         f'<Pixels ID="Pixels:0" DimensionOrder="XYZCT" Type="{ome_type}" '
         f'SizeX="{size_x}" SizeY="{size_y}" SizeZ="{size_z}" '
         f'SizeC="{size_c}" SizeT="{size_t}" '
+        f'Interleaved="{"true" if rgb else "false"}" '
         f'PhysicalSizeX="{pixel_size_um}" PhysicalSizeXUnit="µm" '
         f'PhysicalSizeY="{pixel_size_um}" PhysicalSizeYUnit="µm" '
         f'PhysicalSizeZ="{dz_um}" PhysicalSizeZUnit="µm">'
-        + ''.join(channels) +
-        f'<TiffData PlaneCount="{size_z * size_c * size_t}"/>'
+        + ''.join(channels)
+        + f'<TiffData PlaneCount="{n_pages}"/>'
+        + ''.join(plane_elems) +
         '</Pixels></Image></OME>')
 
 
@@ -222,28 +262,54 @@ def write_ome_tiff_pyramid(path: str, levels: List[np.ndarray],
                            pixel_size_um: float, dz_um: float,
                            compression: str = 'deflate',
                            thumbnail: bool = True,
-                           thumbnail_max: int = 512) -> str:
+                           thumbnail_max: int = 512,
+                           rgb: bool = False,
+                           position_um: Optional[Sequence[float]] = None) -> str:
     """Write a (C, Z, H, W) multiscale stack as pyramidal OME-TIFF.
 
     ``levels`` are the pyramid levels, level 0 first, each (C, Z, h, w).
-    A reduced-resolution overview of the first channel is appended as a
-    final page when ``thumbnail`` is set (the layout the reference's
+    With ``rgb`` (C must be 3, ordered R/G/B) each page is one
+    SamplesPerPixel=3 interleaved plane — the reference's production
+    RGB TIFF layout (pyvips path, stitcher_process.py:1429-1549).
+    ``position_um`` = (x_um, y_um) stage origin recorded on every
+    OME-XML Plane element. A reduced-resolution overview is appended as
+    a final page when ``thumbnail`` is set (the layout the reference's
     tifffile writer produced, stitcher_process.py:1344-1427).
     """
     c, z, h, w = levels[0].shape
+    if rgb and c != 3:
+        raise ValueError(f"rgb output needs exactly 3 channels, got {c}")
+    planes = []
+    for ci in range(1 if rgb else c):
+        for zi in range(z):
+            p = {'the_c': ci, 'the_z': zi, 'the_t': 0,
+                 'z_um': round(zi * dz_um, 6)}
+            if position_um is not None:
+                p['x_um'] = round(float(position_um[0]), 6)
+                p['y_um'] = round(float(position_um[1]), 6)
+            planes.append(p)
     xml = ome_xml(image_name, w, h, z, c, 1, levels[0].dtype,
-                  channel_names, channel_colors, pixel_size_um, dz_um)
+                  channel_names, channel_colors, pixel_size_um, dz_um,
+                  rgb=rgb, planes=planes)
     writer = BigTiffWriter(path, compression=compression)
     first = True
     # Plane order matches DimensionOrder="XYZCT": Z varies fastest, then C.
-    for ci in range(c):
+    for ci in range(1 if rgb else c):
         for zi in range(z):
-            plane_levels = [lv[ci, zi] for lv in levels]
+            if rgb:
+                # (h, w, 3) interleaved from the R/G/B channel planes
+                plane_levels = [np.ascontiguousarray(
+                    np.stack([lv[0, zi], lv[1, zi], lv[2, zi]], axis=-1))
+                    for lv in levels]
+            else:
+                plane_levels = [lv[ci, zi] for lv in levels]
             writer.add_plane(plane_levels, description=xml if first else None)
             first = False
     if thumbnail:
-        thumb = levels[-1][0, 0]
-        while max(thumb.shape) > thumbnail_max:
+        thumb = levels[-1][:3 if rgb else 1, 0]
+        thumb = (np.ascontiguousarray(np.moveaxis(thumb, 0, -1))
+                 if rgb else thumb[0])
+        while max(thumb.shape[:2]) > thumbnail_max:
             thumb = thumb[::2, ::2]
         writer.add_plane([np.ascontiguousarray(thumb)],
                          description="reduced-resolution overview",

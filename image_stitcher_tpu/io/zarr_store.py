@@ -66,6 +66,69 @@ def create_zarr_array(
     return ts.open(spec).result()
 
 
+def create_zarr3_sharded_array(
+    path: str,
+    shape: Sequence[int],
+    chunks: Sequence[int],
+    dtype,
+    shard_multiple: int = 4,
+    cname: str = 'zstd',
+    clevel: int = 1,
+    fill_value=0,
+) -> ts.TensorStore:
+    """Create a zarr v3 array with the sharding_indexed codec.
+
+    Each shard file holds ``shard_multiple``^2 read chunks in Y/X, so the
+    on-disk file count drops by that factor squared versus v2 — the
+    answer to the reference's file-count pain at 12k-24k canvases
+    (save_region_test.py sweeps exist because of it). Readable by
+    zarr-python >= 3 and tensorstore.
+    """
+    chunks = [min(int(c), int(s)) if s > 0 else int(c)
+              for c, s in zip(chunks, shape)]
+    # shard (write) chunks: a multiple of the read chunk on the two
+    # trailing spatial axes, the read chunk elsewhere
+    shard = list(chunks)
+    for ax in (-2, -1):
+        shard[ax] = min(int(shape[ax]), chunks[ax] * shard_multiple)
+        # shard extents must be divisible by the read chunk
+        shard[ax] -= shard[ax] % chunks[ax] or 0
+        shard[ax] = max(shard[ax], chunks[ax])
+    spec = {
+        'driver': 'zarr3',
+        'kvstore': {'driver': 'file', 'path': path},
+        'metadata': {
+            'shape': list(map(int, shape)),
+            'data_type': np.dtype(dtype).name,
+            'fill_value': fill_value,
+            'chunk_grid': {'name': 'regular',
+                           'configuration': {'chunk_shape': shard}},
+            'codecs': [{
+                'name': 'sharding_indexed',
+                'configuration': {
+                    'chunk_shape': list(map(int, chunks)),
+                    'codecs': [
+                        {'name': 'bytes',
+                         'configuration': {'endian': 'little'}},
+                        {'name': 'blosc',
+                         'configuration': {'cname': cname,
+                                           'clevel': int(clevel),
+                                           'shuffle': 'shuffle'}},
+                    ],
+                    'index_codecs': [
+                        {'name': 'bytes',
+                         'configuration': {'endian': 'little'}},
+                        {'name': 'crc32c'},
+                    ],
+                },
+            }],
+        },
+        'create': True,
+        'delete_existing': True,
+    }
+    return ts.open(spec).result()
+
+
 def open_zarr_array(path: str, writable: bool = False) -> ts.TensorStore:
     return ts.open({
         'driver': 'zarr',

@@ -66,8 +66,20 @@ def write_raw_chunks(volume: np.ndarray, out: str, chunk: int) -> None:
                         f.write(blob)
 
 
+def write_zarr3_sharded(volume: np.ndarray, out: str, chunk: int) -> None:
+    from ..io.zarr_store import create_zarr3_sharded_array
+    arr = create_zarr3_sharded_array(out, volume.shape,
+                                     (1, 1, 1, chunk, chunk), volume.dtype)
+    arr.write(volume).result()
+
+
+def count_files(path: str) -> int:
+    return sum(len(fs) for _, _, fs in os.walk(path)) if os.path.isdir(path) else 1
+
+
 WRITERS = {
     "ome_zarr_tensorstore": (write_ome_zarr, ".ome.zarr"),
+    "zarr3_sharded": (write_zarr3_sharded, ".zarr"),
     "ome_tiff_pyramidal": (write_ome_tiff, ".ome.tiff"),
     "zlib_chunks": (write_raw_chunks, ".chunks"),
 }
@@ -88,12 +100,14 @@ def measure(size: int, z: int, c: int, chunks: List[int],
             try:
                 fn(volume, out, chunk)
                 dt = time.perf_counter() - t0
+                nf = count_files(out)
                 results.append({"writer": wname, "chunk": chunk,
                                 "seconds": round(dt, 2),
                                 "mb": round(du_mb(out), 1),
+                                "files": nf,
                                 "size": size})
                 print(f"{wname:>24} chunk={chunk:<5} {dt:7.2f}s "
-                      f"{du_mb(out):9.1f} MB", file=sys.stderr)
+                      f"{du_mb(out):9.1f} MB {nf:6d} files", file=sys.stderr)
             except Exception as e:
                 print(f"{wname} chunk={chunk} FAILED: {e}", file=sys.stderr)
             finally:

@@ -100,6 +100,67 @@ def test_pipeline_tiff_output(tmp_path):
     np.testing.assert_array_equal(arr, gt)
 
 
+def test_rgb_pages_and_planes(tmp_path):
+    """RGB mode writes SamplesPerPixel=3 interleaved pages and OME-XML
+    Plane elements with stage positions (reference's production RGB
+    path + plane metadata, stitcher_process.py:1344-1549)."""
+    from PIL import Image
+    rng = np.random.default_rng(1)
+    data = rng.integers(0, 255, (3, 2, 96, 128), dtype=np.uint8)
+    levels = [data, data[..., ::2, ::2]]
+    path = str(tmp_path / "rgb.ome.tiff")
+    write_ome_tiff_pyramid(path, levels, "brightfield",
+                           ["BF_R", "BF_G", "BF_B"], [0xFF0000, 0x00FF00,
+                                                      0x0000FF],
+                           0.5, 1.5, rgb=True, position_um=(1234.5, 678.9))
+    img = Image.open(path)
+    # 2 z-planes (RGB) + thumbnail
+    for zi in range(2):
+        img.seek(zi)
+        arr = np.asarray(img)
+        assert arr.shape == (96, 128, 3)
+        np.testing.assert_array_equal(arr, np.moveaxis(data[:, zi], 0, -1))
+    img.seek(0)
+    desc = img.tag_v2[270]
+    assert 'SamplesPerPixel="3"' in desc
+    assert 'SizeC="3"' in desc and 'Interleaved="true"' in desc
+    assert 'PositionX="1234.5"' in desc and 'PositionY="678.9"' in desc
+    assert desc.count('<Plane ') == 2  # one per z page
+    assert 'TheZ="1"' in desc and 'PositionZ="1.5"' in desc
+
+
+def test_plane_elements_monochrome(tmp_path):
+    from PIL import Image
+    data = make_stack(c=2, z=2, h=64, w=64)
+    path = str(tmp_path / "p.ome.tiff")
+    write_ome_tiff_pyramid(path, [data], "img", ["a", "b"], [1, 2],
+                           1.0, 3.0, position_um=(10.0, 20.0))
+    img = Image.open(path)
+    desc = img.tag_v2[270]
+    assert desc.count('<Plane ') == 4
+    assert 'TheC="1"' in desc and 'TheZ="1"' in desc
+    assert 'PositionZ="3.0"' in desc and 'PositionX="10.0"' in desc
+
+
+def test_rgb_pipeline_tiff_output(tmp_path):
+    """An RGB acquisition stitched to .ome.tiff produces RGB pages."""
+    import glob
+    from test_rgb_e2e import write_rgb_acquisition
+    from image_stitcher_tpu import stitch
+    from PIL import Image
+    acq_dir = str(tmp_path / "acq")
+    gt = write_rgb_acquisition(acq_dir)
+    stitch(acq_dir, output_format='.ome.tiff')
+    out = sorted(glob.glob(acq_dir + "_stitched_*"))[-1]
+    tiff_path = os.path.join(out, "0_stitched", "A1_stitched.ome.tiff")
+    img = Image.open(tiff_path)
+    arr = np.asarray(img)
+    assert arr.ndim == 3 and arr.shape[2] == 3
+    np.testing.assert_array_equal(arr, gt[:arr.shape[0], :arr.shape[1]])
+    desc = img.tag_v2[270]
+    assert 'SamplesPerPixel="3"' in desc and desc.count('<Plane ') == 1
+
+
 def test_thumbnail_page(tmp_path):
     from PIL import Image
     data = make_stack(c=2, z=1, h=1200, w=1600)

@@ -135,6 +135,28 @@ def test_global_solve_canvas_clamp(tmp_path, monkeypatch):
     assert (arr != 0).mean() > 0.5
 
 
+def test_zarr3_sharded_roundtrip(tmp_path):
+    """zarr v3 sharding_indexed arrays round-trip and pack 4x4 read
+    chunks per shard file (the file-count fix at 12k-24k canvases)."""
+    from image_stitcher_tpu.io.zarr_store import (create_zarr3_sharded_array,
+                                                  open_zarr_array)
+    import tensorstore as ts
+    rng = np.random.default_rng(0)
+    data = rng.integers(0, 65535, (1, 2, 1, 256, 256), np.uint16)
+    path = str(tmp_path / "v3.zarr")
+    arr = create_zarr3_sharded_array(path, data.shape, (1, 1, 1, 64, 64),
+                                     np.uint16)
+    arr.write(data).result()
+    back = ts.open({'driver': 'zarr3',
+                    'kvstore': {'driver': 'file', 'path': path}},
+                   open=True).result()
+    np.testing.assert_array_equal(np.asarray(back.read().result()), data)
+    # 4x4 read chunks per shard: (256/64 / 4)^2 * 2 channels = 2 data
+    # files (+ zarr.json)
+    n_files = sum(len(fs) for _, _, fs in os.walk(path))
+    assert n_files <= 3
+
+
 def test_flatfield_device_matches_host(tmp_path):
     """flatfield_device='device' (jitted solver on the padded stack)
     produces a field close to the host fit on the unique stack."""

@@ -60,6 +60,10 @@ def parse_args(argv=None) -> argparse.Namespace:
     parser.add_argument('--flatfield-device', choices=['host', 'device'],
                         default='host',
                         help="Where the flatfield ADMM solve runs")
+    parser.add_argument('--zarr-format', type=int, choices=[2, 3], default=2,
+                        help="2 = zarr v2 + OME-NGFF 0.4 (reference-"
+                             "compatible); 3 = zarr v3 sharded + NGFF 0.5 "
+                             "(16x fewer files at scale)")
     parser.add_argument('--streaming', choices=['auto', 'on', 'off'],
                         default='auto',
                         help="Bounded-memory band-streaming fusion "
@@ -97,6 +101,7 @@ def create_options(args: argparse.Namespace) -> EngineOptions:
         fusion_device=getattr(args, 'fusion_device', 'auto'),
         flatfield_device=getattr(args, 'flatfield_device', 'host'),
         streaming=getattr(args, 'streaming', 'auto'),
+        zarr_format=getattr(args, 'zarr_format', 2),
         continue_on_error=getattr(args, 'continue_on_error', False),
         # explicit --registration-scope wins; otherwise the reference's
         # dead dynamic_registration flag (SURVEY.md §2c) selects the

@@ -13,7 +13,8 @@ from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from .zarr_store import create_zarr_array, write_group, write_attrs
+from .zarr_store import (create_zarr3_sharded_array, create_zarr_array,
+                         write_attrs, write_group)
 
 # Axis definitions, parity with reference stitcher.py:825-831.
 OME_AXES = [
@@ -52,6 +53,29 @@ def multiscales_attrs(name: str, num_levels: int, dz_um: float,
             "version": "0.4",
         }]
     }
+
+
+def ngff05_wrap(**members) -> Dict:
+    """OME-NGFF 0.5 group attributes: everything under one 'ome' key
+    with a group-level version (zarr v3 stores; RFC-2 layout)."""
+    return {"ome": {"version": "0.5", **members}}
+
+
+def multiscales_attrs_v3(name: str, num_levels: int, dz_um: float,
+                         pixel_size_um: float,
+                         omero: Optional[Dict] = None) -> Dict:
+    """NGFF 0.5 multiscales: same axes/datasets/transform trees as 0.4,
+    but nested under 'ome' without per-multiscale version keys."""
+    ms = {
+        "axes": OME_AXES,
+        "datasets": dataset_transforms(num_levels, dz_um, pixel_size_um),
+        "name": name,
+    }
+    members = {"multiscales": [ms]}
+    if omero is not None:
+        omero = {k: v for k, v in omero.items() if k != 'version'}
+        members["omero"] = omero
+    return ngff05_wrap(**members)
 
 
 def omero_attrs(name: str, channel_names: Sequence[str],
@@ -126,22 +150,38 @@ class MultiscaleWriter:
                  channel_names: Sequence[str], channel_colors: Sequence[int],
                  cname: str = 'zstd', clevel: int = 1, shuffle: int = 1,
                  omero_full: bool = True, write_omero: bool = True,
-                 max_pending_bytes: int = 512 << 20):
+                 max_pending_bytes: int = 512 << 20,
+                 zarr_format: int = 2, shard_multiple: int = 4):
         from ..ops.pyramid import level_shapes
         self.path = path
         self.num_levels = num_levels
         self.shapes = level_shapes(tuple(base_shape), num_levels)
-        attrs = multiscales_attrs(name, num_levels, dz_um, pixel_size_um)
-        if write_omero:
-            attrs["omero"] = omero_attrs(name, channel_names, channel_colors,
-                                         dtype, full=omero_full)
-        write_group(path, attrs)
-        self.arrays = [
-            create_zarr_array(os.path.join(path, str(level)),
-                              self.shapes[level], chunks, dtype,
-                              cname=cname, clevel=clevel, shuffle=shuffle)
-            for level in range(num_levels)
-        ]
+        omero = (omero_attrs(name, channel_names, channel_colors, dtype,
+                             full=omero_full) if write_omero else None)
+        if zarr_format == 3:
+            # OME-NGFF 0.5 on zarr v3: attrs under 'ome' in zarr.json,
+            # levels as sharding_indexed arrays (16x fewer files)
+            attrs = multiscales_attrs_v3(name, num_levels, dz_um,
+                                         pixel_size_um, omero=omero)
+            write_group(path, attrs, zarr_format=3)
+            self.arrays = [
+                create_zarr3_sharded_array(
+                    os.path.join(path, str(level)), self.shapes[level],
+                    chunks, dtype, shard_multiple=shard_multiple,
+                    cname=cname, clevel=clevel)
+                for level in range(num_levels)
+            ]
+        else:
+            attrs = multiscales_attrs(name, num_levels, dz_um, pixel_size_um)
+            if omero is not None:
+                attrs["omero"] = omero
+            write_group(path, attrs)
+            self.arrays = [
+                create_zarr_array(os.path.join(path, str(level)),
+                                  self.shapes[level], chunks, dtype,
+                                  cname=cname, clevel=clevel, shuffle=shuffle)
+                for level in range(num_levels)
+            ]
         self._pending = []          # (future, nbytes) in issue order
         self._pending_bytes = 0
         self._max_pending_bytes = max_pending_bytes

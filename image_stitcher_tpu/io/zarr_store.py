@@ -130,15 +130,27 @@ def create_zarr3_sharded_array(
 
 
 def open_zarr_array(path: str, writable: bool = False) -> ts.TensorStore:
+    """Open a zarr array, auto-detecting v2 vs v3 by its metadata file."""
+    driver = ('zarr3' if os.path.exists(os.path.join(path, 'zarr.json'))
+              else 'zarr')
     return ts.open({
-        'driver': 'zarr',
+        'driver': driver,
         'kvstore': {'driver': 'file', 'path': path},
     }, open=True, write=writable, read=True).result()
 
 
-def write_group(path: str, attrs: Optional[Dict] = None) -> None:
-    """Write .zgroup (+ optional .zattrs) making ``path`` a zarr v2 group."""
+def write_group(path: str, attrs: Optional[Dict] = None,
+                zarr_format: int = 2) -> None:
+    """Make ``path`` a zarr group: v2 (.zgroup + .zattrs) or v3
+    (zarr.json with node_type=group and inline attributes)."""
     os.makedirs(path, exist_ok=True)
+    if zarr_format == 3:
+        meta: Dict = {'zarr_format': 3, 'node_type': 'group'}
+        if attrs is not None:
+            meta['attributes'] = attrs
+        with open(os.path.join(path, 'zarr.json'), 'w') as f:
+            json.dump(meta, f, indent=4)
+        return
     with open(os.path.join(path, '.zgroup'), 'w') as f:
         json.dump({'zarr_format': 2}, f, indent=4)
     if attrs is not None:
@@ -152,5 +164,10 @@ def write_attrs(path: str, attrs: Dict) -> None:
 
 
 def read_attrs(path: str) -> Dict:
+    """Group attributes: v2 .zattrs, or v3 zarr.json 'attributes'."""
+    v3 = os.path.join(path, 'zarr.json')
+    if os.path.exists(v3) and not os.path.exists(os.path.join(path, '.zattrs')):
+        with open(v3) as f:
+            return json.load(f).get('attributes', {})
     with open(os.path.join(path, '.zattrs')) as f:
         return json.load(f)

@@ -33,6 +33,18 @@ from .streaming import band_rows_for
 MERGE_DOWNSAMPLE = 'mean'
 
 
+def _group_attrs(zarr_format: int, **members):
+    """Plate/well attrs: bare for NGFF 0.4 (zarr v2), wrapped under the
+    versioned 'ome' key for NGFF 0.5 (zarr v3)."""
+    if zarr_format == 3:
+        from ..io.omezarr import ngff05_wrap
+        return ngff05_wrap(**{k: ({kk: vv for kk, vv in v.items()
+                                   if kk != 'version'}
+                                  if isinstance(v, dict) else v)
+                              for k, v in members.items()})
+    return dict(members)
+
+
 def _region_level0_path(pipeline, t, region: str) -> str:
     return os.path.join(
         pipeline.output_folder, f"{t}_stitched",
@@ -57,7 +69,7 @@ def _stream_volume_banded(pipeline, writer: MultiscaleWriter, src_arr,
     downsampling each band into every pyramid level — peak memory is one
     band, never the volume (the merge counterpart of models/streaming)."""
     _, c, z, h, w = src_arr.shape
-    band = band_rows_for(pipeline.options.chunks[3], num_levels)
+    band = band_rows_for(pipeline.options.write_band_rows(), num_levels)
     for band0 in range(0, h, band):
         rows = min(band, h - band0)
         slab = np.asarray(
@@ -95,7 +107,7 @@ def _make_image_writer(pipeline, path: str, base_shape, name: str,
         name, acq.dz_um, acq.pixel_size_um, acq.monochrome_channels,
         acq.monochrome_colors, cname=opts.compressor_cname,
         clevel=opts.compressor_clevel, shuffle=opts.compressor_shuffle,
-        omero_full=omero_full)
+        omero_full=omero_full, zarr_format=opts.zarr_format)
 
 
 def merge_timepoints_per_region(pipeline) -> str:
@@ -120,8 +132,11 @@ def _write_well_tree(pipeline, plate_root: str, region: str, name: str,
                      base_shape, stream_fn) -> None:
     """Create {row}/{col}/0 hierarchy with well metadata and image data."""
     row, col = region[0], region[1:]
-    write_group(os.path.join(plate_root, row))
-    write_group(os.path.join(plate_root, row, col), well_attrs())
+    zf = pipeline.options.zarr_format
+    write_group(os.path.join(plate_root, row), zarr_format=zf)
+    write_group(os.path.join(plate_root, row, col),
+                _group_attrs(zf, well=well_attrs()["well"]),
+                zarr_format=zf)
     image_path = os.path.join(plate_root, row, col, "0")
     writer = _make_image_writer(pipeline, image_path, base_shape, name)
     stream_fn(writer)
@@ -136,8 +151,10 @@ def create_hcs_ome_zarr_per_timepoint(pipeline) -> str:
     for t in pipeline.acq.timepoints:
         t = int(t)
         output_path = os.path.join(out_dir, f"{t}_hcs{pipeline.output_format}")
-        write_group(output_path, plate_attrs(
-            regions, f"HCS Dataset - Timepoint {t}", f"Timepoint {t} Acquisition"))
+        zf = pipeline.options.zarr_format
+        write_group(output_path, _group_attrs(zf, **plate_attrs(
+            regions, f"HCS Dataset - Timepoint {t}",
+            f"Timepoint {t} Acquisition")), zarr_format=zf)
         for region in regions:
             src = _open_region_level0(pipeline, t, region)
             shape = tuple(src.shape)
@@ -158,8 +175,10 @@ def create_complete_hcs_ome_zarr(pipeline) -> str:
     os.makedirs(out_dir, exist_ok=True)
     output_path = os.path.join(out_dir, f"complete_hcs{pipeline.output_format}")
     regions = pipeline.acq.regions
-    write_group(output_path, plate_attrs(
-        regions, "Complete HCS Dataset", "Stitched Acquisition"))
+    zf = pipeline.options.zarr_format
+    write_group(output_path, _group_attrs(zf, **plate_attrs(
+        regions, "Complete HCS Dataset", "Stitched Acquisition")),
+        zarr_format=zf)
     num_t = len(pipeline.acq.timepoints)
     for region in regions:
         max_shape = _max_region_shape(pipeline, region)

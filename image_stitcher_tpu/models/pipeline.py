@@ -711,7 +711,7 @@ class StitchPipeline:
             f"{region}_t{t}", acq.dz_um, acq.pixel_size_um,
             acq.monochrome_channels, acq.monochrome_colors,
             cname=opts.compressor_cname, clevel=opts.compressor_clevel,
-            shuffle=opts.compressor_shuffle)
+            shuffle=opts.compressor_shuffle, zarr_format=opts.zarr_format)
         backend = self._select_fusion_backend(height, width, len(jobs))
         ff = self._flatfield_stack_np() if self.flatfields else None
         if backend == 'device':
@@ -719,7 +719,8 @@ class StitchPipeline:
                 writer, acq.num_c, acq.num_z, height, width,
                 acq.input_height, acq.input_width, acq.dtype,
                 self.num_pyramid_levels, opts.pyramid_downsample,
-                chunk_rows=opts.chunks[3], batch_size=opts.fusion_batch,
+                chunk_rows=opts.write_band_rows(),
+                batch_size=opts.fusion_batch,
                 reader_threads=opts.resolved_reader_threads(),
                 flatfields=ff, blend_method=opts.blend_method,
                 blend_px=opts.feather_px)
@@ -728,7 +729,7 @@ class StitchPipeline:
                 writer, acq.num_c, acq.num_z, height, width,
                 acq.input_height, acq.input_width, acq.dtype,
                 self.num_pyramid_levels, opts.pyramid_downsample,
-                chunk_rows=opts.chunks[3],
+                chunk_rows=opts.write_band_rows(),
                 num_threads=opts.resolved_fusion_threads(),
                 flatfields=ff, blend_method=opts.blend_method,
                 blend_px=opts.feather_px)
@@ -799,7 +800,7 @@ class StitchPipeline:
             acq.dtype, opts.chunks, f"{region}_t{t}", acq.dz_um,
             acq.pixel_size_um, acq.monochrome_channels, acq.monochrome_colors,
             cname=opts.compressor_cname, clevel=opts.compressor_clevel,
-            shuffle=opts.compressor_shuffle)
+            shuffle=opts.compressor_shuffle, zarr_format=opts.zarr_format)
         is_host = isinstance(canvas, np.ndarray)
         level = canvas
         for lv in range(num_levels):

@@ -133,6 +133,10 @@ class EngineOptions:
     compressor_cname: str = 'lz4'
     compressor_clevel: int = 5
     compressor_shuffle: int = 1
+    # Zarr storage format: 2 = zarr v2 + OME-NGFF 0.4 (the reference-
+    # compatible tree); 3 = zarr v3 sharded + OME-NGFF 0.5 (16x fewer
+    # files at scale; see tools/SAVE_BENCH_RESULTS.md).
+    zarr_format: int = 2
     # Fusion semantics: 'overwrite' = reference parity (stitcher.py:598,
     # direct slice assignment, later tile wins); 'feather' = weighted
     # blending in overlap zones (an upgrade the reference lacks).
@@ -207,12 +211,18 @@ class EngineOptions:
         'flatfield_tiles_per_timepoint', 'flatfield_max_tiles',
         'compressor_cname', 'compressor_clevel', 'compressor_shuffle',
         'blend_method', 'pyramid_downsample', 'registration_scope',
-        'feather_px', 'subpixel_placement')
+        'feather_px', 'subpixel_placement', 'zarr_format')
 
     def output_fingerprint(self) -> Dict[str, Any]:
         return {name: list(v) if isinstance((v := getattr(self, name)), tuple)
                 else v
                 for name in self.OUTPUT_AFFECTING}
+
+    def write_band_rows(self) -> int:
+        """Row granularity for band-streamed writes: the read-chunk rows
+        on zarr v2, the full shard rows on zarr v3 (a band smaller than
+        the shard would force read-modify-write shard updates)."""
+        return self.chunks[3] * (4 if self.zarr_format == 3 else 1)
 
     def resolved_reader_threads(self) -> int:
         if self.reader_threads is not None:
@@ -236,6 +246,8 @@ class EngineOptions:
             raise ValueError("fusion_device must be 'auto', 'device' or 'host'")
         if self.flatfield_device not in ('host', 'device'):
             raise ValueError("flatfield_device must be 'host' or 'device'")
+        if self.zarr_format not in (2, 3):
+            raise ValueError("zarr_format must be 2 (NGFF 0.4) or 3 (NGFF 0.5)")
         if self.device_fusion_kernel not in ('xla', 'pallas'):
             raise ValueError("device_fusion_kernel must be 'xla' or 'pallas'")
         if self.streaming not in ('auto', 'on', 'off'):

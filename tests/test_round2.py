@@ -157,6 +157,72 @@ def test_zarr3_sharded_roundtrip(tmp_path):
     assert n_files <= 3
 
 
+def test_zarr_v3_ngff05_output(tmp_path):
+    """zarr_format=3 writes OME-NGFF 0.5 on zarr v3 sharded storage:
+    same pixels as the v2 tree, 'ome'-wrapped attrs, far fewer files."""
+    from image_stitcher_tpu.io.zarr_store import open_zarr_array, read_attrs
+    results = {}
+    trees = {}
+    for zf in (2, 3):
+        acq_dir = str(tmp_path / f"v{zf}")
+        write_synthetic_acquisition(acq_dir, grid_cols=3, grid_rows=3,
+                                    tile_w=96, tile_h=96, overlap=24, seed=3)
+        stitch(acq_dir, use_registration=True,
+               options=EngineOptions(zarr_format=zf,
+                                     chunks=(1, 1, 1, 64, 64)))
+        out = sorted(glob.glob(acq_dir + "_stitched_*"))[-1]
+        z = os.path.join(out, "0_stitched", "A1_stitched.ome.zarr")
+        results[zf] = np.asarray(
+            open_zarr_array(os.path.join(z, "0")).read().result())
+        trees[zf] = z
+    np.testing.assert_array_equal(results[3], results[2])
+    attrs = read_attrs(trees[3])
+    assert attrs["ome"]["version"] == "0.5"
+    ms = attrs["ome"]["multiscales"][0]
+    assert [a["name"] for a in ms["axes"]] == list("tczyx")
+    assert "version" not in ms  # 0.5 carries the version at group level
+    assert attrs["ome"]["omero"]["channels"]
+    assert os.path.exists(os.path.join(trees[3], "zarr.json"))
+    n2 = sum(len(f) for _, _, f in os.walk(trees[2]))
+    n3 = sum(len(f) for _, _, f in os.walk(trees[3]))
+    assert n3 < n2
+
+
+def test_zarr_v3_streaming_and_merges(tmp_path):
+    """v3 output through the streaming fuser and the HCS merge tree."""
+    from image_stitcher_tpu.io.zarr_store import open_zarr_array, read_attrs
+    acq_dir = str(tmp_path / "acq")
+    write_synthetic_acquisition(acq_dir, grid_cols=2, grid_rows=2,
+                                tile_w=96, tile_h=96, overlap=24,
+                                regions=["B2", "C3"], seed=6)
+    acq_dir2 = str(tmp_path / "acq2")
+    write_synthetic_acquisition(acq_dir2, grid_cols=2, grid_rows=2,
+                                tile_w=96, tile_h=96, overlap=24,
+                                regions=["B2", "C3"], seed=6)
+    stitch(acq_dir, merge_hcs_regions=True,
+           options=EngineOptions(zarr_format=3, streaming='on',
+                                 chunks=(1, 1, 1, 32, 32)))
+    stitch(acq_dir2, merge_hcs_regions=True,
+           options=EngineOptions(zarr_format=2, streaming='on',
+                                 chunks=(1, 1, 1, 32, 32)))
+    out3 = sorted(glob.glob(acq_dir + "_stitched_*"))[-1]
+    out2 = sorted(glob.glob(acq_dir2 + "_stitched_*"))[-1]
+    plate3 = os.path.join(out3, "hcs_timepoints", "0_hcs.ome.zarr")
+    plate2 = os.path.join(out2, "hcs_timepoints", "0_hcs.ome.zarr")
+    p_attrs = read_attrs(plate3)
+    assert p_attrs["ome"]["version"] == "0.5"
+    assert p_attrs["ome"]["plate"]["wells"] == \
+        read_attrs(plate2)["plate"]["wells"]
+    w_attrs = read_attrs(os.path.join(plate3, "B", "2"))
+    assert w_attrs["ome"]["well"]["images"] == [
+        {"path": "0", "acquisition": 0}]
+    a3 = np.asarray(open_zarr_array(
+        os.path.join(plate3, "B", "2", "0", "0")).read().result())
+    a2 = np.asarray(open_zarr_array(
+        os.path.join(plate2, "B", "2", "0", "0")).read().result())
+    np.testing.assert_array_equal(a3, a2)
+
+
 def test_flatfield_device_matches_host(tmp_path):
     """flatfield_device='device' (jitted solver on the padded stack)
     produces a field close to the host fit on the unique stack."""

@@ -201,7 +201,12 @@ def run_baseline(acq_dir, num_levels):
 
 def kernel_bench():
     """Device-kernel microbenchmarks (data resident in HBM): the speed
-    of the TPU compute path itself, independent of the host link."""
+    of the TPU compute path itself, independent of the host link.
+
+    Every loop varies its inputs per rep — identical repeated calls can
+    be served from result caches on some backends and report
+    physically-impossible throughput (r1's 37k tiles/s was that
+    artifact)."""
     import jax
     import jax.numpy as jnp
     from image_stitcher_tpu.ops.fuse import (apply_flatfield, fuse_overwrite,
@@ -218,21 +223,62 @@ def kernel_bench():
         axis=1).astype(np.int32))
     crops = jnp.zeros((10, 4), jnp.int32)
     valid = jnp.ones((10,), bool)
+    ff = jnp.ones((3, TILE, TILE), jnp.float32)
+    reps = 20
+
+    def run_fuse(fuse_fn, canvas, with_ff=False):
+        ts_d = tiles
+        canvas = fuse_fn(canvas, ts_d, info, crops, valid)
+        canvas.block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            ts_d = ts_d + 1  # vary inputs: defeat result caching
+            batch = (apply_flatfield(ts_d, ff, info[:, 0], jnp.uint16)
+                     if with_ff else ts_d)
+            canvas = fuse_fn(canvas, batch, info, crops, valid)
+        canvas.block_until_ready()
+        return 10 * reps / (time.perf_counter() - t0)
+
     canvas = jnp.zeros(padded_canvas_shape(3, 1, 20480, 18432, TILE, TILE),
                        jnp.uint16)
-    ff = jnp.ones((3, TILE, TILE), jnp.float32)
-    corrected = apply_flatfield(tiles, ff, info[:, 0], jnp.uint16)
-    canvas = fuse_overwrite(canvas, corrected, info, crops, valid)
-    canvas.block_until_ready()
+    results.append({"kernel": "flatfield+fuse xla-scan (device-resident)",
+                    "value": round(run_fuse(fuse_overwrite, canvas,
+                                            with_ff=True), 1),
+                    "unit": "tiles/s"})
+
+    # pallas placement kernel vs the XLA scan (same batch)
+    from image_stitcher_tpu.ops.pallas_fuse import (fuse_overwrite_pallas,
+                                                    pallas_padded_canvas_shape)
+    pcanvas = jnp.zeros(pallas_padded_canvas_shape(3, 1, 20480, 18432, TILE,
+                                                   TILE, jnp.uint16),
+                        jnp.uint16)
+    results.append({"kernel": "pallas placement (device-resident)",
+                    "value": round(run_fuse(fuse_overwrite_pallas, pcanvas),
+                                   1),
+                    "unit": "tiles/s"})
+
+    # HBM-banded streaming fusion: one band's fuse + D2H slab (the
+    # device-streaming inner loop, models/streaming.DeviceStreamingFuser)
+    band_rows = 2048
+    bshape = (1, 1, TILE + band_rows + TILE, 18432 + TILE)
+    bcanvas = jnp.zeros(bshape, jnp.uint16)
+    binfo = jnp.asarray(np.stack([
+        np.zeros(10, int), np.zeros(10, int),
+        rng.integers(0, band_rows + TILE, 10),
+        rng.integers(0, 16000, 10)], axis=1).astype(np.int32))
+    ts_d = tiles
+    bcanvas = fuse_overwrite(bcanvas, ts_d, binfo, crops, valid)
+    np.asarray(bcanvas[0, 0, TILE:TILE + band_rows, :18432])
     t0 = time.perf_counter()
-    reps = 30
-    for _ in range(reps):
-        corrected = apply_flatfield(tiles, ff, info[:, 0], jnp.uint16)
-        canvas = fuse_overwrite(canvas, corrected, info, crops, valid)
-    canvas.block_until_ready()
+    reps_b = 5
+    for _ in range(reps_b):
+        ts_d = ts_d + 1
+        bcanvas = fuse_overwrite(bcanvas, ts_d, binfo, crops, valid)
+        slab = np.asarray(bcanvas[0, 0, TILE:TILE + band_rows, :18432])
     dt = time.perf_counter() - t0
-    results.append({"kernel": "flatfield+fuse (device-resident)",
-                    "value": round(10 * reps / dt, 1), "unit": "tiles/s"})
+    band_mb = band_rows * 18432 * 2 / 1e6
+    results.append({"kernel": "streaming band fuse+D2H (2048x18432 u16)",
+                    "value": round(reps_b * band_mb / dt, 1), "unit": "MB/s"})
 
     # batched subpixel phase correlation on overlap strips
     strips_a = jnp.asarray(rng.random((16, 1024, 416)), jnp.float32)

@@ -631,8 +631,12 @@ class StitchPipeline:
         loader = TileBatchLoader(jobs, opts.fusion_batch, th, tw, acq.dtype,
                                  num_threads=opts.resolved_reader_threads())
         use_feather = opts.blend_method == 'feather'
-        use_pallas = (opts.device_fusion_kernel == 'pallas'
-                      and not use_feather)
+        kernel = opts.device_fusion_kernel
+        if kernel == 'auto':
+            # the pallas window kernel needs a real TPU (Mosaic); the
+            # scan path serves interpret/CPU backends
+            kernel = 'pallas' if jax.default_backend() == 'tpu' else 'xla'
+        use_pallas = kernel == 'pallas' and not use_feather
         if use_pallas:
             from ..ops.pallas_fuse import (fuse_overwrite_pallas,
                                            pallas_padded_canvas_shape)
@@ -723,7 +727,8 @@ class StitchPipeline:
                 batch_size=opts.fusion_batch,
                 reader_threads=opts.resolved_reader_threads(),
                 flatfields=ff, blend_method=opts.blend_method,
-                blend_px=opts.feather_px)
+                blend_px=opts.feather_px,
+                device_kernel=opts.device_fusion_kernel)
         else:
             fuser = StreamingFuser(
                 writer, acq.num_c, acq.num_z, height, width,

@@ -258,7 +258,8 @@ class DeviceStreamingFuser:
                  chunk_rows: int = 2048, batch_size: int = 8,
                  reader_threads: int = 4,
                  flatfields: Optional[np.ndarray] = None,
-                 blend_method: str = 'overwrite', blend_px: int = 64):
+                 blend_method: str = 'overwrite', blend_px: int = 64,
+                 device_kernel: str = 'auto'):
         self.writer = writer
         self.num_c, self.num_z = num_c, num_z
         self.height, self.width = height, width
@@ -272,6 +273,12 @@ class DeviceStreamingFuser:
         self.flatfields = flatfields
         self.blend = blend_method
         self.blend_px = blend_px
+        if device_kernel == 'auto':
+            import jax
+            device_kernel = ('pallas' if jax.default_backend() == 'tpu'
+                             else 'xla')
+        self.use_pallas = (device_kernel == 'pallas'
+                           and blend_method != 'feather')
 
     def _fuse_band(self, band0: int, jobs: Sequence, load_fn: Callable,
                    pool, progress_cb=None) -> np.ndarray:
@@ -281,8 +288,14 @@ class DeviceStreamingFuser:
         rows = min(self.band, self.height - band0)
         # apron: th above (straddlers from the previous band), th below +
         # tw right (dynamic_update_slice stays in-bounds, as in
-        # ops/fuse.padded_canvas_shape)
-        shape = (1, 1, th + self.band + th, self.width + tw)
+        # ops/fuse.padded_canvas_shape); pallas additionally needs the
+        # (sublane, lane) alignment margin for its window DMAs
+        if self.use_pallas:
+            from ..ops.pallas_fuse import ALIGN_X, align_y_for
+            shape = (1, 1, th + self.band + th + align_y_for(self.dtype),
+                     self.width + tw + ALIGN_X)
+        else:
+            shape = (1, 1, th + self.band + th, self.width + tw)
         if self.blend == 'feather':
             acc = jnp.zeros(shape, jnp.float32)
             wsum = jnp.zeros(shape, jnp.float32)
@@ -322,6 +335,10 @@ class DeviceStreamingFuser:
                 acc, wsum = fuse_ops.fuse_feather(acc, wsum, dtiles, dinfo,
                                                   dcrops, dvalid,
                                                   blend_px=self.blend_px)
+            elif self.use_pallas:
+                from ..ops.pallas_fuse import fuse_overwrite_pallas
+                canvas = fuse_overwrite_pallas(canvas, dtiles, dinfo,
+                                               dcrops, dvalid)
             else:
                 canvas = fuse_ops.fuse_overwrite(canvas, dtiles, dinfo,
                                                  dcrops, dvalid)

@@ -226,17 +226,23 @@ def kernel_bench():
     ff = jnp.ones((3, TILE, TILE), jnp.float32)
     reps = 20
 
+    def sync(canvas):
+        # a data-dependent D2H readback: block_until_ready alone has
+        # been observed returning early on donated-alias chains through
+        # the remote runtime, yielding unphysical timings
+        return float(jnp.sum(canvas[0, 0, ::997, ::997].astype(jnp.float32)))
+
     def run_fuse(fuse_fn, canvas, with_ff=False):
         ts_d = tiles
         canvas = fuse_fn(canvas, ts_d, info, crops, valid)
-        canvas.block_until_ready()
+        sync(canvas)
         t0 = time.perf_counter()
         for _ in range(reps):
             ts_d = ts_d + 1  # vary inputs: defeat result caching
             batch = (apply_flatfield(ts_d, ff, info[:, 0], jnp.uint16)
                      if with_ff else ts_d)
             canvas = fuse_fn(canvas, batch, info, crops, valid)
-        canvas.block_until_ready()
+        sync(canvas)
         return 10 * reps / (time.perf_counter() - t0)
 
     canvas = jnp.zeros(padded_canvas_shape(3, 1, 20480, 18432, TILE, TILE),

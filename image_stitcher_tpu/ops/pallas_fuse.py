@@ -127,12 +127,13 @@ def _pick_chunk_rows(th: int, tw: int, itemsize: int, align_y: int,
     return th  # no aligned divisor fits; single-chunk fallback
 
 
-@functools.partial(jax.jit, static_argnames=('interpret',),
+@functools.partial(jax.jit, static_argnames=('interpret', 'chunk_budget'),
                    donate_argnums=(0,))
 def fuse_overwrite_pallas(canvas: jnp.ndarray, tiles: jnp.ndarray,
                           info: jnp.ndarray, crops: jnp.ndarray,
                           valid: jnp.ndarray,
-                          interpret: bool = False) -> jnp.ndarray:
+                          interpret: bool = False,
+                          chunk_budget: int = 6 << 20) -> jnp.ndarray:
     """Pallas twin of ops.fuse.fuse_overwrite (same semantics).
 
     canvas: (C, Z, Hp, Wp) padded via pallas_padded_canvas_shape;
@@ -141,7 +142,8 @@ def fuse_overwrite_pallas(canvas: jnp.ndarray, tiles: jnp.ndarray,
     """
     n, th, tw = tiles.shape
     align_y = align_y_for(canvas.dtype)
-    chunk_rows = _pick_chunk_rows(th, tw, tiles.dtype.itemsize, align_y)
+    chunk_rows = _pick_chunk_rows(th, tw, tiles.dtype.itemsize, align_y,
+                                  budget=chunk_budget)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n, -(-th // chunk_rows)),

@@ -34,6 +34,29 @@ def test_pallas_matches_xla(rng):
     np.testing.assert_array_equal(got, expect)
 
 
+def test_pallas_chunked_matches_xla(rng):
+    """Row-chunked kernel path (VMEM-bounded scratch, the production
+    2048^2 regime): a tiny chunk budget forces multiple row chunks per
+    tile; output must stay byte-equal to the XLA scan."""
+    from image_stitcher_tpu.ops.pallas_fuse import (_pick_chunk_rows,
+                                                    align_y_for)
+    C, Z, H, W, th, tw = 2, 1, 160, 144, 64, 64
+    budget = 30_000  # forces chunk_rows < th
+    assert _pick_chunk_rows(th, tw, 2, align_y_for(np.uint16),
+                            budget=budget) < th
+    tiles, info, crops, valid = _problem(rng, C=C, Z=Z, H=H, W=W, th=th, tw=tw)
+    cv0 = jnp.zeros(padded_canvas_shape(C, Z, H, W, th, tw), jnp.uint16)
+    expect = np.asarray(fuse_overwrite(
+        cv0, jnp.asarray(tiles), jnp.asarray(info),
+        jnp.asarray(crops), jnp.asarray(valid)))[:, :, :H, :W]
+    cv1 = jnp.zeros(pallas_padded_canvas_shape(C, Z, H, W, th, tw), jnp.uint16)
+    got = np.asarray(fuse_overwrite_pallas(
+        cv1, jnp.asarray(tiles), jnp.asarray(info),
+        jnp.asarray(crops), jnp.asarray(valid),
+        interpret=True, chunk_budget=budget))[:, :, :H, :W]
+    np.testing.assert_array_equal(got, expect)
+
+
 def test_pallas_overwrite_order(rng):
     """Overlapping tiles: later grid step must win."""
     th = tw = 16

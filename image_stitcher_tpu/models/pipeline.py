@@ -633,12 +633,13 @@ class StitchPipeline:
         use_feather = opts.blend_method == 'feather'
         kernel = opts.device_fusion_kernel
         if kernel == 'auto':
-            # the pallas window kernel needs a real TPU (Mosaic); the
-            # scan path serves interpret/CPU backends
+            # the pallas window kernels need a real TPU (Mosaic); the
+            # scan paths serve interpret/CPU backends
             kernel = 'pallas' if jax.default_backend() == 'tpu' else 'xla'
-        use_pallas = kernel == 'pallas' and not use_feather
+        use_pallas = kernel == 'pallas'
         if use_pallas:
-            from ..ops.pallas_fuse import (fuse_overwrite_pallas,
+            from ..ops.pallas_fuse import (fuse_feather_pallas,
+                                           fuse_overwrite_pallas,
                                            pallas_padded_canvas_shape)
             pad_shape = pallas_padded_canvas_shape(acq.num_c, acq.num_z,
                                                    height, width, th, tw,
@@ -663,7 +664,11 @@ class StitchPipeline:
             if ff_stack is not None:
                 tiles = fuse_ops.apply_flatfield(tiles, ff_stack, info[:, 0],
                                                  acq.dtype)
-            if use_feather:
+            if use_feather and use_pallas:
+                acc, wsum = fuse_feather_pallas(
+                    acc, wsum, tiles, info, crops, valid,
+                    blend_px=opts.feather_px)
+            elif use_feather:
                 acc, wsum = fuse_ops.fuse_feather(
                     acc, wsum, tiles, info, crops, valid,
                     blend_px=opts.feather_px)

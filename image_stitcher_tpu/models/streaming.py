@@ -277,8 +277,7 @@ class DeviceStreamingFuser:
             import jax
             device_kernel = ('pallas' if jax.default_backend() == 'tpu'
                              else 'xla')
-        self.use_pallas = (device_kernel == 'pallas'
-                           and blend_method != 'feather')
+        self.use_pallas = device_kernel == 'pallas'
 
     def _fuse_band(self, band0: int, jobs: Sequence, load_fn: Callable,
                    pool, progress_cb=None) -> np.ndarray:
@@ -331,7 +330,12 @@ class DeviceStreamingFuser:
             dinfo = jnp.asarray(info)
             dcrops = jnp.asarray(crops)
             dvalid = jnp.asarray(valid)
-            if self.blend == 'feather':
+            if self.blend == 'feather' and self.use_pallas:
+                from ..ops.pallas_fuse import fuse_feather_pallas
+                acc, wsum = fuse_feather_pallas(acc, wsum, dtiles, dinfo,
+                                                dcrops, dvalid,
+                                                blend_px=self.blend_px)
+            elif self.blend == 'feather':
                 acc, wsum = fuse_ops.fuse_feather(acc, wsum, dtiles, dinfo,
                                                   dcrops, dvalid,
                                                   blend_px=self.blend_px)

@@ -111,11 +111,17 @@ def _fuse_kernel(th: int, tw: int, align_y: int, chunk_rows: int):
 
 
 def _pick_chunk_rows(th: int, tw: int, itemsize: int, align_y: int,
-                     budget: int = 6 << 20) -> int:
+                     budget: int = 6 << 20,
+                     win_bytes_per_elem: int = 0) -> int:
     """Largest row-chunk (a divisor of th, multiple of the sublane
-    alignment) whose tile+window scratch fits the VMEM budget."""
+    alignment) whose tile+window scratch fits the VMEM budget.
+
+    ``win_bytes_per_elem`` overrides the window scratch cost per element
+    (the feather kernel carries TWO f32 windows -> 8)."""
+    wb = win_bytes_per_elem or itemsize
+
     def cost(cr):
-        return (cr * tw + (cr + align_y) * (tw + ALIGN_X)) * itemsize
+        return cr * tw * itemsize + (cr + align_y) * (tw + ALIGN_X) * wb
 
     if cost(th) <= budget:
         return th
@@ -125,6 +131,127 @@ def _pick_chunk_rows(th: int, tw: int, itemsize: int, align_y: int,
             return cr
         cr -= align_y
     return th  # no aligned divisor fits; single-chunk fallback
+
+
+def _feather_kernel(th: int, tw: int, align_y: int, chunk_rows: int,
+                    blend_px: int):
+    """Feathered accumulate: acc += ramp*tile, wsum += ramp, into aligned
+    (acc, wsum) float32 windows. Accumulation is commutative, so chunk
+    order is free; ramps are computed in GLOBAL tile coordinates from
+    the full crop window, matching ops.fuse._feather_ramp exactly."""
+    ALIGN_Y = align_y
+    cwh, ww = chunk_rows + ALIGN_Y, tw + ALIGN_X
+
+    def kernel(info_ref, crops_ref, valid_ref, tiles_hbm, acc_in, wsum_in,
+               acc_ref, wsum_ref, tile_v, acc_v, wsum_v, sems):
+        i = pl.program_id(0)
+        k = pl.program_id(1)
+        c = info_ref[i, 0]
+        z = info_ref[i, 1]
+        y = info_ref[i, 2]
+        x = info_ref[i, 3]
+        ya = pl.multiple_of((y // ALIGN_Y) * ALIGN_Y, ALIGN_Y)
+        xa = pl.multiple_of((x // ALIGN_X) * ALIGN_X, ALIGN_X)
+        dy = y - ya
+        dx = x - xa
+        row0 = k * chunk_rows
+        yak = pl.multiple_of(ya + row0, ALIGN_Y)
+
+        tile_cp = pltpu.make_async_copy(
+            tiles_hbm.at[i, pl.ds(row0, chunk_rows)], tile_v, sems.at[0])
+        acc_cp = pltpu.make_async_copy(
+            acc_ref.at[c, z, pl.ds(yak, cwh), pl.ds(xa, ww)], acc_v,
+            sems.at[1])
+        wsum_cp = pltpu.make_async_copy(
+            wsum_ref.at[c, z, pl.ds(yak, cwh), pl.ds(xa, ww)], wsum_v,
+            sems.at[2])
+        tile_cp.start()
+        acc_cp.start()
+        wsum_cp.start()
+        tile_cp.wait()
+        acc_cp.wait()
+        wsum_cp.wait()
+
+        padded = jnp.pad(tile_v[:], ((0, ALIGN_Y), (0, ALIGN_X)))
+        wide = padded.astype(jnp.int32)
+        shifted = pltpu.roll(pltpu.roll(wide, dy, 0), dx, 1)
+        content = shifted.astype(jnp.float32)
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (cwh, ww), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (cwh, ww), 1)
+        g = rows - dy + row0          # global tile row per window row
+        j = cols - dx                 # global tile col per window col
+        top, bottom = crops_ref[i, 0], crops_ref[i, 1]
+        left, right = crops_ref[i, 2], crops_ref[i, 3]
+        d = jnp.minimum(jnp.minimum(g - top + 1, (th - bottom) - g),
+                        jnp.minimum(j - left + 1, (tw - right) - j))
+        in_chunk = (rows >= dy) & (rows < dy + chunk_rows)
+        live = (d > 0) & in_chunk & (valid_ref[i] != 0)
+        ramp = jnp.where(
+            live,
+            jnp.clip(d.astype(jnp.float32) / float(blend_px), 0.0, 1.0),
+            0.0)
+        acc_v[:] = acc_v[:] + ramp * content
+        wsum_v[:] = wsum_v[:] + ramp
+
+        acc_back = pltpu.make_async_copy(
+            acc_v, acc_ref.at[c, z, pl.ds(yak, cwh), pl.ds(xa, ww)],
+            sems.at[1])
+        wsum_back = pltpu.make_async_copy(
+            wsum_v, wsum_ref.at[c, z, pl.ds(yak, cwh), pl.ds(xa, ww)],
+            sems.at[2])
+        acc_back.start()
+        wsum_back.start()
+        acc_back.wait()
+        wsum_back.wait()
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('blend_px', 'interpret', 'chunk_budget'),
+                   donate_argnums=(0, 1))
+def fuse_feather_pallas(acc: jnp.ndarray, wsum: jnp.ndarray,
+                        tiles: jnp.ndarray, info: jnp.ndarray,
+                        crops: jnp.ndarray, valid: jnp.ndarray,
+                        blend_px: int = 64, interpret: bool = False,
+                        chunk_budget: int = 6 << 20):
+    """Pallas twin of ops.fuse.fuse_feather (same ramps, same sums).
+
+    acc/wsum: (C, Z, Hp, Wp) float32 padded via
+    pallas_padded_canvas_shape computed for the TILE dtype (the stricter
+    of the tile/window sublane alignments governs the window origins).
+    """
+    n, th, tw = tiles.shape
+    align_y = align_y_for(tiles.dtype)
+    chunk_rows = _pick_chunk_rows(th, tw, tiles.dtype.itemsize, align_y,
+                                  budget=chunk_budget, win_bytes_per_elem=8)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n, -(-th // chunk_rows)),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),   # tiles (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),   # acc (HBM, aliased)
+            pl.BlockSpec(memory_space=pl.ANY),   # wsum (HBM, aliased)
+        ],
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)),
+        scratch_shapes=[
+            pltpu.VMEM((chunk_rows, tw), tiles.dtype),
+            pltpu.VMEM((chunk_rows + align_y, tw + ALIGN_X), jnp.float32),
+            pltpu.VMEM((chunk_rows + align_y, tw + ALIGN_X), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+    return pl.pallas_call(
+        _feather_kernel(th, tw, align_y, chunk_rows, blend_px),
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct(acc.shape, jnp.float32),
+                   jax.ShapeDtypeStruct(wsum.shape, jnp.float32)),
+        input_output_aliases={4: 0, 5: 1},  # acc, wsum -> outputs
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(info, crops, valid.astype(jnp.int32), tiles, acc, wsum)
 
 
 @functools.partial(jax.jit, static_argnames=('interpret', 'chunk_budget'),

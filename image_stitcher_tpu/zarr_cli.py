@@ -32,6 +32,9 @@ def parse_args(argv=None):
                         help="Microscope scanning pattern (default: Unidirectional)")
     parser.add_argument('--num-workers', '-w', type=int,
                         help="Number of host worker threads (default: 4)")
+    parser.add_argument('--zarr-format', type=int, choices=[2, 3], default=2,
+                        help="2 = zarr v2 + NGFF 0.4; 3 = zarr v3 sharded "
+                             "+ NGFF 0.5 (16x fewer files)")
     return parser.parse_args(argv)
 
 
@@ -51,7 +54,8 @@ def main(argv=None) -> int:
         return 1
     workers = args.num_workers or 4
     options = EngineOptions(reader_threads=workers,
-                            host_fusion_threads=workers)
+                            host_fusion_threads=workers,
+                            zarr_format=getattr(args, 'zarr_format', 2))
 
     from .models.editions import StitcherProcess
     from .process_cli import monitor_process

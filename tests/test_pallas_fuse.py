@@ -57,6 +57,35 @@ def test_pallas_chunked_matches_xla(rng):
     np.testing.assert_array_equal(got, expect)
 
 
+def test_pallas_feather_matches_xla(rng):
+    """The pallas feather kernel accumulates the same (acc, wsum) as
+    ops.fuse.fuse_feather — identical ramps from the full crop window,
+    including with chunking forced."""
+    from image_stitcher_tpu.ops.fuse import finalize_feather, fuse_feather
+    from image_stitcher_tpu.ops.pallas_fuse import fuse_feather_pallas
+    C, Z, H, W, th, tw = 2, 1, 128, 112, 32, 32
+    tiles, info, crops, valid = _problem(rng, n=14, C=C, Z=Z, H=H, W=W,
+                                         th=th, tw=tw)
+    shp = padded_canvas_shape(C, Z, H, W, th, tw)
+    acc0 = jnp.zeros(shp, jnp.float32)
+    w0 = jnp.zeros(shp, jnp.float32)
+    acc_x, w_x = fuse_feather(acc0, w0, jnp.asarray(tiles), jnp.asarray(info),
+                              jnp.asarray(crops), jnp.asarray(valid),
+                              blend_px=12)
+    expect = np.asarray(finalize_feather(acc_x, w_x, jnp.uint16))[:, :, :H, :W]
+
+    for budget in (6 << 20, 20_000):  # single-chunk and forced-chunk
+        pshp = pallas_padded_canvas_shape(C, Z, H, W, th, tw, np.uint16)
+        acc_p, w_p = fuse_feather_pallas(
+            jnp.zeros(pshp, jnp.float32), jnp.zeros(pshp, jnp.float32),
+            jnp.asarray(tiles), jnp.asarray(info), jnp.asarray(crops),
+            jnp.asarray(valid), blend_px=12, interpret=True,
+            chunk_budget=budget)
+        got = np.asarray(finalize_feather(acc_p, w_p,
+                                          jnp.uint16))[:, :, :H, :W]
+        np.testing.assert_array_equal(got, expect)
+
+
 def test_pallas_overwrite_order(rng):
     """Overlapping tiles: later grid step must win."""
     th = tw = 16

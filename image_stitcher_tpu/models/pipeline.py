@@ -63,7 +63,10 @@ class StitchPipeline:
                 self.output_folder = prior
                 self.resumed = True
                 self.reporter.status(f"Resuming run in {prior}", False)
-        if not resume or not self.resumed:
+        if self.options.output_folder is not None:
+            self.output_folder = self.options.output_folder
+            self.resumed = resume  # reuse state already in that folder
+        elif not resume or not self.resumed:
             self.output_folder = params.stitched_folder  # timestamp once
         self.output_format = params.output_format
         self.per_timepoint_region_output_template = os.path.join(
@@ -87,6 +90,14 @@ class StitchPipeline:
     def _check_stop(self):
         if self.stop_event is not None and self.stop_event.is_set():
             raise StitchCancelled("stitching cancelled")
+
+    @staticmethod
+    def _shard_barrier():
+        """Wait for every cooperating process (multi-controller runs);
+        a single-process work-sharded run (sequential shards) no-ops."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices("stitch_merge_barrier")
 
     def _dtype_max(self) -> float:
         dt = self.acq.dtype
@@ -858,6 +869,8 @@ class StitchPipeline:
             self.reporter.status(f"Completed region {region} t{timepoint}",
                                  False)
 
+        shard = self.options.work_shard
+        unit_idx = -1
         try:
             for timepoint in self.acq.timepoints:
                 timepoint = int(timepoint)
@@ -866,6 +879,11 @@ class StitchPipeline:
                             exist_ok=True)
                 for region in self.acq.regions:
                     self._check_stop()
+                    unit_idx += 1
+                    if shard is not None and unit_idx % shard[1] != shard[0]:
+                        # another shard owns this unit (deterministic
+                        # round-robin over the (t, region) enumeration)
+                        continue
                     if manifest.is_completed(timepoint, region):
                         final_path = (self.per_timepoint_region_output_template
                                       .format(timepoint=timepoint,
@@ -939,8 +957,11 @@ class StitchPipeline:
                 self.acq = scan_acquisition(self.input_folder)
             os.makedirs(self.output_folder, exist_ok=True)
 
+            shard = self.options.work_shard
+            suffix = f".shard{shard[0]}" if shard is not None else ""
             manifest = (RunManifest.load(self.output_folder)
-                        if self.resumed else None) or RunManifest(self.output_folder)
+                        if self.resumed and not suffix else None) \
+                or RunManifest(self.output_folder, suffix=suffix)
             manifest.set_params(self.params.to_dict(),
                                 self.options.output_fingerprint())
 
@@ -979,7 +1000,18 @@ class StitchPipeline:
 
             final_path = self._process_regions(manifest) or ''
 
-            if self.params.merge_timepoints or self.params.merge_hcs_regions:
+            do_merge = (self.params.merge_timepoints
+                        or self.params.merge_hcs_regions)
+            if do_merge and shard is not None:
+                # merges read every shard's region outputs: all
+                # processes must reach this point first (collective;
+                # no-op when jax isn't multi-process)
+                self._shard_barrier()
+            if do_merge and shard is not None and shard[0] != 0:
+                self.reporter.status(
+                    "merges are the coordinator shard's job; skipping on "
+                    f"shard {shard[0]}", False)
+            elif self.params.merge_timepoints or self.params.merge_hcs_regions:
                 if self.resumed and manifest.data.get("merges_done"):
                     self.reporter.status("Merges already complete; skipping",
                                          False)

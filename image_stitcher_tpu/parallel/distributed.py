@@ -93,6 +93,35 @@ def replicate_to_mesh(mesh, *arrays):
                  for a in arrays)
 
 
+def stitch_distributed(params, options=None, reporter=None):
+    """Run one stitching job cooperatively across every federated
+    process: the pod-scale successor of the reference's Pool fan-out
+    (zarr_stitcher.py:570-612), lifted from FOVs to whole (timepoint,
+    region) units across hosts.
+
+    Call after :func:`initialize`. Each process stitches the units it
+    owns (deterministic round-robin) into ONE shared output tree; all
+    processes barrier, then process 0 runs the merge passes. Returns
+    this process's StitchPipeline.
+    """
+    import dataclasses
+
+    import jax
+
+    from ..models.pipeline import StitchPipeline
+    from ..params import EngineOptions
+
+    opts = dataclasses.replace(options) if options is not None \
+        else EngineOptions()
+    if opts.output_folder is None:
+        # deterministic (timestamps differ across processes)
+        opts.output_folder = params.input_folder + "_stitched_distributed"
+    opts.work_shard = (jax.process_index(), jax.process_count())
+    pipe = StitchPipeline(params, opts, reporter)
+    pipe.run()
+    return pipe
+
+
 # ---------------------------------------------------------------------------
 # Localhost multi-process validation worker (used by tests and the
 # driver dryrun): `python -m image_stitcher_tpu.parallel.distributed

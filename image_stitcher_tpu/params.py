@@ -205,6 +205,15 @@ class EngineOptions:
     # (upgrade over the reference, which only counted per-FOV errors,
     # zarr_stitcher.py:487-489).
     continue_on_error: bool = False
+    # Explicit output folder (overrides the timestamped derivation).
+    # Required when several processes cooperate on one output tree.
+    output_folder: Optional[str] = None
+    # Work sharding for multi-process runs: (index, count) — this
+    # process stitches only the (timepoint, region) units whose
+    # deterministic enumeration index % count == index (the reference's
+    # Pool fan-out, lifted to whole units across hosts). Merges are the
+    # coordinator's job (parallel/distributed.stitch_distributed).
+    work_shard: Optional[Tuple[int, int]] = None
 
     # EngineOptions fields that change the OUTPUT (not just performance);
     # a resumed run must match these to keep one coherent output tree.
@@ -250,6 +259,14 @@ class EngineOptions:
             raise ValueError("flatfield_device must be 'host' or 'device'")
         if self.zarr_format not in (2, 3):
             raise ValueError("zarr_format must be 2 (NGFF 0.4) or 3 (NGFF 0.5)")
+        if self.work_shard is not None:
+            idx, count = self.work_shard
+            if not (count >= 1 and 0 <= idx < count):
+                raise ValueError("work_shard must be (index, count) with "
+                                 "0 <= index < count")
+            if self.output_folder is None:
+                raise ValueError("work_shard requires an explicit "
+                                 "output_folder shared by all shards")
         if self.device_fusion_kernel not in ('auto', 'xla', 'pallas'):
             raise ValueError(
                 "device_fusion_kernel must be 'auto', 'xla' or 'pallas'")

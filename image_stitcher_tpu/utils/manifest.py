@@ -25,8 +25,10 @@ FLATFIELD_NAME = "flatfields.npz"
 
 
 class RunManifest:
-    def __init__(self, output_folder: str):
-        self.path = os.path.join(output_folder, MANIFEST_NAME)
+    def __init__(self, output_folder: str, suffix: str = ""):
+        # ``suffix`` separates cooperating shards' manifests in a shared
+        # output folder (work-sharded multi-process runs)
+        self.path = os.path.join(output_folder, MANIFEST_NAME + suffix)
         self.output_folder = output_folder
         self.data: Dict = {
             "version": 1,

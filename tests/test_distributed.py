@@ -18,6 +18,108 @@ def test_two_process_localhost_validation():
     run_localhost_validation(num_processes=2, devices_per_process=2)
 
 
+def test_work_sharded_pipeline_sequential(tmp_path):
+    """Two shards run (sequentially here) into ONE shared output tree;
+    each owns half the (t, region) units; the coordinator shard merges.
+    Output equals an unsharded run."""
+    import glob
+    import os
+    from fixtures import write_synthetic_acquisition
+    from image_stitcher_tpu import EngineOptions, StitchingParameters
+    from image_stitcher_tpu.io.zarr_store import open_zarr_array
+    from image_stitcher_tpu.models.pipeline import StitchPipeline
+
+    def make_acq(d):
+        write_synthetic_acquisition(d, grid_cols=2, grid_rows=2, tile_w=64,
+                                    tile_h=64, overlap=16,
+                                    regions=["B2", "C3"], timepoints=2,
+                                    seed=11)
+
+    acq_dir = str(tmp_path / "acq")
+    make_acq(acq_dir)
+    shared = str(tmp_path / "out")
+    params = StitchingParameters(input_folder=acq_dir,
+                                 merge_hcs_regions=True)
+    # shard 1 first (merges skipped there), then coordinator shard 0
+    logs = []
+    from image_stitcher_tpu.utils.progress import ProgressReporter
+    rep = ProgressReporter(status=lambda m, s=False: logs.append(m))
+    for idx in (1, 0):
+        StitchPipeline(params, EngineOptions(
+            output_folder=shared, work_shard=(idx, 2)), rep).run()
+    assert any("coordinator shard" in m for m in logs)
+    # every unit present exactly once, plus the merged plate from shard 0
+    for t in (0, 1):
+        for region in ("B2", "C3"):
+            assert os.path.isdir(os.path.join(
+                shared, f"{t}_stitched", f"{region}_stitched.ome.zarr"))
+    plate = os.path.join(shared, "hcs_timepoints", "0_hcs.ome.zarr")
+    assert os.path.isdir(plate)
+
+    # equals an unsharded run
+    acq2 = str(tmp_path / "acq2")
+    make_acq(acq2)
+    from image_stitcher_tpu import stitch
+    stitch(acq2, merge_hcs_regions=True)
+    ref_out = sorted(glob.glob(acq2 + "_stitched_*"))[-1]
+    for t in (0, 1):
+        for region in ("B2", "C3"):
+            a = np.asarray(open_zarr_array(os.path.join(
+                shared, f"{t}_stitched", f"{region}_stitched.ome.zarr",
+                "0")).read().result())
+            b = np.asarray(open_zarr_array(os.path.join(
+                ref_out, f"{t}_stitched", f"{region}_stitched.ome.zarr",
+                "0")).read().result())
+            np.testing.assert_array_equal(a, b)
+
+
+def test_stitch_distributed_two_processes(tmp_path):
+    """Full e2e across two federated localhost processes: shared output
+    tree, barrier, coordinator merges the HCS plate."""
+    import os
+    import socket
+    import subprocess
+    import sys
+    from fixtures import write_synthetic_acquisition
+
+    acq_dir = str(tmp_path / "acq")
+    write_synthetic_acquisition(acq_dir, grid_cols=2, grid_rows=2,
+                                tile_w=64, tile_h=64, overlap=16,
+                                regions=["B2", "C3"], seed=12)
+    out_dir = str(tmp_path / "out")
+    s = socket.socket()
+    s.bind(('localhost', 0))
+    port = s.getsockname()[1]
+    s.close()
+    script = f"""
+import sys
+pid = int(sys.argv[1])
+from image_stitcher_tpu.parallel import distributed as dist
+dist.initialize("localhost:{port}", num_processes=2, process_id=pid,
+                platform='cpu')
+from image_stitcher_tpu import EngineOptions, StitchingParameters
+p = StitchingParameters(input_folder={acq_dir!r}, merge_hcs_regions=True)
+pipe = dist.stitch_distributed(
+    p, EngineOptions(output_folder={out_dir!r}))
+print("worker", pid, "done", flush=True)
+"""
+    env = {k: v for k, v in os.environ.items() if k != 'JAX_PLATFORMS'}
+    env['JAX_PLATFORMS'] = 'cpu'
+    procs = [subprocess.Popen([sys.executable, "-c", script, str(i)],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, env=env,
+                              cwd="/root/repo")
+             for i in range(2)]
+    for p in procs:
+        out, _ = p.communicate(timeout=240)
+        assert p.returncode == 0, out.decode()[-2000:]
+    for region in ("B2", "C3"):
+        assert os.path.isdir(os.path.join(
+            out_dir, "0_stitched", f"{region}_stitched.ome.zarr"))
+    assert os.path.isdir(os.path.join(out_dir, "hcs_timepoints",
+                                      "0_hcs.ome.zarr", "B", "2", "0"))
+
+
 def test_pod_mesh_single_process_shape():
     """Single-process fallback: the pod mesh equals a (1, n_local) grid
     with data across processes and canvas across local devices."""

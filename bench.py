@@ -324,16 +324,19 @@ def main():
             if rep > 0 and time.perf_counter() - bench_t0 > time_budget:
                 log(f"time budget reached after {rep} repeat(s)")
                 break
-            # rep 0 = all-host (immune to cold remote compiles); later
-            # reps put the TPU kernels in the loop (warm-cache runs win)
-            ours_dt, pipe = run_ours(acq_dir, device_stages=(rep > 0))
+            # rep 0 puts the TPU kernels in the loop (compile caches
+            # persist on the bench host, and the headline rep must show
+            # device stage time); rep 1 is the all-host config (immune
+            # to a cold remote compile); rep 2 device again, warm.
+            ours_dt, pipe = run_ours(acq_dir, device_stages=(rep != 1))
             log(f"ours[{rep}]: {ours_dt:.1f}s "
                 f"(shifts h={pipe.shifts.h_shift} v={pipe.shifts.v_shift})")
             ours_best = ours_dt if ours_best is None else min(ours_best, ours_dt)
             for d in __import__('glob').glob(acq_dir + "_stitched_*"):
                 shutil.rmtree(d, ignore_errors=True)
 
-            if base_best is not None and rep >= 2:
+            if base_best is not None and (
+                    rep >= 2 or time.perf_counter() - bench_t0 > time_budget):
                 continue  # baseline is stable; spend the budget on ours
             base_dt, base_shifts = run_baseline(acq_dir,
                                                 pipe.num_pyramid_levels)

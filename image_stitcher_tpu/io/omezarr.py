@@ -9,12 +9,12 @@ JSON so the output is fully under our control.
 from __future__ import annotations
 
 import os
-from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 from .zarr_store import (create_zarr3_sharded_array, create_zarr_array,
-                         write_attrs, write_group)
+                         write_group)
 
 # Axis definitions, parity with reference stitcher.py:825-831.
 OME_AXES = [

@@ -21,7 +21,7 @@ than its nearest-mode save path.
 from __future__ import annotations
 
 import os
-from typing import List, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -18,22 +18,21 @@ from __future__ import annotations
 import os
 import random
 import time
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..core import geometry as geo
-from ..io.acquisition import Acquisition, TileRecord, read_image, scan_acquisition
+from ..io.acquisition import Acquisition, read_image, scan_acquisition
 from ..io.omezarr import MultiscaleWriter
 from ..io.readers import (TileBatchLoader, TileJob, expand_tile_jobs,
                           load_tile_plane)
 from ..ops import fuse as fuse_ops
 from ..ops import pyramid as pyr_ops
-from ..ops.flatfield import fit_flatfield
 from ..ops.phasecorr import (horizontal_shift_from_pcc,
-                             phase_cross_correlation, vertical_shift_from_pcc)
+                             vertical_shift_from_pcc)
 from ..params import EngineOptions, StitchingParameters
 from ..utils.profiling import StageTimers
 from ..utils.progress import ProgressReporter, StitchCancelled

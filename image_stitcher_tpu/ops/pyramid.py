@@ -12,7 +12,6 @@ never from the base, so a full pyramid costs ~1/3 extra bandwidth.
 
 from __future__ import annotations
 
-import functools
 from typing import List, Tuple
 
 import jax

@@ -28,7 +28,7 @@ code runs unchanged from a laptop to a pod.
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

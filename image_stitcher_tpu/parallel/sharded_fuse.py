@@ -21,16 +21,14 @@ fan-out of disjoint zarr slice writes (zarr_stitcher.py:421-489).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..ops.fuse import _feather_ramp, _tile_mask
-from .mesh import AXIS_CANVAS, AXIS_DATA, band_sharding
+from .mesh import AXIS_CANVAS, band_sharding
 
 
 class ShardedCanvas:

@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import queue as queue_mod
 import sys
-import time
 
 from .cli import create_options, create_params, parse_args
 

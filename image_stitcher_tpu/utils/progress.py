@@ -8,8 +8,8 @@ One reporter abstraction covering both reference surfaces:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Any, Callable, Optional
+from dataclasses import dataclass
+from typing import Any, Callable
 
 
 def _noop(*args, **kwargs):

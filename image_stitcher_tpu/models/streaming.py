@@ -31,6 +31,37 @@ def band_rows_for(chunk_rows: int, num_levels: int) -> int:
     return max(chunk_rows, ((chunk_rows + align - 1) // align) * align)
 
 
+def write_band_levels(writer: MultiscaleWriter, c: int, z: int, band0: int,
+                      buf: np.ndarray, num_levels: int, mode: str,
+                      width: int, tick: Optional[Callable] = None) -> None:
+    """Write one finished (c, z) band to level 0 and fold it into every
+    pyramid level (band rows are a multiple of 2^(levels-1), so pooling
+    windows never cross bands). Shared by the host and device streaming
+    fusers; ``tick(stage, t0)`` hooks the host fuser's stage stats."""
+    import time as _time
+    t0 = _time.perf_counter()
+    rows = buf.shape[0]
+    sel0 = (slice(0, 1), slice(c, c + 1), slice(z, z + 1),
+            slice(band0, band0 + rows), slice(0, width))
+    writer.write_level(0, buf[None, None, None], sel=sel0)
+    if tick:
+        t0 = tick('write', t0)
+    level = buf
+    for lv in range(1, num_levels):
+        level = host_downsample(level, mode)
+        b_lv = band0 >> lv
+        h_lv, w_lv = level.shape
+        if h_lv == 0 or w_lv == 0:
+            break
+        if tick:
+            t0 = tick('pyramid', t0)
+        sel = (slice(0, 1), slice(c, c + 1), slice(z, z + 1),
+               slice(b_lv, b_lv + h_lv), slice(0, w_lv))
+        writer.write_level(lv, level[None, None, None], sel=sel)
+        if tick:
+            t0 = tick('write', t0)
+
+
 def partition_jobs_by_band(jobs: Sequence, tile_h: int, height: int,
                            band: int):
     """Group jobs by (channel, z, band_start), preserving plan order
@@ -169,25 +200,9 @@ class StreamingFuser:
                 info = np.iinfo(self.dtype)
                 out = np.clip(np.round(out), info.min, info.max)
             buf = out.astype(self.dtype)
-        t0 = self._tick('finalize', t0)
-        # level 0 slab
-        sel0 = (slice(0, 1), slice(c, c + 1), slice(z, z + 1),
-                slice(band0, band0 + rows), slice(0, self.width))
-        self.writer.write_level(0, buf[None, None, None], sel=sel0)
-        t0 = self._tick('write', t0)
-        # pyramid slabs: band rows align with every level's pooling grid
-        level = buf
-        for lv in range(1, self.num_levels):
-            level = host_downsample(level, self.mode)
-            b_lv = band0 >> lv
-            h_lv, w_lv = level.shape
-            if h_lv == 0 or w_lv == 0:
-                break
-            t0 = self._tick('pyramid', t0)
-            sel = (slice(0, 1), slice(c, c + 1), slice(z, z + 1),
-                   slice(b_lv, b_lv + h_lv), slice(0, w_lv))
-            self.writer.write_level(lv, level[None, None, None], sel=sel)
-            t0 = self._tick('write', t0)
+        self._tick('finalize', t0)
+        write_band_levels(self.writer, c, z, band0, buf, self.num_levels,
+                          self.mode, self.width, tick=self._tick)
 
     # ------------------------------------------------------------------
 
@@ -355,23 +370,6 @@ class DeviceStreamingFuser:
         # D2H only the real rows/cols of this band
         return np.asarray(canvas[0, 0, th:th + rows, :self.width])
 
-    def _write_band(self, c: int, z: int, band0: int,
-                    buf: np.ndarray) -> None:
-        rows = buf.shape[0]
-        sel0 = (slice(0, 1), slice(c, c + 1), slice(z, z + 1),
-                slice(band0, band0 + rows), slice(0, self.width))
-        self.writer.write_level(0, buf[None, None, None], sel=sel0)
-        level = buf
-        for lv in range(1, self.num_levels):
-            level = host_downsample(level, self.mode)
-            b_lv = band0 >> lv
-            h_lv, w_lv = level.shape
-            if h_lv == 0 or w_lv == 0:
-                break
-            sel = (slice(0, 1), slice(c, c + 1), slice(z, z + 1),
-                   slice(b_lv, b_lv + h_lv), slice(0, w_lv))
-            self.writer.write_level(lv, level[None, None, None], sel=sel)
-
     def run(self, jobs: Sequence, load_fn: Callable,
             progress_cb: Optional[Callable[[int], None]] = None,
             stop_check: Optional[Callable] = None) -> None:
@@ -393,7 +391,8 @@ class DeviceStreamingFuser:
                 c, z, band0 = key
                 buf = self._fuse_band(band0, tasks[key], load_fn, pool,
                                       progress)
-                self._write_band(c, z, band0, buf)
+                write_band_levels(self.writer, c, z, band0, buf,
+                                  self.num_levels, self.mode, self.width)
         finally:
             pool.shutdown(wait=False)
         self.writer.close()

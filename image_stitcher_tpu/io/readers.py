@@ -107,11 +107,12 @@ class TileBatchLoader:
             info[i] = (job.channel_idx, job.z_level, job.y, job.x)
             # undersized tiles fold the zero-pad deficit into the
             # bottom/right crops so padding never overwrites canvas
-            # content the host backends (which slice by the loaded
-            # shape) would have preserved
+            # content. The host backends crop `bottom` rows off the
+            # ACTUAL loaded shape (window ends at h - bottom), so in
+            # nominal coordinates the crop is bottom + deficit.
             top, bottom, left, right = job.crops
-            crops[i] = (top, max(bottom, self.tile_h - h),
-                        left, max(right, self.tile_w - w))
+            crops[i] = (top, bottom + (self.tile_h - h),
+                        left, right + (self.tile_w - w))
             valid[i] = True
         return TileBatch(tiles, info, crops, valid, len(chunk))
 

@@ -92,7 +92,7 @@ def create_zarr3_sharded_array(
     for ax in (-2, -1):
         shard[ax] = min(int(shape[ax]), chunks[ax] * shard_multiple)
         # shard extents must be divisible by the read chunk
-        shard[ax] -= shard[ax] % chunks[ax] or 0
+        shard[ax] -= shard[ax] % chunks[ax]
         shard[ax] = max(shard[ax], chunks[ax])
     spec = {
         'driver': 'zarr3',

@@ -642,10 +642,19 @@ class StitchPipeline:
                                  num_threads=opts.resolved_reader_threads())
         use_feather = opts.blend_method == 'feather'
         kernel = opts.device_fusion_kernel
+        from ..ops.pallas_fuse import pallas_supported
+        supported = (jax.default_backend() == 'tpu'
+                     and pallas_supported(th, tw, acq.dtype))
         if kernel == 'auto':
-            # the pallas window kernels need a real TPU (Mosaic); the
-            # scan paths serve interpret/CPU backends
-            kernel = 'pallas' if jax.default_backend() == 'tpu' else 'xla'
+            # the pallas window kernels need a real TPU (Mosaic) and
+            # register-aligned tile extents; the scan paths serve
+            # interpret/CPU backends and odd tile sizes
+            kernel = 'pallas' if supported else 'xla'
+        elif kernel == 'pallas' and not supported:
+            self.reporter.status(
+                f"pallas kernel unsupported for {th}x{tw} {acq.dtype} "
+                "tiles on this backend; using the XLA scan", False)
+            kernel = 'xla'
         use_pallas = kernel == 'pallas'
         if use_pallas:
             from ..ops.pallas_fuse import (fuse_feather_pallas,
@@ -958,8 +967,8 @@ class StitchPipeline:
 
             shard = self.options.work_shard
             suffix = f".shard{shard[0]}" if shard is not None else ""
-            manifest = (RunManifest.load(self.output_folder)
-                        if self.resumed and not suffix else None) \
+            manifest = (RunManifest.load(self.output_folder, suffix=suffix)
+                        if self.resumed else None) \
                 or RunManifest(self.output_folder, suffix=suffix)
             manifest.set_params(self.params.to_dict(),
                                 self.options.output_fingerprint())

@@ -288,11 +288,16 @@ class DeviceStreamingFuser:
         self.flatfields = flatfields
         self.blend = blend_method
         self.blend_px = blend_px
+        import jax
+        from ..ops.pallas_fuse import pallas_supported
+        supported = (jax.default_backend() == 'tpu'
+                     and pallas_supported(tile_h, tile_w, self.dtype))
         if device_kernel == 'auto':
-            import jax
-            device_kernel = ('pallas' if jax.default_backend() == 'tpu'
-                             else 'xla')
+            device_kernel = 'pallas' if supported else 'xla'
+        elif device_kernel == 'pallas' and not supported:
+            device_kernel = 'xla'  # odd tile extents / non-TPU backend
         self.use_pallas = device_kernel == 'pallas'
+        self._ff_device = None  # lazy one-time H2D of the flatfields
 
     def _fuse_band(self, band0: int, jobs: Sequence, load_fn: Callable,
                    pool, progress_cb=None) -> np.ndarray:
@@ -315,8 +320,10 @@ class DeviceStreamingFuser:
             wsum = jnp.zeros(shape, jnp.float32)
         else:
             canvas = jnp.zeros(shape, self.dtype)
-        ff = (jnp.asarray(self.flatfields)
-              if self.flatfields is not None else None)
+        if self._ff_device is None and self.flatfields is not None:
+            # upload the flatfield stack once; every band reuses it
+            self._ff_device = jnp.asarray(self.flatfields)
+        ff = self._ff_device
 
         n = self.batch_size
         chunks = [jobs[i:i + n] for i in range(0, len(jobs), n)]
@@ -333,8 +340,10 @@ class DeviceStreamingFuser:
                 # band-local coordinates; the +th apron keeps origins >= 0
                 info[i] = (0, 0, job.y - band0 + th, job.x)
                 top, bottom, left, right = job.crops
-                crops[i] = (top, max(bottom, th - h),
-                            left, max(right, tw - w))
+                # host backends crop `bottom` off the ACTUAL shape, so
+                # the nominal-coordinate crop is bottom + deficit
+                crops[i] = (top, bottom + (th - h),
+                            left, right + (tw - w))
                 valid[i] = True
                 chans[i] = job.channel_idx
             dtiles = jnp.asarray(tiles)

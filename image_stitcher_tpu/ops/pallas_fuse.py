@@ -34,6 +34,16 @@ def align_y_for(dtype) -> int:
     return 8 * max(1, 4 // itemsize)
 
 
+def pallas_supported(tile_h: int, tile_w: int, dtype) -> bool:
+    """Mosaic compiles the window kernels only for register-aligned tile
+    extents: the dynamic rotate needs the padded tile's lane count
+    (tw + ALIGN_X) to be a multiple of the 128-lane tiling and its rows
+    a multiple of the sublane alignment, i.e. tw % 128 == 0 and
+    th % align_y == 0 (true for production camera tiles: 512/1024/2048).
+    Callers fall back to the XLA scan otherwise."""
+    return tile_w % ALIGN_X == 0 and tile_h % align_y_for(dtype) == 0
+
+
 def pallas_padded_canvas_shape(num_c: int, num_z: int, height: int,
                                width: int, tile_h: int, tile_w: int,
                                dtype=None) -> Tuple[int, int, int, int]:

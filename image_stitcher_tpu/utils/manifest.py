@@ -50,8 +50,9 @@ class RunManifest:
         os.replace(tmp, self.path)  # atomic
 
     @classmethod
-    def load(cls, output_folder: str) -> Optional["RunManifest"]:
-        m = cls(output_folder)
+    def load(cls, output_folder: str,
+             suffix: str = "") -> Optional["RunManifest"]:
+        m = cls(output_folder, suffix=suffix)
         try:
             with open(m.path) as f:
                 m.data = json.load(f)
@@ -104,8 +105,22 @@ class RunManifest:
             return
         os.makedirs(self.output_folder, exist_ok=True)
         path = os.path.join(self.output_folder, FLATFIELD_NAME)
-        np.savez_compressed(path,
-                            **{str(k): v for k, v in flatfields.items()})
+        # write-to-temp + atomic rename: cooperating shards all save the
+        # (identical, deterministically sampled) fields to one shared
+        # path — interleaved in-place writes would corrupt the zip
+        fd, tmp = tempfile.mkstemp(dir=self.output_folder, suffix=".npz.tmp")
+        try:
+            with os.fdopen(fd, "wb") as f:
+                np.savez_compressed(f,
+                                    **{str(k): v
+                                       for k, v in flatfields.items()})
+            os.replace(tmp, path)
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
 
     def load_flatfields(self) -> Dict[int, np.ndarray]:
         path = os.path.join(self.output_folder, FLATFIELD_NAME)

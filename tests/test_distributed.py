@@ -73,6 +73,28 @@ def test_work_sharded_pipeline_sequential(tmp_path):
             np.testing.assert_array_equal(a, b)
 
 
+def test_work_sharded_resume_skips_completed(tmp_path):
+    """A restarted shard reloads ITS manifest and skips finished units."""
+    import os
+    from fixtures import write_synthetic_acquisition
+    from image_stitcher_tpu import EngineOptions, StitchingParameters
+    from image_stitcher_tpu.models.pipeline import StitchPipeline
+    from image_stitcher_tpu.utils.progress import ProgressReporter
+
+    acq_dir = str(tmp_path / "acq")
+    write_synthetic_acquisition(acq_dir, grid_cols=2, grid_rows=2,
+                                tile_w=64, tile_h=64, overlap=16,
+                                regions=["B2", "C3"], seed=13)
+    shared = str(tmp_path / "out")
+    params = StitchingParameters(input_folder=acq_dir)
+    opts = EngineOptions(output_folder=shared, work_shard=(0, 2))
+    StitchPipeline(params, opts).run()
+    logs = []
+    rep = ProgressReporter(status=lambda m, s=False: logs.append(m))
+    StitchPipeline(params, opts, rep, resume=True).run()
+    assert any("Skipping completed region" in m for m in logs)
+
+
 def test_stitch_distributed_two_processes(tmp_path):
     """Full e2e across two federated localhost processes: shared output
     tree, barrier, coordinator merges the HCS plate."""

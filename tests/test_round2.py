@@ -13,11 +13,18 @@ from image_stitcher_tpu.io.zarr_store import open_zarr_array
 from image_stitcher_tpu.ops.flatfield import pad_stack_cycled
 
 
-def _shrink_one_tile(acq_dir: str) -> str:
-    """Rewrite one tile file with its bottom/right quarter cut off."""
+def _shrink_one_tile(acq_dir: str, index: int = -1) -> str:
+    """Rewrite one tile file with its bottom/right quarter cut off.
+
+    Defaults to the LAST (corner) tile: with registration on, its
+    interior edges carry real crops, exercising the crop-plus-deficit
+    fold that keeps device backends equal to the host's actual-shape
+    slicing. (Never the first tile — the acquisition probes nominal
+    dims from it, reference parity, so shrinking it redefines the
+    whole geometry rather than degrading one tile.)"""
     import cv2
     tiles = sorted(glob.glob(os.path.join(acq_dir, "0", "*.tiff")))
-    path = tiles[len(tiles) // 2]
+    path = tiles[index]
     img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
     small = np.ascontiguousarray(img[: img.shape[0] * 3 // 4,
                                      : img.shape[1] * 3 // 4])
@@ -65,13 +72,18 @@ def test_undersized_tile_backends_agree(tmp_path):
         "streaming": dict(fusion_device='host', streaming='on',
                           chunks=(1, 1, 1, 64, 64)),
         "device": dict(fusion_device='device', streaming='off'),
+        "device_streaming": dict(fusion_device='device', streaming='on',
+                                 chunks=(1, 1, 1, 64, 64)),
     }.items():
         acq_dir = str(tmp_path / name)
         write_synthetic_acquisition(acq_dir, grid_cols=3, grid_rows=2,
                                     tile_w=96, tile_h=96, overlap=32,
                                     seed=4)
-        _shrink_one_tile(acq_dir)
-        stitch(acq_dir, options=EngineOptions(**opts))
+        # fov 4 = (row 1, col 1): its RIGHT crop is interior (nonzero),
+        # so the fold must ADD the deficit to it (max() would differ)
+        _shrink_one_tile(acq_dir, index=4)
+        stitch(acq_dir, use_registration=True,
+               options=EngineOptions(**opts))
         results[name] = _read_level0(acq_dir)
     ref = results.pop("host")
     for name, data in results.items():
@@ -91,8 +103,8 @@ def test_undersized_tile_feather_backends_agree(tmp_path):
         write_synthetic_acquisition(acq_dir, grid_cols=3, grid_rows=2,
                                     tile_w=96, tile_h=96, overlap=32,
                                     seed=5)
-        _shrink_one_tile(acq_dir)
-        stitch(acq_dir, options=EngineOptions(
+        _shrink_one_tile(acq_dir, index=4)
+        stitch(acq_dir, use_registration=True, options=EngineOptions(
             blend_method='feather', feather_px=24, **opts))
         results[name] = _read_level0(acq_dir)
     diff = np.abs(results["host"].astype(int) - results["streaming"].astype(int))

@@ -258,7 +258,11 @@ def scan_acquisition(input_folder: str) -> Acquisition:
     channel_names = sorted(channels_set)
 
     # Probe the first image for dtype and frame geometry
-    # (reference stitcher.py:221-235).
+    # (reference stitcher.py:221-235). NOTE: this makes the first file
+    # authoritative for the NOMINAL tile extent — geometry, batch
+    # shapes, and overlap estimates all derive from it. Other tiles may
+    # be smaller (they fuse with their actual content; the deficit
+    # folds into crops), but a truncated FIRST tile redefines the grid.
     first_key = next(iter(tiles))
     first = tiles[first_key]
     first_image = read_image(first.filepath)

@@ -55,20 +55,32 @@ def pallas_padded_canvas_shape(num_c: int, num_z: int, height: int,
             width + tile_w + ALIGN_X)
 
 
-def _fuse_kernel(th: int, tw: int, align_y: int, chunk_rows: int):
+def _fuse_kernel(th: int, tw: int, align_y: int, chunk_rows: int,
+                 n_chunks: int, n_tiles: int):
     """Grid = (tiles, row-chunks): each step handles ``chunk_rows`` tile
     rows so VMEM scratch stays bounded for production tile sizes (a
     whole 2048^2 u16 tile + window would blow the ~16 MB VMEM budget).
     Chunks of one tile run consecutively (row-major grid), so the
     later-tile-wins ordering is untouched; each canvas row is written by
-    exactly one chunk (the one whose tile rows land there)."""
+    exactly one chunk (the one whose tile rows land there).
+
+    The tile scratch is double-buffered: step s starts the fetch of
+    step s+1's chunk before computing, hiding the (read-only) tile DMA
+    behind the window round-trip. Window DMAs cannot prefetch across
+    steps — consecutive windows may overlap, and later-tile-wins needs
+    the previous write-back visible."""
     ALIGN_Y = align_y
     cwh, ww = chunk_rows + ALIGN_Y, tw + ALIGN_X
+    total = n_tiles * n_chunks
 
     def kernel(info_ref, crops_ref, valid_ref, tiles_hbm, canvas_in,
                out_ref, tile_v, win_v, sems):
+        # tile_v: (2, chunk_rows, tw) slots; sems: (3,) = tile slots 0/1
+        # + window 2
         i = pl.program_id(0)
         k = pl.program_id(1)
+        step = i * n_chunks + k
+        slot = jax.lax.rem(step, 2)
         c = info_ref[i, 0]
         z = info_ref[i, 1]
         y = info_ref[i, 2]
@@ -80,14 +92,27 @@ def _fuse_kernel(th: int, tw: int, align_y: int, chunk_rows: int):
         row0 = k * chunk_rows  # first tile row of this chunk
         yak = pl.multiple_of(ya + row0, ALIGN_Y)
 
-        tile_cp = pltpu.make_async_copy(
-            tiles_hbm.at[i, pl.ds(row0, chunk_rows)], tile_v, sems.at[0])
+        def tile_dma(s, sl):
+            return pltpu.make_async_copy(
+                tiles_hbm.at[s // n_chunks,
+                             pl.ds(jax.lax.rem(s, n_chunks) * chunk_rows,
+                                   chunk_rows)],
+                tile_v.at[sl], sems.at[sl])
+
+        @pl.when(step == 0)
+        def _():
+            tile_dma(step, slot).start()   # cold start for the first step
+
         win_cp = pltpu.make_async_copy(
             out_ref.at[c, z, pl.ds(yak, cwh), pl.ds(xa, ww)], win_v,
-            sems.at[1])
-        tile_cp.start()
+            sems.at[2])
         win_cp.start()
-        tile_cp.wait()
+
+        @pl.when(step + 1 < total)
+        def _():
+            tile_dma(step + 1, 1 - slot).start()  # prefetch next chunk
+
+        tile_dma(step, slot).wait()
         win_cp.wait()
 
         # Embed the chunk at (dy, dx) inside the aligned window: pad to
@@ -95,7 +120,7 @@ def _fuse_kernel(th: int, tw: int, align_y: int, chunk_rows: int):
         # (no wraparound: dy < ALIGN_Y, dx < ALIGN_X by construction).
         # Mosaic's dynamic rotate only handles 32-bit lanes on the
         # sublane dim, so rotate in i32 and cast back.
-        padded = jnp.pad(tile_v[:], ((0, ALIGN_Y), (0, ALIGN_X)))
+        padded = jnp.pad(tile_v[slot], ((0, ALIGN_Y), (0, ALIGN_X)))
         wide = padded.astype(jnp.int32)
         shifted = pltpu.roll(pltpu.roll(wide, dy, 0), dx, 1)
         shifted = shifted.astype(tile_v.dtype)
@@ -113,7 +138,7 @@ def _fuse_kernel(th: int, tw: int, align_y: int, chunk_rows: int):
 
         back_cp = pltpu.make_async_copy(
             win_v, out_ref.at[c, z, pl.ds(yak, cwh), pl.ds(xa, ww)],
-            sems.at[1])
+            sems.at[2])
         back_cp.start()
         back_cp.wait()
 
@@ -144,18 +169,26 @@ def _pick_chunk_rows(th: int, tw: int, itemsize: int, align_y: int,
 
 
 def _feather_kernel(th: int, tw: int, align_y: int, chunk_rows: int,
-                    blend_px: int):
+                    blend_px: int, n_chunks: int, n_tiles: int):
     """Feathered accumulate: acc += ramp*tile, wsum += ramp, into aligned
     (acc, wsum) float32 windows. Accumulation is commutative, so chunk
     order is free; ramps are computed in GLOBAL tile coordinates from
-    the full crop window, matching ops.fuse._feather_ramp exactly."""
+    the full crop window, matching ops.fuse._feather_ramp exactly.
+    The tile scratch double-buffers across grid steps like the
+    overwrite kernel (window pairs cannot: consecutive windows may
+    overlap and each step read-modify-writes them)."""
     ALIGN_Y = align_y
     cwh, ww = chunk_rows + ALIGN_Y, tw + ALIGN_X
+    total = n_tiles * n_chunks
 
     def kernel(info_ref, crops_ref, valid_ref, tiles_hbm, acc_in, wsum_in,
                acc_ref, wsum_ref, tile_v, acc_v, wsum_v, sems):
+        # tile_v: (2, chunk_rows, tw); sems: (4,) = tile slots 0/1,
+        # acc 2, wsum 3
         i = pl.program_id(0)
         k = pl.program_id(1)
+        step = i * n_chunks + k
+        slot = jax.lax.rem(step, 2)
         c = info_ref[i, 0]
         z = info_ref[i, 1]
         y = info_ref[i, 2]
@@ -167,22 +200,35 @@ def _feather_kernel(th: int, tw: int, align_y: int, chunk_rows: int,
         row0 = k * chunk_rows
         yak = pl.multiple_of(ya + row0, ALIGN_Y)
 
-        tile_cp = pltpu.make_async_copy(
-            tiles_hbm.at[i, pl.ds(row0, chunk_rows)], tile_v, sems.at[0])
+        def tile_dma(s, sl):
+            return pltpu.make_async_copy(
+                tiles_hbm.at[s // n_chunks,
+                             pl.ds(jax.lax.rem(s, n_chunks) * chunk_rows,
+                                   chunk_rows)],
+                tile_v.at[sl], sems.at[sl])
+
+        @pl.when(step == 0)
+        def _():
+            tile_dma(step, slot).start()
+
         acc_cp = pltpu.make_async_copy(
             acc_ref.at[c, z, pl.ds(yak, cwh), pl.ds(xa, ww)], acc_v,
-            sems.at[1])
+            sems.at[2])
         wsum_cp = pltpu.make_async_copy(
             wsum_ref.at[c, z, pl.ds(yak, cwh), pl.ds(xa, ww)], wsum_v,
-            sems.at[2])
-        tile_cp.start()
+            sems.at[3])
         acc_cp.start()
         wsum_cp.start()
-        tile_cp.wait()
+
+        @pl.when(step + 1 < total)
+        def _():
+            tile_dma(step + 1, 1 - slot).start()
+
+        tile_dma(step, slot).wait()
         acc_cp.wait()
         wsum_cp.wait()
 
-        padded = jnp.pad(tile_v[:], ((0, ALIGN_Y), (0, ALIGN_X)))
+        padded = jnp.pad(tile_v[slot], ((0, ALIGN_Y), (0, ALIGN_X)))
         wide = padded.astype(jnp.int32)
         shifted = pltpu.roll(pltpu.roll(wide, dy, 0), dx, 1)
         content = shifted.astype(jnp.float32)
@@ -206,10 +252,10 @@ def _feather_kernel(th: int, tw: int, align_y: int, chunk_rows: int,
 
         acc_back = pltpu.make_async_copy(
             acc_v, acc_ref.at[c, z, pl.ds(yak, cwh), pl.ds(xa, ww)],
-            sems.at[1])
+            sems.at[2])
         wsum_back = pltpu.make_async_copy(
             wsum_v, wsum_ref.at[c, z, pl.ds(yak, cwh), pl.ds(xa, ww)],
-            sems.at[2])
+            sems.at[3])
         acc_back.start()
         wsum_back.start()
         acc_back.wait()
@@ -236,9 +282,10 @@ def fuse_feather_pallas(acc: jnp.ndarray, wsum: jnp.ndarray,
     align_y = align_y_for(tiles.dtype)
     chunk_rows = _pick_chunk_rows(th, tw, tiles.dtype.itemsize, align_y,
                                   budget=chunk_budget, win_bytes_per_elem=8)
+    n_chunks = -(-th // chunk_rows)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(n, -(-th // chunk_rows)),
+        grid=(n, n_chunks),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),   # tiles (HBM)
             pl.BlockSpec(memory_space=pl.ANY),   # acc (HBM, aliased)
@@ -247,14 +294,14 @@ def fuse_feather_pallas(acc: jnp.ndarray, wsum: jnp.ndarray,
         out_specs=(pl.BlockSpec(memory_space=pl.ANY),
                    pl.BlockSpec(memory_space=pl.ANY)),
         scratch_shapes=[
-            pltpu.VMEM((chunk_rows, tw), tiles.dtype),
+            pltpu.VMEM((2, chunk_rows, tw), tiles.dtype),  # double-buffered
             pltpu.VMEM((chunk_rows + align_y, tw + ALIGN_X), jnp.float32),
             pltpu.VMEM((chunk_rows + align_y, tw + ALIGN_X), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
     )
     return pl.pallas_call(
-        _feather_kernel(th, tw, align_y, chunk_rows, blend_px),
+        _feather_kernel(th, tw, align_y, chunk_rows, blend_px, n_chunks, n),
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct(acc.shape, jnp.float32),
                    jax.ShapeDtypeStruct(wsum.shape, jnp.float32)),
@@ -281,22 +328,23 @@ def fuse_overwrite_pallas(canvas: jnp.ndarray, tiles: jnp.ndarray,
     align_y = align_y_for(canvas.dtype)
     chunk_rows = _pick_chunk_rows(th, tw, tiles.dtype.itemsize, align_y,
                                   budget=chunk_budget)
+    n_chunks = -(-th // chunk_rows)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(n, -(-th // chunk_rows)),
+        grid=(n, n_chunks),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),   # tiles (HBM)
             pl.BlockSpec(memory_space=pl.ANY),   # canvas (HBM, aliased)
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((chunk_rows, tw), tiles.dtype),
+            pltpu.VMEM((2, chunk_rows, tw), tiles.dtype),  # double-buffered
             pltpu.VMEM((chunk_rows + align_y, tw + ALIGN_X), canvas.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((3,)),
         ],
     )
     return pl.pallas_call(
-        _fuse_kernel(th, tw, align_y, chunk_rows),
+        _fuse_kernel(th, tw, align_y, chunk_rows, n_chunks, n),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(canvas.shape, canvas.dtype),
         input_output_aliases={4: 0},  # canvas operand -> output

@@ -17,11 +17,14 @@ from image_stitcher_tpu import EngineOptions, stitch
 from image_stitcher_tpu.io.zarr_store import open_zarr_array
 
 CONFIGS = [
-    # (cols, rows, tile_w, tile_h, overlap, channels, z, registration, ff)
-    (3, 2, 96, 80, 24, 1, 1, False, False),
-    (2, 3, 64, 64, 16, 2, 2, True, False),
-    (4, 2, 128, 128, 32, 1, 1, True, True),
-    (2, 2, 80, 96, 16, 3, 1, False, True),
+    # (cols, rows, tile_w, tile_h, overlap, channels, z, registration, ff,
+    #  jitter)
+    (3, 2, 96, 80, 24, 1, 1, False, False, 0),
+    (2, 3, 64, 64, 16, 2, 2, True, False, 0),
+    (4, 2, 128, 128, 32, 1, 1, True, True, 0),
+    (2, 2, 80, 96, 16, 3, 1, False, True, 0),
+    (3, 3, 96, 96, 32, 1, 3, True, False, 3),   # stage jitter, deep z
+    (2, 4, 128, 64, 24, 2, 1, True, True, 2),   # non-square tiles + ff
 ]
 
 BACKENDS = {
@@ -37,7 +40,7 @@ BACKENDS = {
 
 @pytest.mark.parametrize("cfg", CONFIGS, ids=[str(i) for i in range(len(CONFIGS))])
 def test_all_backends_identical(tmp_path, cfg):
-    cols, rows, tw, th, ov, nch, nz, reg, ff = cfg
+    cols, rows, tw, th, ov, nch, nz, reg, ff, jitter = cfg
     channels = ["Fluorescence 405 nm Ex", "Fluorescence 488 nm Ex",
                 "Fluorescence 561 nm Ex"][:nch]
     results = {}
@@ -46,6 +49,7 @@ def test_all_backends_identical(tmp_path, cfg):
         write_synthetic_acquisition(
             acq_dir, grid_cols=cols, grid_rows=rows, tile_w=tw, tile_h=th,
             overlap=ov, channels=channels, num_z=nz, seed=hash(cfg) % 1000,
+            jitter=jitter,
             acq_params_overrides={"pixel_binning": 2})
         stitch(acq_dir, use_registration=reg, apply_flatfield=ff,
                options=EngineOptions(**opts))

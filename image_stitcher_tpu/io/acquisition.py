@@ -171,7 +171,8 @@ def parse_tile_filename(filename: str) -> Optional[Tuple[str, int, int, str]]:
     return region, fov, z_level, channel
 
 
-def read_image(filepath: str, prefer_mmap: bool = False) -> np.ndarray:
+def read_image(filepath: str, prefer_mmap: bool = False,
+               prefetch: bool = False) -> np.ndarray:
     """Read a tile image as (H, W) or (H, W, 3) RGB ndarray.
 
     Uncompressed TIFFs (the Squid default) take a zero-copy fast path
@@ -186,7 +187,8 @@ def read_image(filepath: str, prefer_mmap: bool = False) -> np.ndarray:
     """
     if filepath.endswith(('.tif', '.tiff')):
         from .fast_tiff import read_tiff_fast
-        fast = read_tiff_fast(filepath, use_mmap=prefer_mmap)
+        fast = read_tiff_fast(filepath, use_mmap=prefer_mmap,
+                              prefetch=prefetch)
         if fast is not None:
             return fast
     import cv2

@@ -39,7 +39,8 @@ def _read_values(data, bo, ty, count, payload, inline_size):
 
 
 def read_tiff_fast(path: str,
-                   use_mmap: bool = False) -> Optional[np.ndarray]:
+                   use_mmap: bool = False,
+                   prefetch: bool = False) -> Optional[np.ndarray]:
     """Read an uncompressed striped TIFF; None if the file needs libtiff.
 
     With ``use_mmap`` the returned array is a zero-copy view over a
@@ -47,7 +48,10 @@ def read_tiff_fast(path: str,
     caller touches them, so consumers that read only a row band (the
     streaming fuser) or a row decimation (flatfield sampling) pull just
     those pages from the page cache. The mmap stays alive through the
-    array's ``.base`` chain.
+    array's ``.base`` chain. ``prefetch`` additionally kicks off kernel
+    readahead for the whole map (madvise WILLNEED) so cold-cache
+    consumers that WILL touch most of the file overlap disk I/O with
+    their compute instead of stalling on page faults.
     """
     try:
         if use_mmap:
@@ -56,6 +60,8 @@ def read_tiff_fast(path: str,
                 try:
                     data = _mmap.mmap(f.fileno(), 0,
                                       access=_mmap.ACCESS_READ)
+                    if prefetch and hasattr(data, 'madvise'):
+                        data.madvise(_mmap.MADV_WILLNEED)
                 except (ValueError, OSError):
                     data = f.read()  # empty/special file
         else:

@@ -27,10 +27,12 @@ def load_tile_plane(job: "TileJob") -> np.ndarray:
     global positions), the plane is bilinearly shifted by it here, so
     every fusion backend places subpixel-corrected content.
 
-    Planes come back mmap-backed (zero-copy): band-wise consumers touch
-    only the rows they place, so tiles straddling a band boundary cost
-    one header parse per band instead of a full decode."""
-    img = read_image(job.filepath, prefer_mmap=True)
+    Planes come back mmap-backed (zero-copy) with kernel readahead
+    kicked off up front: fusion touches most of the file, so cold-cache
+    runs overlap disk I/O with placement instead of stalling on page
+    faults, while tiles straddling a band boundary still cost one
+    header parse per band instead of a full decode."""
+    img = read_image(job.filepath, prefer_mmap=True, prefetch=True)
     if job.plane >= 0:
         img = img[:, :, job.plane]
     elif img.ndim == 3 and img.shape[0] == 1:

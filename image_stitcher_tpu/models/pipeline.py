@@ -340,75 +340,92 @@ class StitchPipeline:
         my = int(acq.input_height * mfrac)
         mx = int(acq.input_width * mfrac)
 
-        # Load each grid tile once (threaded, mmap-backed), keep only the
-        # RAW overlap strips. Unlike the center-pair parity path, no
-        # normalization happens here: phase correlation whitens the
-        # cross-power spectrum, so a per-image affine rescale cannot move
-        # the peak — skipping it avoids a full-image min/max + float
-        # materialization per tile and ships half the bytes (u16) to the
-        # device kernel.
+        # Load each grid tile once (threaded, mmap-backed) and write its
+        # RAW overlap strips STRAIGHT into the preallocated pair batches
+        # (no per-tile strip dicts, no re-stacking copies). Unlike the
+        # center-pair parity path, no normalization happens here: phase
+        # correlation whitens the cross-power spectrum, so a per-image
+        # affine rescale cannot move the peak — skipping it avoids a
+        # full-image min/max + float materialization per tile and ships
+        # half the bytes (u16) to the device kernel.
         from concurrent.futures import ThreadPoolExecutor
+
+        recs = {(r, c): acq.find_tile(t, region, xs[c], ys[r], ch, z_level)
+                for r in range(n_rows) for c in range(n_cols)}
+        h_keys = ([(r, c) for r in range(n_rows) for c in range(n_cols - 1)
+                   if recs[(r, c)] and recs[(r, c + 1)]] if ox else [])
+        v_keys = ([(r, c) for r in range(n_rows - 1) for c in range(n_cols)
+                   if recs[(r, c)] and recs[(r + 1, c)]] if oy else [])
+        h_idx = {k: i for i, k in enumerate(h_keys)}
+        v_idx = {k: i for i, k in enumerate(v_keys)}
+        sh_h = max(acq.input_height - 2 * my, 1)
+        sw_v = max(acq.input_width - 2 * mx, 1)
+        dt = acq.dtype
+        a_h = np.zeros((len(h_keys), sh_h, ox), dt)   # left tile's right
+        b_h = np.zeros((len(h_keys), sh_h, ox), dt)   # right tile's left
+        a_v = np.zeros((len(v_keys), oy, sw_v), dt)   # top tile's bottom
+        b_v = np.zeros((len(v_keys), oy, sw_v), dt)   # bottom tile's top
+
+        def _fill(dst, src):
+            s0 = min(dst.shape[0], src.shape[0])
+            s1 = min(dst.shape[1], src.shape[1])
+            dst[:s0, :s1] = src[:s0, :s1]
 
         def load_strips(rc):
             r, c = rc
-            rec = acq.find_tile(t, region, xs[c], ys[r], ch, z_level)
+            rec = recs[rc]
             if rec is None:
-                return rc, None
-            img = read_image(rec.filepath, prefer_mmap=True)
+                return
+            used = (h_idx.get(rc) is not None
+                    or h_idx.get((r, c - 1)) is not None
+                    or v_idx.get(rc) is not None
+                    or v_idx.get((r - 1, c)) is not None)
+            if not used:
+                return  # isolated tile: no adjacent pair wants its strips
+            img = read_image(rec.filepath, prefer_mmap=True, prefetch=True)
             if img.ndim == 3:
                 img = img[..., 0]
             h_img, w_img = img.shape
-            cc = np.ascontiguousarray
-            return rc, {
-                'left': cc(img[my:h_img - my, :ox]) if ox else None,
-                'right': cc(img[my:h_img - my, -ox:]) if ox else None,
-                'top': cc(img[:oy, mx:w_img - mx]) if oy else None,
-                'bottom': cc(img[-oy:, mx:w_img - mx]) if oy else None,
-            }
+            i = h_idx.get(rc)
+            if i is not None:                       # this tile is the REF
+                _fill(a_h[i], img[my:h_img - my, -ox:])
+            i = h_idx.get((r, c - 1))
+            if i is not None:                       # MOV of its left pair
+                _fill(b_h[i], img[my:h_img - my, :ox])
+            j = v_idx.get(rc)
+            if j is not None:
+                _fill(a_v[j], img[-oy:, mx:w_img - mx])
+            j = v_idx.get((r - 1, c))
+            if j is not None:
+                _fill(b_v[j], img[:oy, mx:w_img - mx])
 
         coords = [(r, c) for r in range(n_rows) for c in range(n_cols)]
         with ThreadPoolExecutor(self.options.resolved_reader_threads()) as pool:
-            strips = dict(pool.map(load_strips, coords))
+            list(pool.map(load_strips, coords))
 
-        def batch_measure(pairs):
-            """pairs: list of (ref, mov) strips -> (shifts, confidences).
+        def batch_measure(a_batch, b_batch):
+            """(N, sh, sw) strip batches -> (shifts, confidences).
 
             Small batches run the host (f64 SciPy) twin — a one-shot
             device compile can cost more than the whole measurement on
             remote backends; large batches amortize the jitted kernel.
             """
-            if not pairs:
+            n = len(a_batch)
+            if n == 0:
                 return [], []
-            if len(pairs) <= self.options.registration_device_threshold:
+            if n <= self.options.registration_device_threshold:
                 out = [phase_cross_correlation_conf_np(
-                    a, b, self.options.upsample_factor) for a, b in pairs]
+                    a_batch[i], b_batch[i], self.options.upsample_factor)
+                    for i in range(n)]
                 return ([np.asarray(s) for s, _ in out],
                         [float(c) for _, c in out])
-            a = jnp.asarray(np.stack([p[0] for p in pairs]))
-            b = jnp.asarray(np.stack([p[1] for p in pairs]))
             shifts, peaks = phase_cross_correlation_conf_batch(
-                a, b, self.options.upsample_factor)
+                jnp.asarray(a_batch), jnp.asarray(b_batch),
+                self.options.upsample_factor)
             return list(np.asarray(shifts)), list(np.asarray(peaks))
 
-        h_pairs, h_keys = [], []
-        if ox:
-            for r in range(n_rows):
-                for c in range(n_cols - 1):
-                    sa, sb = strips.get((r, c)), strips.get((r, c + 1))
-                    if sa and sb and sa['right'] is not None:
-                        h_pairs.append((sa['right'], sb['left']))
-                        h_keys.append((r, c))
-        v_pairs, v_keys = [], []
-        if oy:
-            for r in range(n_rows - 1):
-                for c in range(n_cols):
-                    sa, sb = strips.get((r, c)), strips.get((r + 1, c))
-                    if sa and sb and sa['bottom'] is not None:
-                        v_pairs.append((sa['bottom'], sb['top']))
-                        v_keys.append((r, c))
-
-        h_shifts, h_conf = batch_measure(h_pairs)
-        v_shifts, v_conf = batch_measure(v_pairs)
+        h_shifts, h_conf = batch_measure(a_h, b_h)
+        v_shifts, v_conf = batch_measure(a_v, b_v)
         h_tags = [k[0] for k in h_keys]
         self.pair_shifts = {'horizontal': h_shifts, 'vertical': v_shifts,
                             'h_keys': h_keys, 'v_keys': v_keys,

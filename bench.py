@@ -324,7 +324,6 @@ def device_e2e_bench():
 
     rng = np.random.default_rng(0)
     n_tiles = GRID * GRID * len(CHANNELS)
-    batch = 10
     step = TILE - OVERLAP
     H = W = step * (GRID - 1) + TILE
     tiles = jnp.asarray(

@@ -366,10 +366,17 @@ class StitchPipeline:
         a_v = np.zeros((len(v_keys), oy, sw_v), dt)   # top tile's bottom
         b_v = np.zeros((len(v_keys), oy, sw_v), dt)   # bottom tile's top
 
-        def _fill(dst, src):
+        partial_h = np.zeros(len(h_keys), bool)
+        partial_v = np.zeros(len(v_keys), bool)
+
+        def _fill(dst, src) -> bool:
+            """Copy src into dst's top-left; True if src underfills it
+            (a truncated tile — the zero remainder would otherwise feed
+            the correlator a confident-looking wrong answer)."""
             s0 = min(dst.shape[0], src.shape[0])
             s1 = min(dst.shape[1], src.shape[1])
             dst[:s0, :s1] = src[:s0, :s1]
+            return s0 < dst.shape[0] or s1 < dst.shape[1]
 
         def load_strips(rc):
             r, c = rc
@@ -388,20 +395,34 @@ class StitchPipeline:
             h_img, w_img = img.shape
             i = h_idx.get(rc)
             if i is not None:                       # this tile is the REF
-                _fill(a_h[i], img[my:h_img - my, -ox:])
+                partial_h[i] |= _fill(a_h[i], img[my:h_img - my, -ox:])
             i = h_idx.get((r, c - 1))
             if i is not None:                       # MOV of its left pair
-                _fill(b_h[i], img[my:h_img - my, :ox])
+                partial_h[i] |= _fill(b_h[i], img[my:h_img - my, :ox])
             j = v_idx.get(rc)
             if j is not None:
-                _fill(a_v[j], img[-oy:, mx:w_img - mx])
+                partial_v[j] |= _fill(a_v[j], img[-oy:, mx:w_img - mx])
             j = v_idx.get((r - 1, c))
             if j is not None:
-                _fill(b_v[j], img[:oy, mx:w_img - mx])
+                partial_v[j] |= _fill(b_v[j], img[:oy, mx:w_img - mx])
 
         coords = [(r, c) for r in range(n_rows) for c in range(n_cols)]
         with ThreadPoolExecutor(self.options.resolved_reader_threads()) as pool:
             list(pool.map(load_strips, coords))
+
+        # pairs touching a truncated tile measure garbage against the
+        # zero padding: drop them (the grid model covers those cells)
+        if partial_h.any() or partial_v.any():
+            self.reporter.status(
+                f"registration: dropping {int(partial_h.sum())} horizontal"
+                f" + {int(partial_v.sum())} vertical pair(s) touching"
+                " truncated tiles", False)
+            keep_h = ~partial_h
+            a_h, b_h = a_h[keep_h], b_h[keep_h]
+            h_keys = [k for k, keep in zip(h_keys, keep_h) if keep]
+            keep_v = ~partial_v
+            a_v, b_v = a_v[keep_v], b_v[keep_v]
+            v_keys = [k for k, keep in zip(v_keys, keep_v) if keep]
 
         def batch_measure(a_batch, b_batch):
             """(N, sh, sw) strip batches -> (shifts, confidences).

@@ -156,7 +156,8 @@ def _pick_chunk_rows(th: int, tw: int, itemsize: int, align_y: int,
     wb = win_bytes_per_elem or itemsize
 
     def cost(cr):
-        return cr * tw * itemsize + (cr + align_y) * (tw + ALIGN_X) * wb
+        # tile scratch is double-buffered (two slots), hence the 2x
+        return 2 * cr * tw * itemsize + (cr + align_y) * (tw + ALIGN_X) * wb
 
     if cost(th) <= budget:
         return th

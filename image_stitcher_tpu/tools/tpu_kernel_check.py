@@ -19,51 +19,56 @@ from image_stitcher_tpu.ops.pallas_fuse import (fuse_overwrite_pallas,
                                                 fuse_feather_pallas,
                                                 pallas_padded_canvas_shape)
 
-rng = np.random.default_rng(42)
-fails = 0
-for trial in range(6):
-    T = int(rng.choice([512, 1024, 2048]))
-    n = int(rng.integers(3, 12))
-    H = int(rng.integers(2 * T, 4 * T))
-    W = int(rng.integers(2 * T, 4 * T))
-    C, Z = int(rng.integers(1, 3)), 1
-    tiles = rng.integers(0, 65535, (n, T, T), np.uint16)
-    # heavy overlap: positions clustered so later-tile-wins matters
-    info = np.stack([rng.integers(0, C, n), np.zeros(n, int),
-                     rng.integers(0, H - T // 2, n),
-                     rng.integers(0, W - T // 2, n)], 1).astype(np.int32)
-    crops = rng.integers(0, T // 4, (n, 4)).astype(np.int32)
-    valid = rng.random(n) > 0.15
+def main() -> None:
+    rng = np.random.default_rng(42)
+    fails = 0
+    for trial in range(6):
+        T = int(rng.choice([512, 1024, 2048]))
+        n = int(rng.integers(3, 12))
+        H = int(rng.integers(2 * T, 4 * T))
+        W = int(rng.integers(2 * T, 4 * T))
+        C, Z = int(rng.integers(1, 3)), 1
+        tiles = rng.integers(0, 65535, (n, T, T), np.uint16)
+        # heavy overlap: positions clustered so later-tile-wins matters
+        info = np.stack([rng.integers(0, C, n), np.zeros(n, int),
+                         rng.integers(0, H - T // 2, n),
+                         rng.integers(0, W - T // 2, n)], 1).astype(np.int32)
+        crops = rng.integers(0, T // 4, (n, 4)).astype(np.int32)
+        valid = rng.random(n) > 0.15
 
-    cx = jnp.zeros(padded_canvas_shape(C, Z, H, W, T, T), jnp.uint16)
-    ref = np.asarray(fuse_overwrite(cx, jnp.asarray(tiles), jnp.asarray(info),
-                                    jnp.asarray(crops),
-                                    jnp.asarray(valid)))[:, :, :H, :W]
-    cp = jnp.zeros(pallas_padded_canvas_shape(C, Z, H, W, T, T, np.uint16),
-                   jnp.uint16)
-    got = np.asarray(fuse_overwrite_pallas(
-        cp, jnp.asarray(tiles), jnp.asarray(info), jnp.asarray(crops),
-        jnp.asarray(valid)))[:, :, :H, :W]
-    ok = np.array_equal(ref, got)
+        cx = jnp.zeros(padded_canvas_shape(C, Z, H, W, T, T), jnp.uint16)
+        ref = np.asarray(fuse_overwrite(cx, jnp.asarray(tiles), jnp.asarray(info),
+                                        jnp.asarray(crops),
+                                        jnp.asarray(valid)))[:, :, :H, :W]
+        cp = jnp.zeros(pallas_padded_canvas_shape(C, Z, H, W, T, T, np.uint16),
+                       jnp.uint16)
+        got = np.asarray(fuse_overwrite_pallas(
+            cp, jnp.asarray(tiles), jnp.asarray(info), jnp.asarray(crops),
+            jnp.asarray(valid)))[:, :, :H, :W]
+        ok = np.array_equal(ref, got)
 
-    shp = padded_canvas_shape(C, Z, H, W, T, T)
-    fa, fw = fuse_feather(jnp.zeros(shp, jnp.float32),
-                          jnp.zeros(shp, jnp.float32),
-                          jnp.asarray(tiles), jnp.asarray(info),
-                          jnp.asarray(crops), jnp.asarray(valid), blend_px=48)
-    fref = np.asarray(finalize_feather(fa, fw, jnp.uint16))[:, :, :H, :W]
-    pshp = pallas_padded_canvas_shape(C, Z, H, W, T, T, np.uint16)
-    pa, pw = fuse_feather_pallas(jnp.zeros(pshp, jnp.float32),
-                                 jnp.zeros(pshp, jnp.float32),
-                                 jnp.asarray(tiles), jnp.asarray(info),
-                                 jnp.asarray(crops), jnp.asarray(valid),
-                                 blend_px=48)
-    fgot = np.asarray(finalize_feather(pa, pw, jnp.uint16))[:, :, :H, :W]
-    fdiff = int(np.abs(fref.astype(int) - fgot.astype(int)).max())
-    ok_f = fdiff <= 1
-    print(f"trial {trial}: T={T} n={n} canvas={H}x{W} C={C} "
-          f"overwrite={'OK' if ok else 'FAIL'} feather_maxdiff={fdiff}",
-          flush=True)
-    fails += (not ok) + (not ok_f)
-print("FAILS:", fails)
-assert fails == 0
+        shp = padded_canvas_shape(C, Z, H, W, T, T)
+        fa, fw = fuse_feather(jnp.zeros(shp, jnp.float32),
+                              jnp.zeros(shp, jnp.float32),
+                              jnp.asarray(tiles), jnp.asarray(info),
+                              jnp.asarray(crops), jnp.asarray(valid), blend_px=48)
+        fref = np.asarray(finalize_feather(fa, fw, jnp.uint16))[:, :, :H, :W]
+        pshp = pallas_padded_canvas_shape(C, Z, H, W, T, T, np.uint16)
+        pa, pw = fuse_feather_pallas(jnp.zeros(pshp, jnp.float32),
+                                     jnp.zeros(pshp, jnp.float32),
+                                     jnp.asarray(tiles), jnp.asarray(info),
+                                     jnp.asarray(crops), jnp.asarray(valid),
+                                     blend_px=48)
+        fgot = np.asarray(finalize_feather(pa, pw, jnp.uint16))[:, :, :H, :W]
+        fdiff = int(np.abs(fref.astype(int) - fgot.astype(int)).max())
+        ok_f = fdiff <= 1
+        print(f"trial {trial}: T={T} n={n} canvas={H}x{W} C={C} "
+              f"overwrite={'OK' if ok else 'FAIL'} feather_maxdiff={fdiff}",
+              flush=True)
+        fails += (not ok) + (not ok_f)
+    print("FAILS:", fails)
+    assert fails == 0
+
+
+if __name__ == '__main__':
+    main()

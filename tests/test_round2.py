@@ -13,6 +13,19 @@ from image_stitcher_tpu.io.zarr_store import open_zarr_array
 from image_stitcher_tpu.ops.flatfield import pad_stack_cycled
 
 
+def _shrink_fov(acq_dir: str, fov: int) -> str:
+    """Shrink the tile with a specific fov number (filename sort is
+    lexicographic, so positional indexing lies for fov >= 10)."""
+    import cv2
+    path = sorted(glob.glob(os.path.join(acq_dir, "0",
+                                         f"A1_{fov}_*.tiff")))[0]
+    img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+    small = np.ascontiguousarray(img[: img.shape[0] * 3 // 4,
+                                     : img.shape[1] * 3 // 4])
+    assert cv2.imwrite(path, small, [int(cv2.IMWRITE_TIFF_COMPRESSION), 1])
+    return path
+
+
 def _shrink_one_tile(acq_dir: str, index: int = -1) -> str:
     """Rewrite one tile file with its bottom/right quarter cut off.
 
@@ -109,6 +122,37 @@ def test_undersized_tile_feather_backends_agree(tmp_path):
         results[name] = _read_level0(acq_dir)
     diff = np.abs(results["host"].astype(int) - results["streaming"].astype(int))
     assert diff.max() <= 1  # f32 accumulation order
+
+
+def test_allpairs_drops_truncated_tile_pairs(tmp_path):
+    """Pairs touching a truncated tile must not feed zero-padded strips
+    to the correlator; they are dropped (grid model covers the cell)
+    and the aggregate shifts stay correct."""
+    from image_stitcher_tpu import StitchingParameters
+    from image_stitcher_tpu.models.pipeline import StitchPipeline
+    from image_stitcher_tpu.io.acquisition import scan_acquisition
+    from image_stitcher_tpu.utils.progress import ProgressReporter
+    acq_dir = str(tmp_path / "acq")
+    write_synthetic_acquisition(acq_dir, grid_cols=4, grid_rows=3,
+                                tile_w=96, tile_h=96, overlap=32, seed=7,
+                                acq_params_overrides={"pixel_binning": 2})
+    _shrink_fov(acq_dir, 5)  # (row 1, col 1): interior, 4 pairs affected
+    msgs = []
+    p = StitchingParameters(input_folder=acq_dir, use_registration=True)
+    pipe = StitchPipeline(
+        p, EngineOptions(registration_scope='all-pairs'),
+        reporter=ProgressReporter(status=lambda m, s=False: msgs.append(m)))
+    pipe.acq = scan_acquisition(acq_dir)
+    pipe.calculate_shifts_all_pairs(0, "A1")
+    assert any("truncated tiles" in m for m in msgs)
+    # remaining pairs still aggregate to the true grid overlap
+    assert pipe.shifts.h_shift == (0, -32)
+    assert pipe.shifts.v_shift == (-32, 0)
+    # the dropped pairs are absent from the measurement record
+    n_h = len(pipe.pair_shifts['h_keys'])
+    n_v = len(pipe.pair_shifts['v_keys'])
+    assert n_h == 3 * 3 - 2  # 3 pairs/row x 3 rows, 2 touch the bad tile
+    assert n_v == 4 * 2 - 2  # 4 cols x 2, 2 touch the bad tile
 
 
 def test_global_solve_canvas_clamp(tmp_path, monkeypatch):

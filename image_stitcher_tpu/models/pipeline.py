@@ -176,17 +176,21 @@ class StitchPipeline:
                 self.reporter.update_progress(idx + 1, acq.num_c)
             self._check_stop()
 
-    def _flatfield_stack_np(self) -> np.ndarray:
-        """(C, th, tw) f32 host stack; ones for uncorrected channels."""
+    def _flatfield_recip_np(self) -> np.ndarray:
+        """(C, th, tw) f32 RECIPROCAL flatfield stack; ones where no
+        field was fitted. Computed once on the host so every backend
+        multiplies the identical values (TPU f32 divide is reciprocal-
+        approximated; host-side reciprocal + multiply is bit-exact
+        everywhere)."""
         acq = self.acq
         ff = np.ones((acq.num_c, acq.input_height, acq.input_width), np.float32)
         for idx, field in self.flatfields.items():
-            ff[idx] = field
+            ff[idx] = 1.0 / field
         return ff
 
-    def _flatfield_stack(self) -> jnp.ndarray:
-        """(C, th, tw) f32 device stack; ones for uncorrected channels."""
-        return jnp.asarray(self._flatfield_stack_np())
+    def _flatfield_recip(self) -> jnp.ndarray:
+        """(C, th, tw) f32 reciprocal device stack."""
+        return jnp.asarray(self._flatfield_recip_np())
 
     # ---------------------------------------------------------- registration
 
@@ -664,10 +668,10 @@ class StitchPipeline:
 
         if backend == 'host':
             from ..ops.host_fuse import HostCanvas
-            ff = self._flatfield_stack_np() if self.flatfields else None
+            ff = self._flatfield_recip_np() if self.flatfields else None
             hc = HostCanvas(acq.num_c, acq.num_z, height, width, acq.dtype,
                             num_threads=opts.resolved_fusion_threads(),
-                            flatfields=ff, blend_method=opts.blend_method,
+                            ff_recip=ff, blend_method=opts.blend_method,
                             blend_px=opts.feather_px)
 
             hc.fuse_streaming(
@@ -704,7 +708,7 @@ class StitchPipeline:
         else:
             pad_shape = fuse_ops.padded_canvas_shape(acq.num_c, acq.num_z,
                                                      height, width, th, tw)
-        ff_stack = self._flatfield_stack() if self.flatfields else None
+        ff_stack = self._flatfield_recip() if self.flatfields else None
 
         if use_feather:
             acc = jnp.zeros(pad_shape, jnp.float32)
@@ -779,7 +783,7 @@ class StitchPipeline:
             cname=opts.compressor_cname, clevel=opts.compressor_clevel,
             shuffle=opts.compressor_shuffle, zarr_format=opts.zarr_format)
         backend = self._select_fusion_backend(height, width, len(jobs))
-        ff = self._flatfield_stack_np() if self.flatfields else None
+        ff = self._flatfield_recip_np() if self.flatfields else None
         if backend == 'device':
             fuser = DeviceStreamingFuser(
                 writer, acq.num_c, acq.num_z, height, width,
@@ -788,7 +792,7 @@ class StitchPipeline:
                 chunk_rows=opts.write_band_rows(),
                 batch_size=opts.fusion_batch,
                 reader_threads=opts.resolved_reader_threads(),
-                flatfields=ff, blend_method=opts.blend_method,
+                ff_recip=ff, blend_method=opts.blend_method,
                 blend_px=opts.feather_px,
                 device_kernel=opts.device_fusion_kernel)
         else:
@@ -798,7 +802,7 @@ class StitchPipeline:
                 self.num_pyramid_levels, opts.pyramid_downsample,
                 chunk_rows=opts.write_band_rows(),
                 num_threads=opts.resolved_fusion_threads(),
-                flatfields=ff, blend_method=opts.blend_method,
+                ff_recip=ff, blend_method=opts.blend_method,
                 blend_px=opts.feather_px)
 
         fuser.run(jobs, load_tile_plane,
@@ -823,7 +827,7 @@ class StitchPipeline:
                                acq.input_height, acq.input_width, acq.dtype,
                                blend_method=opts.blend_method,
                                blend_px=opts.feather_px)
-        ff_stack = self._flatfield_stack() if self.flatfields else None
+        ff_stack = self._flatfield_recip() if self.flatfields else None
         processed = 0
         for batch in loader:
             self._check_stop()

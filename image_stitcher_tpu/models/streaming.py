@@ -95,7 +95,7 @@ class StreamingFuser:
                  height: int, width: int, tile_h: int, tile_w: int, dtype,
                  num_levels: int, downsample_mode: str = 'nearest',
                  chunk_rows: int = 2048, num_threads: int = 2,
-                 flatfields: Optional[np.ndarray] = None,
+                 ff_recip: Optional[np.ndarray] = None,
                  blend_method: str = 'overwrite', blend_px: int = 64):
         self.writer = writer
         self.num_c, self.num_z = num_c, num_z
@@ -106,7 +106,7 @@ class StreamingFuser:
         self.mode = downsample_mode
         self.band = band_rows_for(chunk_rows, num_levels)
         self.num_threads = num_threads
-        self.flatfields = flatfields
+        self.ff_recip = ff_recip
         self.blend = blend_method
         self.blend_px = blend_px
         # per-stage wall-clock accumulators (summed across band threads)
@@ -125,7 +125,7 @@ class StreamingFuser:
     # ------------------------------------------------------------------
 
     def _correct(self, tile: np.ndarray, c: int) -> np.ndarray:
-        return correct_tile(tile, self.flatfields, c, self.dtype)
+        return correct_tile(tile, self.ff_recip, c, self.dtype)
 
     def _place_in_band(self, buf: np.ndarray, band0: int, job,
                        tile: np.ndarray) -> None:
@@ -150,7 +150,7 @@ class StreamingFuser:
         if y1 <= y0 or x1 <= x0:
             return
         c = job.channel_idx
-        ff_c = self.flatfields[c] if self.flatfields is not None else None
+        ff_c = self.ff_recip[c] if self.ff_recip is not None else None
         feather = ((top, wy1, left, wx1, 1.0 / float(self.blend_px))
                    if self.blend == 'feather' else None)
         if self.dtype == tile.dtype and place_window_native(
@@ -272,7 +272,7 @@ class DeviceStreamingFuser:
                  num_levels: int, downsample_mode: str = 'nearest',
                  chunk_rows: int = 2048, batch_size: int = 8,
                  reader_threads: int = 4,
-                 flatfields: Optional[np.ndarray] = None,
+                 ff_recip: Optional[np.ndarray] = None,
                  blend_method: str = 'overwrite', blend_px: int = 64,
                  device_kernel: str = 'auto'):
         self.writer = writer
@@ -285,7 +285,7 @@ class DeviceStreamingFuser:
         self.band = band_rows_for(chunk_rows, num_levels)
         self.batch_size = batch_size
         self.reader_threads = reader_threads
-        self.flatfields = flatfields
+        self.ff_recip = ff_recip
         self.blend = blend_method
         self.blend_px = blend_px
         import jax
@@ -299,9 +299,10 @@ class DeviceStreamingFuser:
         self.use_pallas = device_kernel == 'pallas'
         self._ff_device = None  # lazy one-time H2D of the flatfields
 
-    def _fuse_band(self, band0: int, jobs: Sequence, load_fn: Callable,
-                   pool, progress_cb=None) -> np.ndarray:
+    def _fuse_band(self, band0: int, band_jobs: Sequence,
+                   progress_cb=None) -> np.ndarray:
         import jax.numpy as jnp
+        from ..io.readers import TileBatchLoader
         from ..ops import fuse as fuse_ops
         th, tw = self.tile_h, self.tile_w
         rows = min(self.band, self.height - band0)
@@ -320,40 +321,34 @@ class DeviceStreamingFuser:
             wsum = jnp.zeros(shape, jnp.float32)
         else:
             canvas = jnp.zeros(shape, self.dtype)
-        if self._ff_device is None and self.flatfields is not None:
-            # upload the flatfield stack once; every band reuses it
-            self._ff_device = jnp.asarray(self.flatfields)
+        if self._ff_device is None and self.ff_recip is not None:
+            # upload the reciprocal stack once; every band reuses it
+            self._ff_device = jnp.asarray(self.ff_recip)
         ff = self._ff_device
 
-        n = self.batch_size
-        chunks = [jobs[i:i + n] for i in range(0, len(jobs), n)]
-        for chunk in chunks:
-            tiles = np.zeros((n, th, tw), self.dtype)
-            info = np.zeros((n, 4), np.int32)
-            crops = np.zeros((n, 4), np.int32)
-            valid = np.zeros((n,), bool)
-            chans = np.zeros((n,), np.int32)
-            planes = list(pool.map(load_fn, [j for j, _ in chunk]))
-            for i, ((job, _), img) in enumerate(zip(chunk, planes)):
-                h, w = min(img.shape[0], th), min(img.shape[1], tw)
-                tiles[i, :h, :w] = img[:h, :w]
-                # band-local coordinates; the +th apron keeps origins >= 0
-                info[i] = (0, 0, job.y - band0 + th, job.x)
-                top, bottom, left, right = job.crops
-                # host backends crop `bottom` off the ACTUAL shape, so
-                # the nominal-coordinate crop is bottom + deficit
-                crops[i] = (top, bottom + (th - h),
-                            left, right + (tw - w))
-                valid[i] = True
-                chans[i] = job.channel_idx
-            dtiles = jnp.asarray(tiles)
+        # TileBatchLoader gives threaded decode + background prefetch
+        # (the next batch loads while the device fuses this one) and the
+        # canonical undersized-tile crop folding
+        jobs = [j for j, _ in band_jobs]
+        primaries = [p for _, p in band_jobs]
+        loader = TileBatchLoader(jobs, self.batch_size, th, tw, self.dtype,
+                                 num_threads=self.reader_threads)
+        consumed = 0
+        for batch in loader:
+            dtiles = jnp.asarray(batch.tiles)
+            info = jnp.asarray(batch.info)
+            dcrops = jnp.asarray(batch.crops)
+            dvalid = jnp.asarray(batch.valid)
             if ff is not None:
-                dtiles = fuse_ops.apply_flatfield(dtiles, ff,
-                                                  jnp.asarray(chans),
+                dtiles = fuse_ops.apply_flatfield(dtiles, ff, info[:, 0],
                                                   self.dtype)
-            dinfo = jnp.asarray(info)
-            dcrops = jnp.asarray(crops)
-            dvalid = jnp.asarray(valid)
+            # band-local coordinates: the +th apron keeps origins >= 0
+            # for every REAL job; padding entries pin to 0 (their valid
+            # mask is False, but the window DMA address must stay legal)
+            zero = jnp.zeros_like(info[:, 2])
+            yb = jnp.where(dvalid, info[:, 2] - band0 + th, 0)
+            xb = jnp.where(dvalid, info[:, 3], 0)
+            dinfo = jnp.stack([zero, zero, yb, xb], axis=1)
             if self.blend == 'feather' and self.use_pallas:
                 from ..ops.pallas_fuse import fuse_feather_pallas
                 acc, wsum = fuse_feather_pallas(acc, wsum, dtiles, dinfo,
@@ -371,18 +366,21 @@ class DeviceStreamingFuser:
                 canvas = fuse_ops.fuse_overwrite(canvas, dtiles, dinfo,
                                                  dcrops, dvalid)
             if progress_cb is not None:
-                for job, is_primary in chunk:
-                    if is_primary:
+                for p in primaries[consumed:consumed + batch.count]:
+                    if p:
                         progress_cb()
+            consumed += batch.count
         if self.blend == 'feather':
             canvas = fuse_ops.finalize_feather(acc, wsum, self.dtype)
         # D2H only the real rows/cols of this band
         return np.asarray(canvas[0, 0, th:th + rows, :self.width])
 
-    def run(self, jobs: Sequence, load_fn: Callable,
+    def run(self, jobs: Sequence, load_fn: Callable = None,
             progress_cb: Optional[Callable[[int], None]] = None,
             stop_check: Optional[Callable] = None) -> None:
-        from concurrent.futures import ThreadPoolExecutor
+        """``load_fn`` is accepted for signature parity with the host
+        fuser but unused: batches load through TileBatchLoader, which
+        applies the canonical plane loader."""
         tasks, n_jobs = partition_jobs_by_band(jobs, self.tile_h,
                                                self.height, self.band)
         done = [0]
@@ -392,16 +390,11 @@ class DeviceStreamingFuser:
             if progress_cb is not None:
                 progress_cb(done[0], n_jobs)
 
-        pool = ThreadPoolExecutor(self.reader_threads)
-        try:
-            for key in sorted(tasks.keys()):
-                if stop_check is not None:
-                    stop_check()
-                c, z, band0 = key
-                buf = self._fuse_band(band0, tasks[key], load_fn, pool,
-                                      progress)
-                write_band_levels(self.writer, c, z, band0, buf,
-                                  self.num_levels, self.mode, self.width)
-        finally:
-            pool.shutdown(wait=False)
+        for key in sorted(tasks.keys()):
+            if stop_check is not None:
+                stop_check()
+            c, z, band0 = key
+            buf = self._fuse_band(band0, tasks[key], progress)
+            write_band_levels(self.writer, c, z, band0, buf,
+                              self.num_levels, self.mode, self.width)
         self.writer.close()

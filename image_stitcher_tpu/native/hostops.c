@@ -1,4 +1,9 @@
-/* Fused host placement kernel: divide-clip-cast-place in one pass.
+/* Fused host placement kernel: correct-clip-cast-place in one pass.
+ *
+ * Flatfield correction multiplies by a HOST-computed reciprocal field
+ * (ff holds 1/flatfield): f32 multiplication is bit-exact across this
+ * kernel, the NumPy twin, and the TPU op, whereas division is
+ * reciprocal-approximated on TPUs.
  *
  * The host fusion backend's hot loop (ops/host_fuse.py:_place) does
  * tile/flatfield -> clip -> cast -> canvas[slice] = tile with NumPy,
@@ -12,7 +17,7 @@
  * Layout contract (enforced by the Python wrapper):
  *   canvas: C-contiguous uint16 (H, W) plane slice base pointer
  *   tile:   C-contiguous uint16 (th, tw)
- *   ff:     C-contiguous float32 (th, tw) flatfield, or NULL
+ *   ff:     C-contiguous float32 (th, tw) RECIPROCAL flatfield, or NULL
  */
 
 #include <stdint.h>
@@ -32,7 +37,7 @@ void place_u16(
         if (ff) {
             const float *frow = ff + (ptrdiff_t)y * ff_stride;
             for (int x = x0; x < x1; ++x) {
-                float v = (float)trow[x] / frow[x];
+                float v = (float)trow[x] * frow[x];
                 if (v < 0.0f) v = 0.0f;
                 if (v > 65535.0f) v = 65535.0f;
                 crow[x - x0] = (uint16_t)v;
@@ -59,7 +64,7 @@ void place_u8(
         if (ff) {
             const float *frow = ff + (ptrdiff_t)y * ff_stride;
             for (int x = x0; x < x1; ++x) {
-                float v = (float)trow[x] / frow[x];
+                float v = (float)trow[x] * frow[x];
                 if (v < 0.0f) v = 0.0f;
                 if (v > 255.0f) v = 255.0f;
                 crow[x - x0] = (uint8_t)v;
@@ -99,7 +104,7 @@ void feather_u8(
             if (wy < w) w = wy;
             float v = (float)trow[x];
             if (ff) {
-                v /= ff[(ptrdiff_t)y * ff_stride + x];
+                v *= ff[(ptrdiff_t)y * ff_stride + x];
                 if (v < 0.0f) v = 0.0f;
                 if (v > 255.0f) v = 255.0f;
                 v = (float)(uint8_t)v;
@@ -135,7 +140,7 @@ void feather_u16(
             if (ff) {
                 /* match the NumPy/device paths: correction quantizes to
                  * the storage dtype before accumulation */
-                v /= ff[(ptrdiff_t)y * ff_stride + x];
+                v *= ff[(ptrdiff_t)y * ff_stride + x];
                 if (v < 0.0f) v = 0.0f;
                 if (v > 65535.0f) v = 65535.0f;
                 v = (float)(uint16_t)v;

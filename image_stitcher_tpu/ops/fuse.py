@@ -129,15 +129,22 @@ def finalize_feather(acc: jnp.ndarray, wsum: jnp.ndarray, out_dtype=jnp.uint16):
 
 
 @functools.partial(jax.jit, static_argnames=('out_dtype',))
-def apply_flatfield(tiles: jnp.ndarray, flatfields: jnp.ndarray,
+def apply_flatfield(tiles: jnp.ndarray, ff_recip: jnp.ndarray,
                     channel_idx: jnp.ndarray, out_dtype=jnp.uint16) -> jnp.ndarray:
-    """Per-tile flatfield divide-clip-cast (reference stitcher.py:607-611).
+    """Per-tile flatfield correct-clip-cast (reference stitcher.py:607-611).
 
-    tiles: (N, th, tw); flatfields: (C, th, tw) f32 (ones where absent);
-    channel_idx: (N,) int32.
+    tiles: (N, th, tw); ff_recip: (C, th, tw) f32 RECIPROCAL flatfields
+    (ones where absent); channel_idx: (N,) int32.
+
+    The correction multiplies by a HOST-computed reciprocal instead of
+    dividing: TPU XLA lowers f32 division to a reciprocal approximation
+    (+-1 LSB on ~0.1% of uint16 pixels vs the host's IEEE divide), while
+    f32 multiplication is exact everywhere — so one reciprocal computed
+    once on the host keeps every backend byte-identical, including real
+    chips.
     """
-    ff = jnp.take(flatfields, channel_idx, axis=0)  # (N, th, tw)
-    corrected = tiles.astype(jnp.float32) / ff
+    ff = jnp.take(ff_recip, channel_idx, axis=0)  # (N, th, tw)
+    corrected = tiles.astype(jnp.float32) * ff
     info = np.iinfo(np.dtype(out_dtype)) if np.issubdtype(np.dtype(out_dtype), np.integer) else None
     if info is not None:
         corrected = jnp.clip(corrected, info.min, info.max)

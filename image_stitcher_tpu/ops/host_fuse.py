@@ -20,14 +20,16 @@ from typing import Optional, Sequence, Tuple
 import numpy as np
 
 
-def correct_tile(tile: np.ndarray, flatfields: Optional[np.ndarray],
+def correct_tile(tile: np.ndarray, ff_recip: Optional[np.ndarray],
                  c: int, dtype: np.dtype) -> np.ndarray:
-    """Reference flatfield correction: divide, clip to dtype range, cast
-    (stitcher.py:607-611). The one shared implementation for every host
-    backend (HostCanvas, StreamingFuser; the C kernel mirrors it)."""
-    if flatfields is None:
+    """Reference flatfield correction (stitcher.py:607-611) expressed as
+    multiply-by-reciprocal, clip to dtype range, cast. Every backend —
+    this NumPy twin, the C kernel, and the device op — multiplies by the
+    same host-computed reciprocal so outputs stay byte-identical on real
+    TPUs (whose f32 divide is reciprocal-approximated)."""
+    if ff_recip is None:
         return tile
-    corrected = tile / flatfields[c]
+    corrected = tile * ff_recip[c]
     if np.issubdtype(dtype, np.integer):
         info = np.iinfo(dtype)
         np.clip(corrected, info.min, info.max, out=corrected)
@@ -43,7 +45,8 @@ def place_window_native(dst, tile: np.ndarray, ff_c: Optional[np.ndarray],
     The one native entry point shared by HostCanvas and StreamingFuser
     (native/hostops.c). ``dst`` is a 2D plane whose dtype equals the
     tile's (overwrite), or an (acc, wsum) float32 pair (feather).
-    ``ff_c`` is the per-channel (th, tw) float32 flatfield or None.
+    ``ff_c`` is the per-channel (th, tw) float32 RECIPROCAL flatfield
+    or None.
     ``feather`` = (wy0, wy1, wx0, wx1, inv_blend_px): the FULL crop
     window in tile coordinates that feather ramps measure from.
     Returns False when this job can't take the native path (no library,
@@ -87,11 +90,11 @@ class HostCanvas:
 
     def __init__(self, num_c: int, num_z: int, height: int, width: int,
                  dtype, num_threads: int = 4,
-                 flatfields: Optional[np.ndarray] = None,
+                 ff_recip: Optional[np.ndarray] = None,
                  blend_method: str = 'overwrite', blend_px: int = 64):
         self.height, self.width = height, width
         self.dtype = np.dtype(dtype)
-        self.flatfields = flatfields  # (C, th, tw) f32 or None
+        self.ff_recip = ff_recip  # (C, th, tw) f32 reciprocal or None
         self.blend = blend_method
         self.blend_px = blend_px
         if blend_method == 'feather':
@@ -104,12 +107,12 @@ class HostCanvas:
         self.pool = ThreadPoolExecutor(max_workers=num_threads)
 
     def _correct(self, tile: np.ndarray, c: int) -> np.ndarray:
-        return correct_tile(tile, self.flatfields, c, self.dtype)
+        return correct_tile(tile, self.ff_recip, c, self.dtype)
 
     def _place_native(self, tile, c, z, yy, xx, y0, y1, x0, x1,
                       wy1, wx1) -> bool:
         """Fused C kernel (shared place_window_native); False = fall back."""
-        ff_c = self.flatfields[c] if self.flatfields is not None else None
+        ff_c = self.ff_recip[c] if self.ff_recip is not None else None
         if self.blend == 'feather':
             return place_window_native(
                 (self.acc[c, z], self.wsum[c, z]), tile, ff_c,

@@ -119,8 +119,12 @@ def test_feather_blend_continuity():
 def test_apply_flatfield_matches_reference_math():
     tiles = np.array([[[1000, 2000], [3000, 60000]]], np.uint16)
     ff = np.array([[[0.5, 1.0], [2.0, 0.5]]], np.float32)
-    out = np.asarray(apply_flatfield(jnp.asarray(tiles), jnp.asarray(ff),
+    recip = (1.0 / ff).astype(np.float32)
+    out = np.asarray(apply_flatfield(jnp.asarray(tiles), jnp.asarray(recip),
                                      jnp.asarray([0], jnp.int32), jnp.uint16))
-    # reference: (tile / ff).clip(0, 65535).astype(uint16)
+    # exact vs the host reciprocal-multiply formulation...
+    exact = (tiles[0].astype(np.float32) * recip[0]).clip(0, 65535)
+    np.testing.assert_array_equal(out[0], exact.astype(np.uint16))
+    # ...and within 1 LSB of the reference's divide
     ref = (tiles[0] / ff[0]).clip(0, 65535).astype(np.uint16)
-    np.testing.assert_array_equal(out[0], ref)
+    assert np.abs(out[0].astype(int) - ref.astype(int)).max() <= 1

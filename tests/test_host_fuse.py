@@ -34,8 +34,9 @@ def test_host_canvas_matches_reference_semantics(rng):
 
 
 def test_host_canvas_flatfield():
+    # correction multiplies by the reciprocal field: recip 0.5 == /2
     hc = HostCanvas(1, 1, 8, 8, np.uint16,
-                    flatfields=np.full((1, 4, 4), 2.0, np.float32))
+                    ff_recip=np.full((1, 4, 4), 0.5, np.float32))
     hc.fuse([(np.full((4, 4), 1000, np.uint16), 0, 0, 0, 0, (0, 0, 0, 0))])
     out = hc.finalize()
     assert out[0, 0, 0, 0] == 500

@@ -21,9 +21,10 @@ def run_canvas(use_native, rng, dtype=np.uint16, blend='overwrite', ff=True):
     if not use_native:
         nat._LIB, nat._TRIED = None, True
     try:
-        flat = (np.full((2, 24, 24), 1.3, np.float32) if ff else None)
+        flat = (np.full((2, 24, 24), np.float32(1.0) / np.float32(1.3),
+                        np.float32) if ff else None)
         hc = HostCanvas(2, 1, 100, 90, dtype, num_threads=2,
-                        flatfields=flat, blend_method=blend, blend_px=8)
+                        ff_recip=flat, blend_method=blend, blend_px=8)
         r = np.random.default_rng(7)
         for i in range(30):
             tile = r.integers(0, np.iinfo(dtype).max, (24, 24), dtype=dtype)
@@ -60,7 +61,7 @@ def test_native_speedup(lib):
     import time
     r = np.random.default_rng(0)
     tile = r.integers(0, 65535, (2048, 2048), dtype=np.uint16)
-    ff = np.full((1, 2048, 2048), 1.1, np.float32)
+    ff = np.full((1, 2048, 2048), 1.0 / 1.1, np.float32)
 
     def bench(use_native, n=6):
         import image_stitcher_tpu.native as nat
@@ -68,7 +69,7 @@ def test_native_speedup(lib):
         if not use_native:
             nat._LIB, nat._TRIED = None, True
         try:
-            hc = HostCanvas(1, 1, 4096, 4096, np.uint16, flatfields=ff)
+            hc = HostCanvas(1, 1, 4096, 4096, np.uint16, ff_recip=ff)
             t0 = time.perf_counter()
             for i in range(n):
                 hc._place((tile, 0, 0, (i * 640) % 2000, 13, (0, 0, 0, 0)))

@@ -93,7 +93,7 @@ def test_sharded_phasecorr_matches(rng):
 def test_sharded_flatfield_apply(rng):
     mesh = make_mesh((4, 2), jax.devices())
     tiles = rng.integers(0, 65535, (8, 16, 16), dtype=np.uint16)
-    ff = np.full((2, 16, 16), 2.0, np.float32)
+    ff = np.full((2, 16, 16), 0.5, np.float32)  # reciprocal field: /2
     cidx = np.zeros(8, np.int32)
     out = np.asarray(sharded_apply_flatfield(
         mesh, jnp.asarray(tiles), jnp.asarray(ff), jnp.asarray(cidx),

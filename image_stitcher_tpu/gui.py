@@ -238,9 +238,13 @@ class StitchingGUI(QWidget):
         self.status_label.setText("Stopped")
 
     def view_output(self):
-        """Open the result in napari with per-channel colormaps
-        (reference stitcher_gui.py:262-312)."""
+        """Open the result in napari: per-channel colormaps (named, or
+        generated from the channel hex when napari has no colormap of
+        that name) and dtype-derived contrast limits (reference
+        stitcher_gui.py:262-312, stitcher_process_gui.py:389-419)."""
         try:
+            import numpy as np
+
             import napari
             viewer = napari.Viewer()
             if self.output_path.endswith('.zarr'):
@@ -249,12 +253,36 @@ class StitchingGUI(QWidget):
                 viewer.open(self.output_path)
             for layer in viewer.layers:
                 wavelength = self._extract_wavelength(layer.name)
-                cmap = CHANNEL_COLORS_MAP.get(wavelength)
-                if cmap:
-                    layer.colormap = cmap['name']
+                info = CHANNEL_COLORS_MAP.get(
+                    wavelength, {'hex': 0xFFFFFF, 'name': 'gray'})
+                layer.colormap = self._resolve_colormap(napari, info)
+                dt = getattr(getattr(layer, 'data', None), 'dtype', None)
+                if dt is not None and np.issubdtype(dt, np.integer):
+                    ii = np.iinfo(dt)
+                    layer.contrast_limits = (ii.min, ii.max)
+                elif dt is not None and np.issubdtype(dt, np.floating):
+                    layer.contrast_limits = (0.0, 1.0)
             napari.run()
         except Exception as e:
             QMessageBox.critical(self, "Viewer", f"Could not open viewer: {e}")
+
+    @staticmethod
+    def _resolve_colormap(napari, channel_info):
+        """A napari-registered colormap by name, else a linear
+        black->channel-color Colormap built from the hex (reference
+        stitcher_process_gui.py:404-406 + generateColormap)."""
+        try:
+            from napari.utils.colormaps import AVAILABLE_COLORMAPS
+            if channel_info['name'] in AVAILABLE_COLORMAPS:
+                return AVAILABLE_COLORMAPS[channel_info['name']]
+        except ImportError:
+            pass
+        h = channel_info['hex']
+        r, g, b = (h >> 16) & 0xFF, (h >> 8) & 0xFF, h & 0xFF
+        from napari.utils import Colormap
+        return Colormap(colors=[[0.0, 0.0, 0.0, 1.0],
+                                [r / 255.0, g / 255.0, b / 255.0, 1.0]],
+                        name=channel_info['name'])
 
     @staticmethod
     def _extract_wavelength(name: str):

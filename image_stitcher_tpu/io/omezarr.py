@@ -151,7 +151,7 @@ class MultiscaleWriter:
                  cname: str = 'zstd', clevel: int = 1, shuffle: int = 1,
                  omero_full: bool = True, write_omero: bool = True,
                  max_pending_bytes: int = 512 << 20,
-                 zarr_format: int = 2, shard_multiple: int = 4):
+                 zarr_format: int = 2, shard_multiple: int = 16):
         from ..ops.pyramid import level_shapes
         self.path = path
         self.num_levels = num_levels

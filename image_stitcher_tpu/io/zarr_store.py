@@ -71,26 +71,33 @@ def create_zarr3_sharded_array(
     shape: Sequence[int],
     chunks: Sequence[int],
     dtype,
-    shard_multiple: int = 4,
+    shard_multiple: int = 16,
+    shard_multiple_y: int = 1,
     cname: str = 'zstd',
     clevel: int = 1,
     fill_value=0,
 ) -> ts.TensorStore:
     """Create a zarr v3 array with the sharding_indexed codec.
 
-    Each shard file holds ``shard_multiple``^2 read chunks in Y/X, so the
-    on-disk file count drops by that factor squared versus v2 — the
-    answer to the reference's file-count pain at 12k-24k canvases
-    (save_region_test.py sweeps exist because of it). Readable by
-    zarr-python >= 3 and tensorstore.
+    Each shard file holds ``shard_multiple_y`` x ``shard_multiple`` read
+    chunks in Y/X, so the on-disk file count drops by that product versus
+    v2 — the answer to the reference's file-count pain at 12k-24k
+    canvases (save_region_test.py sweeps exist because of it). Readable
+    by zarr-python >= 3 and tensorstore.
+
+    The default layout is Y-thin (one chunk row tall) and X-wide: the
+    band-streaming fusers emit full-width slabs one chunk-row at a time,
+    so a band write covers whole shards and never pays a shard
+    read-modify-write at level 0 (a 4x4 shard would rewrite each level-0
+    shard 4x under band streaming).
     """
     chunks = [min(int(c), int(s)) if s > 0 else int(c)
               for c, s in zip(chunks, shape)]
     # shard (write) chunks: a multiple of the read chunk on the two
     # trailing spatial axes, the read chunk elsewhere
     shard = list(chunks)
-    for ax in (-2, -1):
-        shard[ax] = min(int(shape[ax]), chunks[ax] * shard_multiple)
+    for ax, mult in ((-2, shard_multiple_y), (-1, shard_multiple)):
+        shard[ax] = min(int(shape[ax]), chunks[ax] * mult)
         # shard extents must be divisible by the read chunk
         shard[ax] -= shard[ax] % chunks[ax]
         shard[ax] = max(shard[ax], chunks[ax])

@@ -192,8 +192,12 @@ def test_global_solve_canvas_clamp(tmp_path, monkeypatch):
 
 
 def test_zarr3_sharded_roundtrip(tmp_path):
-    """zarr v3 sharding_indexed arrays round-trip and pack 4x4 read
-    chunks per shard file (the file-count fix at 12k-24k canvases)."""
+    """zarr v3 sharding_indexed arrays round-trip with the Y-thin,
+    X-wide shard layout (one chunk row tall, up to 16 chunks wide): the
+    file-count fix at 12k-24k canvases that band-streaming writes still
+    cover with WHOLE shards (no level-0 shard read-modify-write)."""
+    import json
+
     from image_stitcher_tpu.io.zarr_store import (create_zarr3_sharded_array,
                                                   open_zarr_array)
     import tensorstore as ts
@@ -207,10 +211,52 @@ def test_zarr3_sharded_roundtrip(tmp_path):
                     'kvstore': {'driver': 'file', 'path': path}},
                    open=True).result()
     np.testing.assert_array_equal(np.asarray(back.read().result()), data)
-    # 4x4 read chunks per shard: (256/64 / 4)^2 * 2 channels = 2 data
-    # files (+ zarr.json)
+    # shard (write) chunk: one read-chunk row tall, full width here
+    with open(os.path.join(path, 'zarr.json')) as f:
+        meta = json.load(f)
+    assert meta['chunk_grid']['configuration']['chunk_shape'] == \
+        [1, 1, 1, 64, 256]
+    codec = meta['codecs'][0]
+    assert codec['name'] == 'sharding_indexed'
+    assert codec['configuration']['chunk_shape'] == [1, 1, 1, 64, 64]
+    # 1x4 read chunks per shard: 4 Y-shards x 2 channels = 8 data files
+    # (+ zarr.json)
     n_files = sum(len(fs) for _, _, fs in os.walk(path))
-    assert n_files <= 3
+    assert n_files <= 9
+
+
+def test_zarr3_band_write_is_whole_shards(tmp_path):
+    """A full-width band write one chunk-row tall rewrites exactly its
+    own shard files and no others (the band-streaming access pattern;
+    a 4x4 shard layout would read-modify-write each shard 4x)."""
+    from image_stitcher_tpu.io.zarr_store import create_zarr3_sharded_array
+    path = str(tmp_path / "v3b.zarr")
+    arr = create_zarr3_sharded_array(path, (1, 1, 1, 256, 512),
+                                     (1, 1, 1, 64, 64), np.uint16)
+    rng = np.random.default_rng(1)
+
+    def data_files():
+        out = {}
+        for r, _, fs in os.walk(path):
+            for f in fs:
+                if f != 'zarr.json':
+                    p = os.path.join(r, f)
+                    out[p] = os.path.getmtime(p)
+        return out
+
+    band0 = rng.integers(0, 65535, (1, 1, 1, 64, 512), np.uint16)
+    arr[:, :, :, 0:64, :].write(band0).result()
+    after_first = data_files()
+    assert len(after_first) == 1  # one shard row covers the whole band
+    import time
+    time.sleep(0.02)
+    band1 = rng.integers(0, 65535, (1, 1, 1, 64, 512), np.uint16)
+    arr[:, :, :, 64:128, :].write(band1).result()
+    after_second = data_files()
+    assert len(after_second) == 2
+    # the first band's shard was not rewritten by the second band
+    (first_path, first_mtime), = after_first.items()
+    assert after_second[first_path] == first_mtime
 
 
 def test_zarr_v3_ngff05_output(tmp_path):

@@ -789,7 +789,8 @@ class StitchPipeline:
                 writer, acq.num_c, acq.num_z, height, width,
                 acq.input_height, acq.input_width, acq.dtype,
                 self.num_pyramid_levels, opts.pyramid_downsample,
-                chunk_rows=opts.write_band_rows(),
+                chunk_rows=opts.write_band_rows()
+                * max(1, opts.device_band_multiple),
                 batch_size=opts.fusion_batch,
                 reader_threads=opts.resolved_reader_threads(),
                 ff_recip=ff, blend_method=opts.blend_method,

@@ -194,6 +194,12 @@ class EngineOptions:
     # so the threshold sits well below RAM limits.
     streaming: str = 'auto'
     streaming_threshold_bytes: int = 256 << 20
+    # Device-streaming band height, in units of write_band_rows(). Tiles
+    # straddling a band boundary ship to the device once per band, so a
+    # band equal to the tile height pays ~2x H2D; a 4x band cuts the
+    # straddle overhead to ~25% for a few hundred MB of extra HBM
+    # (bands stay chunk-aligned, so writes are unaffected).
+    device_band_multiple: int = 4
     # Report overlapping (order-dependent) tile writes per region before
     # fusing (utils/plan_check) — the race-visibility story the
     # reference lacked (SURVEY.md §5).
@@ -281,3 +287,5 @@ class EngineOptions:
                 "subpixel_placement requires registration_scope='global'")
         if len(self.chunks) != 5:
             raise ValueError("chunks must be a 5-tuple (T,C,Z,Y,X)")
+        if self.device_band_multiple < 1:
+            raise ValueError("device_band_multiple must be >= 1")

@@ -33,7 +33,12 @@ BACKENDS = {
                       chunks=(1, 1, 1, 64, 64)),
     "device_xla": dict(fusion_device='device', streaming='off'),
     "device_streaming": dict(fusion_device='device', streaming='on',
-                             chunks=(1, 1, 1, 64, 64)),
+                             chunks=(1, 1, 1, 64, 64),
+                             device_band_multiple=1),
+    # taller HBM bands (fewer straddler re-ships): must stay identical
+    "device_streaming_tall": dict(fusion_device='device', streaming='on',
+                                  chunks=(1, 1, 1, 32, 64),
+                                  device_band_multiple=2),
     "mesh": dict(mesh_shape=(1, 4), streaming='off'),
 }
 

@@ -8,6 +8,7 @@ redraw, Ctrl-C -> stop event -> join(timeout) -> terminate escalation.
 
 from __future__ import annotations
 
+import os
 import queue as queue_mod
 import sys
 
@@ -54,6 +55,12 @@ def monitor_process(stitcher, progress_queue, status_queue, complete_queue,
                 pass
             if not drained and not stitcher.is_alive():
                 break
+        if completed_path and os.path.isdir(completed_path) and (
+                completed_path.endswith('.zarr')):
+            # post-run structure dump, like the reference child's
+            # print_zarr_structure (stitcher_process.py:2029)
+            from .utils.inspect import format_zarr_tree
+            print(format_zarr_tree(completed_path), file=out)
     except KeyboardInterrupt:
         print("\nStopping stitcher...", file=out)
         stop_event.set()

@@ -16,7 +16,8 @@ import numpy as np
 
 
 def zarr_tree(path: str) -> Dict:
-    """Recursive description of a zarr hierarchy: groups, arrays, attrs."""
+    """Recursive description of a zarr hierarchy (v2 or v3): groups,
+    arrays, attrs."""
     node: Dict = {"path": path}
     attrs_file = os.path.join(path, ".zattrs")
     if os.path.exists(attrs_file):
@@ -30,13 +31,36 @@ def zarr_tree(path: str) -> Dict:
                          "dtype": meta["dtype"],
                          "compressor": (meta.get("compressor") or {}).get("id")}
         return node
+    v3_file = os.path.join(path, "zarr.json")
+    if os.path.exists(v3_file) and "attrs" not in node:
+        with open(v3_file) as f:
+            meta = json.load(f)
+        if meta.get("attributes"):
+            node["attrs"] = meta["attributes"]
+        if meta.get("node_type") == "array":
+            # report the READ chunk: the inner chunk_shape for
+            # sharding_indexed arrays, the grid chunk otherwise
+            chunks = meta["chunk_grid"]["configuration"]["chunk_shape"]
+            comp = None
+            for codec in meta.get("codecs", []):
+                if codec.get("name") == "sharding_indexed":
+                    cfg = codec.get("configuration", {})
+                    chunks = cfg.get("chunk_shape", chunks)
+                    inner = [c.get("name") for c in cfg.get("codecs", [])]
+                    comp = next((n for n in inner if n != "bytes"), None)
+                elif codec.get("name") != "bytes" and comp is None:
+                    comp = codec.get("name")
+            node["array"] = {"shape": meta["shape"], "chunks": chunks,
+                             "dtype": meta["data_type"], "compressor": comp}
+            return node
     children = {}
     try:
         for name in sorted(os.listdir(path)):
             sub = os.path.join(path, name)
             if os.path.isdir(sub) and (
                     os.path.exists(os.path.join(sub, ".zarray"))
-                    or os.path.exists(os.path.join(sub, ".zgroup"))):
+                    or os.path.exists(os.path.join(sub, ".zgroup"))
+                    or os.path.exists(os.path.join(sub, "zarr.json"))):
                 children[name] = zarr_tree(sub)
     except FileNotFoundError:
         pass
@@ -94,3 +118,24 @@ def save_debug_slice(canvas: np.ndarray, out_path: str) -> Optional[str]:
     except Exception as e:
         print(f"Warning: Could not save debug image: {e}")
         return None
+
+
+def main(argv=None) -> int:
+    """``python -m image_stitcher_tpu.utils.inspect PATH`` — dump the
+    zarr tree (v2 or v3) of a stitched output."""
+    import argparse
+    parser = argparse.ArgumentParser(description=main.__doc__)
+    parser.add_argument('path', help='zarr group/array directory')
+    parser.add_argument('--json', action='store_true',
+                        help='machine-readable tree instead of text')
+    args = parser.parse_args(argv)
+    if args.json:
+        print(json.dumps(zarr_tree(args.path), indent=2))
+    else:
+        print(format_zarr_tree(args.path))
+    return 0
+
+
+if __name__ == '__main__':
+    import sys
+    sys.exit(main())

@@ -55,3 +55,29 @@ def test_stitch_with_pallas_kernel_cpu_interpreted(tmp_path):
     import pytest
     with pytest.raises(ValueError):
         EngineOptions(device_fusion_kernel='mosaic').validate()
+
+
+def test_zarr_tree_v3(tmp_path, capsys):
+    """The inspector walks zarr v3 trees: group attrs from zarr.json,
+    sharding_indexed arrays reported by their READ chunk + codec."""
+    from image_stitcher_tpu import EngineOptions
+    from image_stitcher_tpu.utils.inspect import main as inspect_main
+    acq_dir = str(tmp_path / "acq")
+    write_synthetic_acquisition(acq_dir, grid_cols=2, grid_rows=1,
+                                tile_w=48, tile_h=48, overlap=16)
+    stitch(acq_dir, options=EngineOptions(zarr_format=3,
+                                          chunks=(1, 1, 1, 32, 32)))
+    out = sorted(glob.glob(acq_dir + "_stitched_*"))[-1]
+    zp = os.path.join(out, "0_stitched", "A1_stitched.ome.zarr")
+
+    tree = zarr_tree(zp)
+    assert "ome" in tree["attrs"]  # NGFF 0.5 attrs live under 'ome'
+    arr = tree["children"]["0"]["array"]
+    assert arr["dtype"] == "uint16"
+    assert arr["chunks"][-2:] == [32, 32]  # read chunk, not the shard
+    assert arr["compressor"] == "blosc"
+
+    assert inspect_main([zp]) == 0
+    assert "uint16" in capsys.readouterr().out
+    assert inspect_main([zp, "--json"]) == 0
+    assert '"shape"' in capsys.readouterr().out

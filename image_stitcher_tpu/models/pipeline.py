@@ -80,6 +80,7 @@ class StitchPipeline:
         self.saved_paths: List[str] = []
         self.global_positions: Dict = {}
         self.global_positions_float: Dict = {}
+        self.registration_reports: Dict[str, Dict] = {}
         self._global_rejected: set = set()  # regions whose solve failed
         # the canvas sanity clamp (grid-model fallback, no re-solve)
         self.timers = StageTimers()
@@ -312,6 +313,16 @@ class StitchPipeline:
             h_shift=h_shift, v_shift=v_shift, h_shift_rev=h_shift_rev,
             h_shift_rev_odd=h_shift_rev_odd,
             scan_pattern=self.params.scan_pattern)
+        if self.options.registration_report:
+            self.registration_reports[str(region)] = {
+                'scope': 'center',
+                'channel': self.registration_channel,
+                'z_level': z_level,
+                'aggregated': {'h_shift': list(h_shift),
+                               'v_shift': list(v_shift),
+                               'h_shift_rev': list(h_shift_rev),
+                               'h_shift_rev_odd': h_shift_rev_odd},
+            }
 
     def calculate_shifts_all_pairs(self, t, region: str):
         """Robust full-grid registration: EVERY adjacent pair measured.
@@ -486,6 +497,30 @@ class StitchPipeline:
             h_shift_rev=h_shift_rev, h_shift_rev_odd=h_shift_rev_odd,
             scan_pattern=self.params.scan_pattern)
 
+        report = None
+        if self.options.registration_report:
+            def pair_records(keys, shifts, confs, direction, d_rc):
+                return [{'a': [r, c], 'b': [r + d_rc[0], c + d_rc[1]],
+                         'direction': direction,
+                         'dy': float(s[0]), 'dx': float(s[1]),
+                         'confidence': float(cf)}
+                        for (r, c), s, cf in zip(keys, shifts, confs)]
+            report = {
+                'scope': self.options.registration_scope,
+                'channel': ch, 'z_level': z_level,
+                'strip_overlap': {'horizontal': int(ox), 'vertical': int(oy)},
+                'pairs_dropped_truncated': int(partial_h.sum())
+                + int(partial_v.sum()),
+                'aggregated': {'h_shift': list(self.shifts.h_shift),
+                               'v_shift': list(self.shifts.v_shift),
+                               'h_shift_rev': list(self.shifts.h_shift_rev),
+                               'h_shift_rev_odd': h_shift_rev_odd},
+                'pairs': pair_records(h_keys, h_shifts, h_conf,
+                                      'horizontal', (0, 1))
+                + pair_records(v_keys, v_shifts, v_conf, 'vertical', (1, 0)),
+            }
+            self.registration_reports[str(region)] = report
+
         if self.options.registration_scope == 'global':
             from ..ops.globalopt import (grid_pairs_from_shifts,
                                          positions_to_int, solve_positions)
@@ -518,6 +553,12 @@ class StitchPipeline:
                     f"extent (+{slack_y}/{slack_x} px slack); falling back "
                     "to the grid shift model", False)
                 self._global_rejected.add(region)
+                if report is not None:
+                    report['global'] = {
+                        'rejected': True,
+                        'reason': 'solved positions exceed stage extent '
+                                  f'(+{slack_y}/{slack_x} px slack); grid '
+                                  'shift model used instead'}
                 return
             # only cells with at least one constraint get solved
             # positions; unconstrained tiles (e.g. missing registration-
@@ -533,6 +574,17 @@ class StitchPipeline:
                          float(pos_f[r * n_cols + c, 1]))
                 for r in range(n_rows) for c in range(n_cols)
                 if r * n_cols + c in constrained}
+            if report is not None:
+                res = np.array([(pos_f[j, 0] - pos_f[i, 0] - dy,
+                                 pos_f[j, 1] - pos_f[i, 1] - dx)
+                                for i, j, dy, dx, _ in pairs])
+                report['global'] = {
+                    'rejected': False,
+                    'tiles_solved': len(constrained),
+                    'tiles_total': n_rows * n_cols,
+                    'residual_rms_px': float(np.sqrt((res ** 2).mean())),
+                    'residual_max_px': float(np.abs(res).max()),
+                }
 
     def _ensure_global_positions(self, t, region: str):
         """Per-region global solve: each region's stage error is its own
@@ -999,6 +1051,28 @@ class StitchPipeline:
                 executor.shutdown(wait=True)
         return final_path
 
+    def _write_registration_report(self) -> None:
+        """Dump per-region pairwise measurements + solve stats to
+        ``registration_report.json`` in the output folder (atomic;
+        shard-suffixed under work sharding so cooperating processes
+        never clobber each other)."""
+        if not (self.options.registration_report
+                and self.registration_reports):
+            return
+        import json
+        shard = self.options.work_shard
+        name = ("registration_report"
+                + (f".shard{shard[0]}" if shard is not None else "")
+                + ".json")
+        path = os.path.join(self.output_folder, name)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"registration_channel": self.registration_channel,
+                       "upsample_factor": self.options.upsample_factor,
+                       "regions": self.registration_reports}, f, indent=2)
+        os.replace(tmp, path)
+        self.reporter.status(f"Registration report: {path}", False)
+
     def run(self) -> str:
         """Execute the full pipeline; returns the last saved path."""
         from ..utils.manifest import RunManifest
@@ -1078,6 +1152,7 @@ class StitchPipeline:
                     manifest.data["merges_done"] = True
                     manifest.save()
 
+            self._write_registration_report()
             manifest.mark_finished()
             self.reporter.finished_saving(final_path, self.acq.dtype)
             for line in self.timers.summary():

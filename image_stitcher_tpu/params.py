@@ -184,6 +184,10 @@ class EngineOptions:
     # Write registration-strip debug PNGs like the reference
     # (stitcher.py:508,521,619-637).
     debug_visuals: bool = False
+    # Write registration_report.json next to the outputs: per-region
+    # pairwise shifts + confidences and (global scope) solve residuals —
+    # production observability the reference's debug PNGs approximated.
+    registration_report: bool = False
     # Device mesh axis sizes (data, canvas-y). None -> single device.
     mesh_shape: Optional[Tuple[int, int]] = None
     # Bounded-memory streaming fusion (models/streaming.py): fuse and

@@ -102,3 +102,54 @@ def test_s_pattern_backlash_measured(tmp_path):
     dx01 = pos[(1, 1)][1] - pos[(0, 1)][1]
     dx12 = pos[(2, 1)][1] - pos[(1, 1)][1]
     assert dx01 == 6 and dx12 == -6
+
+
+def test_registration_report_global(tmp_path):
+    """registration_report=True writes a JSON sidecar with per-pair
+    measurements + confidences and the global-solve residual stats."""
+    import json
+    acq_dir = str(tmp_path / "acq")
+    write_synthetic_acquisition(acq_dir, grid_cols=3, grid_rows=3,
+                                tile_w=128, tile_h=128, overlap=48,
+                                jitter=2, seed=5,
+                                acq_params_overrides={"pixel_binning": 2})
+    pipe = stitch(acq_dir, use_registration=True,
+                  options=EngineOptions(registration_scope='global',
+                                        registration_report=True))
+    report_path = os.path.join(pipe.output_folder,
+                               "registration_report.json")
+    assert os.path.exists(report_path)
+    with open(report_path) as f:
+        rep = json.load(f)
+    assert rep["upsample_factor"] == 10
+    region = rep["regions"]["A1"]
+    assert region["scope"] == "global"
+    assert region["strip_overlap"]["horizontal"] > 0
+    assert len(region["pairs"]) == 12  # 6 horizontal + 6 vertical
+    for p in region["pairs"]:
+        assert p["direction"] in ("horizontal", "vertical")
+        assert 0.0 <= p["confidence"] <= 1.0 or p["confidence"] > 0
+    g = region["global"]
+    assert g["rejected"] is False
+    assert g["tiles_solved"] == 9
+    # solved positions must explain the measurements to sub-pixel rms
+    assert g["residual_rms_px"] < 1.0
+    assert g["residual_max_px"] < 5.0
+
+
+def test_registration_report_center(tmp_path):
+    import json
+    acq_dir = str(tmp_path / "acq")
+    write_synthetic_acquisition(acq_dir, grid_cols=2, grid_rows=2,
+                                tile_w=96, tile_h=96, overlap=32,
+                                acq_params_overrides={"pixel_binning": 2})
+    pipe = stitch(acq_dir, use_registration=True,
+                  options=EngineOptions(registration_report=True))
+    report_path = os.path.join(pipe.output_folder,
+                               "registration_report.json")
+    with open(report_path) as f:
+        rep = json.load(f)
+    region = rep["regions"]["A1"]
+    assert region["scope"] == "center"
+    assert region["aggregated"]["h_shift"] == [0, -32]
+    assert region["aggregated"]["v_shift"] == [-32, 0]

@@ -82,3 +82,38 @@ def test_irregular_grid(tmp_path):
         out, "0_stitched", "A1_stitched.ome.zarr", "0")).read().result())
     assert data.shape[-2:] == (112, 160)
     assert data[0, 0, 0, 80, 140] == 0  # missing corner unwritten
+
+
+def test_tile_without_coordinates_row_is_skipped(tmp_path):
+    """A tile file with no coordinates.csv row is excluded from the
+    index (scan_acquisition join), and the stitch completes with the
+    remaining tiles."""
+    import pandas as pd
+    from image_stitcher_tpu import scan_acquisition
+    acq_dir = str(tmp_path / "acq")
+    write_synthetic_acquisition(acq_dir, grid_cols=2, grid_rows=2,
+                                tile_w=64, tile_h=64, overlap=16)
+    csv = os.path.join(acq_dir, "0", "coordinates.csv")
+    df = pd.read_csv(csv)
+    df = df[df["fov"] != 3]  # drop the last tile's stage row
+    df.to_csv(csv, index=False)
+    acq = scan_acquisition(acq_dir)
+    assert all(rec.fov_idx != 3 for rec in acq.tiles.values())
+    stitch(acq_dir)  # completes; missing cell stays background
+
+
+def test_coordinates_row_without_file_is_harmless(tmp_path):
+    import pandas as pd
+    from image_stitcher_tpu import scan_acquisition
+    acq_dir = str(tmp_path / "acq")
+    write_synthetic_acquisition(acq_dir, grid_cols=2, grid_rows=1,
+                                tile_w=64, tile_h=64, overlap=16)
+    csv = os.path.join(acq_dir, "0", "coordinates.csv")
+    df = pd.read_csv(csv)
+    ghost = df.iloc[[-1]].copy()
+    ghost["fov"] = 99
+    ghost["x (mm)"] = 123.0
+    pd.concat([df, ghost]).to_csv(csv, index=False)
+    acq = scan_acquisition(acq_dir)
+    assert all(rec.fov_idx != 99 for rec in acq.tiles.values())
+    stitch(acq_dir)

@@ -265,6 +265,36 @@ def kernel_bench():
                                    1),
                     "unit": "tiles/s"})
 
+    # same kernel, 50 tiles per dispatch: through a remote runtime the
+    # 10-tile batches above pay a multi-ms dispatch latency per call, so
+    # they measure the tunnel as much as the kernel; production configs
+    # on DMA hosts run large batches
+    big_n = 50
+    big_tiles = jnp.asarray(rng.integers(0, 65535, (big_n, TILE, TILE),
+                                         np.uint16))
+    big_info = jnp.asarray(np.stack([
+        rng.integers(0, 3, big_n), np.zeros(big_n, int),
+        rng.integers(0, 18000, big_n), rng.integers(0, 16000, big_n)],
+        axis=1).astype(np.int32))
+    big_crops = jnp.zeros((big_n, 4), jnp.int32)
+    big_valid = jnp.ones((big_n,), bool)
+    bcv = fuse_overwrite_pallas(pcanvas, big_tiles, big_info, big_crops,
+                                big_valid)
+    sync(bcv)
+    reps_big = 10
+    t0 = time.perf_counter()
+    ts_big = big_tiles
+    for _ in range(reps_big):
+        ts_big = ts_big + 1
+        bcv = fuse_overwrite_pallas(bcv, ts_big, big_info, big_crops,
+                                    big_valid)
+    sync(bcv)
+    results.append({"kernel": f"pallas placement ({big_n}-tile dispatches)",
+                    "value": round(big_n * reps_big
+                                   / (time.perf_counter() - t0), 1),
+                    "unit": "tiles/s"})
+    del bcv, big_tiles, ts_big
+
     # HBM-banded streaming fusion: one band's fuse + D2H slab (the
     # device-streaming inner loop, models/streaming.DeviceStreamingFuser)
     band_rows = 2048

@@ -44,8 +44,14 @@ class StitchedImage:
 
 
 def open_stitched(path: str) -> StitchedImage:
-    """Open a {region}_stitched.ome.zarr (or merge output) by path."""
-    return StitchedImage(path=path, attrs=read_attrs(path))
+    """Open a {region}_stitched.ome.zarr (or merge output) by path.
+
+    Handles both output generations: NGFF 0.4 (zarr v2, attrs at the
+    group root) and NGFF 0.5 (zarr v3, attrs nested under 'ome')."""
+    attrs = read_attrs(path)
+    if "multiscales" not in attrs and "ome" in attrs:
+        attrs = attrs["ome"]
+    return StitchedImage(path=path, attrs=attrs)
 
 
 def list_outputs(stitched_folder: str) -> Dict[str, List[str]]:

@@ -55,3 +55,21 @@ def test_save_bench_tool(tmp_path):
                                          "zlib_chunks"])
     assert len(results) == 2
     assert all(r["seconds"] >= 0 and r["mb"] > 0 for r in results)
+
+
+def test_open_stitched_v3(tmp_path):
+    """open_stitched unwraps NGFF 0.5 'ome' attrs (zarr v3 outputs)."""
+    import glob
+
+    from image_stitcher_tpu import EngineOptions, open_stitched, stitch
+    acq_dir = str(tmp_path / "acq")
+    write_synthetic_acquisition(acq_dir, grid_cols=2, grid_rows=1,
+                                tile_w=48, tile_h=48, overlap=16)
+    stitch(acq_dir, options=EngineOptions(zarr_format=3,
+                                          chunks=(1, 1, 1, 32, 32)))
+    out = sorted(glob.glob(acq_dir + "_stitched_*"))[-1]
+    img = open_stitched(os.path.join(out, "0_stitched",
+                                     "A1_stitched.ome.zarr"))
+    assert img.num_levels >= 1
+    assert img.channel_names == ["Fluorescence 488 nm Ex"]
+    assert img.read(0).shape[-2:] == (48, 80)

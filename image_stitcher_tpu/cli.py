@@ -72,6 +72,9 @@ def parse_args(argv=None) -> argparse.Namespace:
                         help="Continue the most recent interrupted run for this acquisition")
     parser.add_argument('--continue-on-error', action='store_true',
                         help="Log-and-continue on per-region failures")
+    parser.add_argument('--registration-report', action='store_true',
+                        help="Write registration_report.json (per-pair "
+                             "shifts + confidences, solve residuals)")
     return parser.parse_args(argv)
 
 
@@ -109,6 +112,7 @@ def create_options(args: argparse.Namespace) -> EngineOptions:
         registration_scope=(getattr(args, 'registration_scope', None)
                             or ('all-pairs' if args.dynamic_registration
                                 else 'center')),
+        registration_report=getattr(args, 'registration_report', False),
     )
 
 

@@ -179,3 +179,22 @@ def test_stitcher_process_spawned_child(tmp_path):
     path, dtype = messages[-1][1]
     assert path.endswith("A1_stitched.ome.zarr")
     assert os.path.isdir(path)
+
+
+def test_cli_registration_report_flag(tmp_path):
+    import json
+
+    from fixtures import write_synthetic_acquisition
+    from image_stitcher_tpu.cli import main
+    acq_dir = str(tmp_path / "acq")
+    write_synthetic_acquisition(acq_dir, grid_cols=2, grid_rows=1,
+                                tile_w=64, tile_h=64, overlap=16,
+                                acq_params_overrides={"pixel_binning": 2})
+    assert main(['-i', acq_dir, '-r', '--registration-scope', 'all-pairs',
+                 '--registration-report']) == 0
+    import glob
+    out = sorted(glob.glob(acq_dir + "_stitched_*"))[-1]
+    with open(os.path.join(out, "registration_report.json")) as f:
+        rep = json.load(f)
+    assert rep["regions"]["A1"]["scope"] == "all-pairs"
+    assert len(rep["regions"]["A1"]["pairs"]) == 1

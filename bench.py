@@ -366,7 +366,6 @@ def device_e2e_bench():
     readback (see kernel_bench)."""
     import jax
     import jax.numpy as jnp
-    from image_stitcher_tpu.ops.fuse import apply_flatfield
     from image_stitcher_tpu.ops.pallas_fuse import (
         fuse_overwrite_pallas, pallas_padded_canvas_shape)
     from image_stitcher_tpu.ops.pyramid import downsample
@@ -393,19 +392,17 @@ def device_e2e_bench():
     def one_pass(ff):
         # few whole-channel dispatches: the pallas grid walks 100 tiles
         # per call, so the (tunnel-inflated) per-dispatch latency doesn't
-        # masquerade as compute time, while the flatfield's f32
-        # temporaries stay bounded (a single 300-tile call holds ~12 GB
-        # of transients and can fragment HBM out of memory)
+        # masquerade as compute time. The flatfield correction is FUSED
+        # into the placement kernel (ff_recip) — no corrected-tile HBM
+        # round-trip, no f32 temporaries
         canvas = jnp.zeros(pallas_padded_canvas_shape(
             len(CHANNELS), 1, H, W, TILE, TILE, jnp.uint16), jnp.uint16)
         per = GRID * GRID
         for b in range(0, n_tiles, per):
             sl = slice(b, b + per)
-            corrected = apply_flatfield(tiles[sl], ff, info[sl, 0],
-                                        jnp.uint16)
-            canvas = fuse_overwrite_pallas(canvas, corrected, info[sl],
-                                           crops[sl], valid[sl])
-        del corrected
+            canvas = fuse_overwrite_pallas(canvas, tiles[sl], info[sl],
+                                           crops[sl], valid[sl],
+                                           ff_recip=ff)
         level = canvas[:, :, :H, :W]
         del canvas  # keep HBM headroom for the pyramid chain
         total = 0.0

@@ -768,13 +768,17 @@ class StitchPipeline:
         else:
             canvas = jnp.zeros(pad_shape, acq.dtype)
 
+        # the pallas overwrite kernel fuses the flatfield correction into
+        # the placement pass (no separate corrected-tile HBM round-trip);
+        # the other kernels take pre-corrected tiles
+        fused_ff = use_pallas and not use_feather
         for batch in loader:
             self._check_stop()
             tiles = jnp.asarray(batch.tiles)
             info = jnp.asarray(batch.info)
             crops = jnp.asarray(batch.crops)
             valid = jnp.asarray(batch.valid)
-            if ff_stack is not None:
+            if ff_stack is not None and not fused_ff:
                 tiles = fuse_ops.apply_flatfield(tiles, ff_stack, info[:, 0],
                                                  acq.dtype)
             if use_feather and use_pallas:
@@ -787,7 +791,7 @@ class StitchPipeline:
                     blend_px=opts.feather_px)
             elif use_pallas:
                 canvas = fuse_overwrite_pallas(canvas, tiles, info, crops,
-                                               valid)
+                                               valid, ff_recip=ff_stack)
             else:
                 canvas = fuse_ops.fuse_overwrite(canvas, tiles, info, crops, valid)
             processed += batch.count

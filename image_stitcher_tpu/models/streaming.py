@@ -299,7 +299,7 @@ class DeviceStreamingFuser:
         self.use_pallas = device_kernel == 'pallas'
         self._ff_device = None  # lazy one-time H2D of the flatfields
 
-    def _fuse_band(self, band0: int, band_jobs: Sequence,
+    def _fuse_band(self, band_c: int, band0: int, band_jobs: Sequence,
                    progress_cb=None) -> np.ndarray:
         import jax.numpy as jnp
         from ..io.readers import TileBatchLoader
@@ -334,12 +334,20 @@ class DeviceStreamingFuser:
         loader = TileBatchLoader(jobs, self.batch_size, th, tw, self.dtype,
                                  num_threads=self.reader_threads)
         consumed = 0
+        # overwrite+pallas fuses the flatfield into the placement kernel;
+        # the other kernels take pre-corrected tiles. The band's dinfo
+        # zeroes the channel (the band canvas is per-(c, z)), so the
+        # fused kernel gets THIS band's single-channel ff slice — the
+        # zeroed index then selects it correctly.
+        fused_ff = self.use_pallas and self.blend != 'feather'
+        ff_band = (ff[band_c:band_c + 1]
+                   if (fused_ff and ff is not None) else None)
         for batch in loader:
             dtiles = jnp.asarray(batch.tiles)
             info = jnp.asarray(batch.info)
             dcrops = jnp.asarray(batch.crops)
             dvalid = jnp.asarray(batch.valid)
-            if ff is not None:
+            if ff is not None and not fused_ff:
                 dtiles = fuse_ops.apply_flatfield(dtiles, ff, info[:, 0],
                                                   self.dtype)
             # band-local coordinates: the +th apron keeps origins >= 0
@@ -361,7 +369,8 @@ class DeviceStreamingFuser:
             elif self.use_pallas:
                 from ..ops.pallas_fuse import fuse_overwrite_pallas
                 canvas = fuse_overwrite_pallas(canvas, dtiles, dinfo,
-                                               dcrops, dvalid)
+                                               dcrops, dvalid,
+                                               ff_recip=ff_band)
             else:
                 canvas = fuse_ops.fuse_overwrite(canvas, dtiles, dinfo,
                                                  dcrops, dvalid)
@@ -394,7 +403,7 @@ class DeviceStreamingFuser:
             if stop_check is not None:
                 stop_check()
             c, z, band0 = key
-            buf = self._fuse_band(band0, tasks[key], progress)
+            buf = self._fuse_band(c, band0, tasks[key], progress)
             write_band_levels(self.writer, c, z, band0, buf,
                               self.num_levels, self.mode, self.width)
         self.writer.close()

@@ -56,7 +56,8 @@ def pallas_padded_canvas_shape(num_c: int, num_z: int, height: int,
 
 
 def _fuse_kernel(th: int, tw: int, align_y: int, chunk_rows: int,
-                 n_chunks: int, n_tiles: int):
+                 n_chunks: int, n_tiles: int, with_ff: bool = False,
+                 ff_max: float = 65535.0):
     """Grid = (tiles, row-chunks): each step handles ``chunk_rows`` tile
     rows so VMEM scratch stays bounded for production tile sizes (a
     whole 2048^2 u16 tile + window would blow the ~16 MB VMEM budget).
@@ -68,15 +69,26 @@ def _fuse_kernel(th: int, tw: int, align_y: int, chunk_rows: int,
     step s+1's chunk before computing, hiding the (read-only) tile DMA
     behind the window round-trip. Window DMAs cannot prefetch across
     steps — consecutive windows may overlap, and later-tile-wins needs
-    the previous write-back visible."""
+    the previous write-back visible.
+
+    ``with_ff`` fuses the flatfield correction (multiply by the f32
+    reciprocal field, clip, truncate — exact ops.fuse.apply_flatfield
+    semantics) into the placement pass: the per-channel ff chunk rides
+    its own double-buffered DMA, so corrected tiles never round-trip
+    through HBM as a separate XLA pass."""
     ALIGN_Y = align_y
     cwh, ww = chunk_rows + ALIGN_Y, tw + ALIGN_X
     total = n_tiles * n_chunks
 
-    def kernel(info_ref, crops_ref, valid_ref, tiles_hbm, canvas_in,
-               out_ref, tile_v, win_v, sems):
-        # tile_v: (2, chunk_rows, tw) slots; sems: (3,) = tile slots 0/1
-        # + window 2
+    def kernel(info_ref, crops_ref, valid_ref, *refs):
+        if with_ff:
+            (tiles_hbm, ff_hbm, canvas_in, out_ref,
+             tile_v, ff_v, win_v, sems) = refs
+        else:
+            tiles_hbm, canvas_in, out_ref, tile_v, win_v, sems = refs
+            ff_hbm = ff_v = None
+        # tile_v: (2, chunk_rows, tw) slots; sems: tile slots 0/1,
+        # window 2 (+ ff slots 3/4 when with_ff)
         i = pl.program_id(0)
         k = pl.program_id(1)
         step = i * n_chunks + k
@@ -99,9 +111,19 @@ def _fuse_kernel(th: int, tw: int, align_y: int, chunk_rows: int,
                                    chunk_rows)],
                 tile_v.at[sl], sems.at[sl])
 
+        def ff_dma(s, sl):
+            c_s = info_ref[s // n_chunks, 0]
+            return pltpu.make_async_copy(
+                ff_hbm.at[c_s,
+                          pl.ds(jax.lax.rem(s, n_chunks) * chunk_rows,
+                                chunk_rows)],
+                ff_v.at[sl], sems.at[3 + sl])
+
         @pl.when(step == 0)
         def _():
             tile_dma(step, slot).start()   # cold start for the first step
+            if with_ff:
+                ff_dma(step, slot).start()
 
         win_cp = pltpu.make_async_copy(
             out_ref.at[c, z, pl.ds(yak, cwh), pl.ds(xa, ww)], win_v,
@@ -111,16 +133,32 @@ def _fuse_kernel(th: int, tw: int, align_y: int, chunk_rows: int,
         @pl.when(step + 1 < total)
         def _():
             tile_dma(step + 1, 1 - slot).start()  # prefetch next chunk
+            if with_ff:
+                ff_dma(step + 1, 1 - slot).start()
 
         tile_dma(step, slot).wait()
+        if with_ff:
+            ff_dma(step, slot).wait()
         win_cp.wait()
+
+        chunk = tile_v[slot]
+        if with_ff:
+            # exact ops.fuse.apply_flatfield semantics: f32 multiply by
+            # the reciprocal field (bit-exact, unlike TPU division),
+            # clip to the dtype range, truncating cast. Mosaic has no
+            # direct 16-bit<->f32 casts; hop through i32 (lossless for
+            # u8/u16 content, and the clip bounds the way back).
+            corrected = chunk.astype(jnp.int32).astype(jnp.float32) \
+                * ff_v[slot]
+            chunk = (jnp.clip(corrected, 0.0, ff_max)
+                     .astype(jnp.int32).astype(tile_v.dtype))
 
         # Embed the chunk at (dy, dx) inside the aligned window: pad to
         # window shape, then rotate by the dynamic sub-alignment offset
         # (no wraparound: dy < ALIGN_Y, dx < ALIGN_X by construction).
         # Mosaic's dynamic rotate only handles 32-bit lanes on the
         # sublane dim, so rotate in i32 and cast back.
-        padded = jnp.pad(tile_v[slot], ((0, ALIGN_Y), (0, ALIGN_X)))
+        padded = jnp.pad(chunk, ((0, ALIGN_Y), (0, ALIGN_X)))
         wide = padded.astype(jnp.int32)
         shifted = pltpu.roll(pltpu.roll(wide, dy, 0), dx, 1)
         shifted = shifted.astype(tile_v.dtype)
@@ -147,17 +185,22 @@ def _fuse_kernel(th: int, tw: int, align_y: int, chunk_rows: int,
 
 def _pick_chunk_rows(th: int, tw: int, itemsize: int, align_y: int,
                      budget: int = 6 << 20,
-                     win_bytes_per_elem: int = 0) -> int:
+                     win_bytes_per_elem: int = 0,
+                     ff_itemsize: int = 0) -> int:
     """Largest row-chunk (a divisor of th, multiple of the sublane
     alignment) whose tile+window scratch fits the VMEM budget.
 
     ``win_bytes_per_elem`` overrides the window scratch cost per element
-    (the feather kernel carries TWO f32 windows -> 8)."""
+    (the feather kernel carries TWO f32 windows -> 8); ``ff_itemsize``
+    adds a second double-buffered chunk stream (the fused flatfield's
+    f32 reciprocal -> 4)."""
     wb = win_bytes_per_elem or itemsize
 
     def cost(cr):
-        # tile scratch is double-buffered (two slots), hence the 2x
-        return 2 * cr * tw * itemsize + (cr + align_y) * (tw + ALIGN_X) * wb
+        # tile scratch is double-buffered (two slots), hence the 2x;
+        # same for the optional ff chunk stream
+        return (2 * cr * tw * (itemsize + ff_itemsize)
+                + (cr + align_y) * (tw + ALIGN_X) * wb)
 
     if cost(th) <= budget:
         return th
@@ -317,6 +360,7 @@ def fuse_feather_pallas(acc: jnp.ndarray, wsum: jnp.ndarray,
 def fuse_overwrite_pallas(canvas: jnp.ndarray, tiles: jnp.ndarray,
                           info: jnp.ndarray, crops: jnp.ndarray,
                           valid: jnp.ndarray,
+                          ff_recip: jnp.ndarray = None,
                           interpret: bool = False,
                           chunk_budget: int = 6 << 20) -> jnp.ndarray:
     """Pallas twin of ops.fuse.fuse_overwrite (same semantics).
@@ -324,31 +368,50 @@ def fuse_overwrite_pallas(canvas: jnp.ndarray, tiles: jnp.ndarray,
     canvas: (C, Z, Hp, Wp) padded via pallas_padded_canvas_shape;
     tiles: (N, th, tw); info: (N, 4) int32 [c, z, y, x]; crops: (N, 4)
     int32; valid: (N,) bool.
+
+    ``ff_recip`` ((C, th, tw) f32 reciprocal flatfields) fuses the
+    correction into the placement pass — byte-identical to
+    apply_flatfield-then-place, without the intermediate HBM round-trip.
     """
     n, th, tw = tiles.shape
     align_y = align_y_for(canvas.dtype)
+    with_ff = ff_recip is not None
     chunk_rows = _pick_chunk_rows(th, tw, tiles.dtype.itemsize, align_y,
-                                  budget=chunk_budget)
+                                  budget=chunk_budget,
+                                  ff_itemsize=4 if with_ff else 0)
     n_chunks = -(-th // chunk_rows)
+    import numpy as np
+    ff_max = (float(np.iinfo(np.dtype(canvas.dtype)).max)
+              if np.issubdtype(np.dtype(canvas.dtype), np.integer)
+              else float('inf'))
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]      # tiles (HBM)
+    if with_ff:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # ff (HBM)
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # canvas (aliased)
+    scratch = [pltpu.VMEM((2, chunk_rows, tw), tiles.dtype)]
+    if with_ff:
+        scratch.append(pltpu.VMEM((2, chunk_rows, tw), jnp.float32))
+    scratch += [
+        pltpu.VMEM((chunk_rows + align_y, tw + ALIGN_X), canvas.dtype),
+        pltpu.SemaphoreType.DMA((5 if with_ff else 3,)),
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n, n_chunks),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),   # tiles (HBM)
-            pl.BlockSpec(memory_space=pl.ANY),   # canvas (HBM, aliased)
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=[
-            pltpu.VMEM((2, chunk_rows, tw), tiles.dtype),  # double-buffered
-            pltpu.VMEM((chunk_rows + align_y, tw + ALIGN_X), canvas.dtype),
-            pltpu.SemaphoreType.DMA((3,)),
-        ],
+        scratch_shapes=scratch,
     )
+    operands = [info, crops, valid.astype(jnp.int32), tiles]
+    if with_ff:
+        operands.append(ff_recip)
+    operands.append(canvas)
     return pl.pallas_call(
-        _fuse_kernel(th, tw, align_y, chunk_rows, n_chunks, n),
+        _fuse_kernel(th, tw, align_y, chunk_rows, n_chunks, n,
+                     with_ff=with_ff, ff_max=ff_max),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(canvas.shape, canvas.dtype),
-        input_output_aliases={4: 0},  # canvas operand -> output
+        input_output_aliases={len(operands) - 1: 0},  # canvas -> output
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(info, crops, valid.astype(jnp.int32), tiles, canvas)
+    )(*operands)

@@ -47,6 +47,23 @@ def main() -> None:
             jnp.asarray(valid)))[:, :, :H, :W]
         ok = np.array_equal(ref, got)
 
+        # fused flatfield: pallas(ff_recip) vs apply_flatfield -> pallas
+        from image_stitcher_tpu.ops.fuse import apply_flatfield
+        ff = (rng.random((C, T, T)) * 0.8 + 0.6).astype(np.float32)
+        corrected = apply_flatfield(jnp.asarray(tiles), jnp.asarray(ff),
+                                    jnp.asarray(info[:, 0]), jnp.uint16)
+        c1 = jnp.zeros(pallas_padded_canvas_shape(C, Z, H, W, T, T,
+                                                  np.uint16), jnp.uint16)
+        ff_ref = np.asarray(fuse_overwrite_pallas(
+            c1, corrected, jnp.asarray(info), jnp.asarray(crops),
+            jnp.asarray(valid)))[:, :, :H, :W]
+        c2 = jnp.zeros(pallas_padded_canvas_shape(C, Z, H, W, T, T,
+                                                  np.uint16), jnp.uint16)
+        ff_got = np.asarray(fuse_overwrite_pallas(
+            c2, jnp.asarray(tiles), jnp.asarray(info), jnp.asarray(crops),
+            jnp.asarray(valid), ff_recip=jnp.asarray(ff)))[:, :, :H, :W]
+        ok_ff = np.array_equal(ff_ref, ff_got)
+
         shp = padded_canvas_shape(C, Z, H, W, T, T)
         fa, fw = fuse_feather(jnp.zeros(shp, jnp.float32),
                               jnp.zeros(shp, jnp.float32),
@@ -63,9 +80,10 @@ def main() -> None:
         fdiff = int(np.abs(fref.astype(int) - fgot.astype(int)).max())
         ok_f = fdiff <= 1
         print(f"trial {trial}: T={T} n={n} canvas={H}x{W} C={C} "
-              f"overwrite={'OK' if ok else 'FAIL'} feather_maxdiff={fdiff}",
-              flush=True)
-        fails += (not ok) + (not ok_f)
+              f"overwrite={'OK' if ok else 'FAIL'} "
+              f"fused_ff={'OK' if ok_ff else 'FAIL'} "
+              f"feather_maxdiff={fdiff}", flush=True)
+        fails += (not ok) + (not ok_f) + (not ok_ff)
     print("FAILS:", fails)
     assert fails == 0
 

@@ -101,3 +101,27 @@ def test_pallas_overwrite_order(rng):
     out = np.asarray(got)[:, :, :32, :32]
     assert out[0, 0, 8, 8] == 9
     assert out[0, 0, 0, 0] == 7
+
+
+@pytest.mark.parametrize("budget", [6 << 20, 40_000])
+def test_pallas_fused_flatfield_matches_xla(rng, budget):
+    """ff_recip fused into the placement kernel must be byte-identical
+    to apply_flatfield -> fuse_overwrite (both chunked and unchunked)."""
+    from image_stitcher_tpu.ops.fuse import apply_flatfield
+    C, Z, H, W, th, tw = 2, 1, 160, 144, 64, 64
+    tiles, info, crops, valid = _problem(rng, C=C, Z=Z, H=H, W=W,
+                                         th=th, tw=tw)
+    ff = (rng.random((C, th, tw)) * 0.8 + 0.6).astype(np.float32)
+    corrected = apply_flatfield(jnp.asarray(tiles), jnp.asarray(ff),
+                                jnp.asarray(info[:, 0]), jnp.uint16)
+    cv0 = jnp.zeros(padded_canvas_shape(C, Z, H, W, th, tw), jnp.uint16)
+    expect = np.asarray(fuse_overwrite(
+        cv0, corrected, jnp.asarray(info),
+        jnp.asarray(crops), jnp.asarray(valid)))[:, :, :H, :W]
+    cv1 = jnp.zeros(pallas_padded_canvas_shape(C, Z, H, W, th, tw),
+                    jnp.uint16)
+    got = np.asarray(fuse_overwrite_pallas(
+        cv1, jnp.asarray(tiles), jnp.asarray(info),
+        jnp.asarray(crops), jnp.asarray(valid), ff_recip=jnp.asarray(ff),
+        interpret=True, chunk_budget=budget))[:, :, :H, :W]
+    np.testing.assert_array_equal(got, expect)

@@ -768,10 +768,10 @@ class StitchPipeline:
         else:
             canvas = jnp.zeros(pad_shape, acq.dtype)
 
-        # the pallas overwrite kernel fuses the flatfield correction into
-        # the placement pass (no separate corrected-tile HBM round-trip);
-        # the other kernels take pre-corrected tiles
-        fused_ff = use_pallas and not use_feather
+        # the pallas kernels fuse the flatfield correction into the
+        # placement pass (no separate corrected-tile HBM round-trip);
+        # the XLA kernels take pre-corrected tiles
+        fused_ff = use_pallas
         for batch in loader:
             self._check_stop()
             tiles = jnp.asarray(batch.tiles)
@@ -784,7 +784,7 @@ class StitchPipeline:
             if use_feather and use_pallas:
                 acc, wsum = fuse_feather_pallas(
                     acc, wsum, tiles, info, crops, valid,
-                    blend_px=opts.feather_px)
+                    ff_recip=ff_stack, blend_px=opts.feather_px)
             elif use_feather:
                 acc, wsum = fuse_ops.fuse_feather(
                     acc, wsum, tiles, info, crops, valid,

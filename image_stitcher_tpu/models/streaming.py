@@ -334,12 +334,12 @@ class DeviceStreamingFuser:
         loader = TileBatchLoader(jobs, self.batch_size, th, tw, self.dtype,
                                  num_threads=self.reader_threads)
         consumed = 0
-        # overwrite+pallas fuses the flatfield into the placement kernel;
-        # the other kernels take pre-corrected tiles. The band's dinfo
+        # the pallas kernels fuse the flatfield into the placement pass;
+        # the XLA kernels take pre-corrected tiles. The band's dinfo
         # zeroes the channel (the band canvas is per-(c, z)), so the
         # fused kernel gets THIS band's single-channel ff slice — the
         # zeroed index then selects it correctly.
-        fused_ff = self.use_pallas and self.blend != 'feather'
+        fused_ff = self.use_pallas
         ff_band = (ff[band_c:band_c + 1]
                    if (fused_ff and ff is not None) else None)
         for batch in loader:
@@ -361,6 +361,7 @@ class DeviceStreamingFuser:
                 from ..ops.pallas_fuse import fuse_feather_pallas
                 acc, wsum = fuse_feather_pallas(acc, wsum, dtiles, dinfo,
                                                 dcrops, dvalid,
+                                                ff_recip=ff_band,
                                                 blend_px=self.blend_px)
             elif self.blend == 'feather':
                 acc, wsum = fuse_ops.fuse_feather(acc, wsum, dtiles, dinfo,

@@ -213,22 +213,33 @@ def _pick_chunk_rows(th: int, tw: int, itemsize: int, align_y: int,
 
 
 def _feather_kernel(th: int, tw: int, align_y: int, chunk_rows: int,
-                    blend_px: int, n_chunks: int, n_tiles: int):
+                    blend_px: int, n_chunks: int, n_tiles: int,
+                    with_ff: bool = False, ff_max: float = 65535.0):
     """Feathered accumulate: acc += ramp*tile, wsum += ramp, into aligned
     (acc, wsum) float32 windows. Accumulation is commutative, so chunk
     order is free; ramps are computed in GLOBAL tile coordinates from
     the full crop window, matching ops.fuse._feather_ramp exactly.
     The tile scratch double-buffers across grid steps like the
     overwrite kernel (window pairs cannot: consecutive windows may
-    overlap and each step read-modify-writes them)."""
+    overlap and each step read-modify-writes them).
+
+    ``with_ff`` fuses the flatfield correction; parity note: correction
+    quantizes to the storage dtype BEFORE accumulation, exactly like the
+    NumPy/XLA feather paths."""
     ALIGN_Y = align_y
     cwh, ww = chunk_rows + ALIGN_Y, tw + ALIGN_X
     total = n_tiles * n_chunks
 
-    def kernel(info_ref, crops_ref, valid_ref, tiles_hbm, acc_in, wsum_in,
-               acc_ref, wsum_ref, tile_v, acc_v, wsum_v, sems):
-        # tile_v: (2, chunk_rows, tw); sems: (4,) = tile slots 0/1,
-        # acc 2, wsum 3
+    def kernel(info_ref, crops_ref, valid_ref, *refs):
+        if with_ff:
+            (tiles_hbm, ff_hbm, acc_in, wsum_in, acc_ref, wsum_ref,
+             tile_v, ff_v, acc_v, wsum_v, sems) = refs
+        else:
+            (tiles_hbm, acc_in, wsum_in, acc_ref, wsum_ref,
+             tile_v, acc_v, wsum_v, sems) = refs
+            ff_hbm = ff_v = None
+        # tile_v: (2, chunk_rows, tw); sems: tile slots 0/1, acc 2,
+        # wsum 3 (+ ff slots 4/5 when with_ff)
         i = pl.program_id(0)
         k = pl.program_id(1)
         step = i * n_chunks + k
@@ -251,9 +262,19 @@ def _feather_kernel(th: int, tw: int, align_y: int, chunk_rows: int,
                                    chunk_rows)],
                 tile_v.at[sl], sems.at[sl])
 
+        def ff_dma(s, sl):
+            c_s = info_ref[s // n_chunks, 0]
+            return pltpu.make_async_copy(
+                ff_hbm.at[c_s,
+                          pl.ds(jax.lax.rem(s, n_chunks) * chunk_rows,
+                                chunk_rows)],
+                ff_v.at[sl], sems.at[4 + sl])
+
         @pl.when(step == 0)
         def _():
             tile_dma(step, slot).start()
+            if with_ff:
+                ff_dma(step, slot).start()
 
         acc_cp = pltpu.make_async_copy(
             acc_ref.at[c, z, pl.ds(yak, cwh), pl.ds(xa, ww)], acc_v,
@@ -267,12 +288,25 @@ def _feather_kernel(th: int, tw: int, align_y: int, chunk_rows: int,
         @pl.when(step + 1 < total)
         def _():
             tile_dma(step + 1, 1 - slot).start()
+            if with_ff:
+                ff_dma(step + 1, 1 - slot).start()
 
         tile_dma(step, slot).wait()
+        if with_ff:
+            ff_dma(step, slot).wait()
         acc_cp.wait()
         wsum_cp.wait()
 
-        padded = jnp.pad(tile_v[slot], ((0, ALIGN_Y), (0, ALIGN_X)))
+        chunk = tile_v[slot]
+        if with_ff:
+            # correct-clip-quantize to the storage dtype BEFORE the
+            # ramp accumulation (apply_flatfield semantics; Mosaic has
+            # no 16-bit<->f32 casts, hop through i32)
+            corrected = chunk.astype(jnp.int32).astype(jnp.float32) \
+                * ff_v[slot]
+            chunk = (jnp.clip(corrected, 0.0, ff_max)
+                     .astype(jnp.int32).astype(tile_v.dtype))
+        padded = jnp.pad(chunk, ((0, ALIGN_Y), (0, ALIGN_X)))
         wide = padded.astype(jnp.int32)
         shifted = pltpu.roll(pltpu.roll(wide, dy, 0), dx, 1)
         content = shifted.astype(jnp.float32)
@@ -314,6 +348,7 @@ def _feather_kernel(th: int, tw: int, align_y: int, chunk_rows: int,
 def fuse_feather_pallas(acc: jnp.ndarray, wsum: jnp.ndarray,
                         tiles: jnp.ndarray, info: jnp.ndarray,
                         crops: jnp.ndarray, valid: jnp.ndarray,
+                        ff_recip: jnp.ndarray = None,
                         blend_px: int = 64, interpret: bool = False,
                         chunk_budget: int = 6 << 20):
     """Pallas twin of ops.fuse.fuse_feather (same ramps, same sums).
@@ -321,38 +356,60 @@ def fuse_feather_pallas(acc: jnp.ndarray, wsum: jnp.ndarray,
     acc/wsum: (C, Z, Hp, Wp) float32 padded via
     pallas_padded_canvas_shape computed for the TILE dtype (the stricter
     of the tile/window sublane alignments governs the window origins).
+
+    ``ff_recip`` fuses the flatfield correction (quantized to the tile
+    dtype before accumulation, exactly like apply_flatfield-then-
+    feather) into the placement pass.
     """
     n, th, tw = tiles.shape
     align_y = align_y_for(tiles.dtype)
+    with_ff = ff_recip is not None
     chunk_rows = _pick_chunk_rows(th, tw, tiles.dtype.itemsize, align_y,
-                                  budget=chunk_budget, win_bytes_per_elem=8)
+                                  budget=chunk_budget, win_bytes_per_elem=8,
+                                  ff_itemsize=4 if with_ff else 0)
     n_chunks = -(-th // chunk_rows)
+    import numpy as np
+    ff_max = (float(np.iinfo(np.dtype(tiles.dtype)).max)
+              if np.issubdtype(np.dtype(tiles.dtype), np.integer)
+              else float('inf'))
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]      # tiles (HBM)
+    if with_ff:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # ff (HBM)
+    in_specs += [
+        pl.BlockSpec(memory_space=pl.ANY),   # acc (HBM, aliased)
+        pl.BlockSpec(memory_space=pl.ANY),   # wsum (HBM, aliased)
+    ]
+    scratch = [pltpu.VMEM((2, chunk_rows, tw), tiles.dtype)]
+    if with_ff:
+        scratch.append(pltpu.VMEM((2, chunk_rows, tw), jnp.float32))
+    scratch += [
+        pltpu.VMEM((chunk_rows + align_y, tw + ALIGN_X), jnp.float32),
+        pltpu.VMEM((chunk_rows + align_y, tw + ALIGN_X), jnp.float32),
+        pltpu.SemaphoreType.DMA((6 if with_ff else 4,)),
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n, n_chunks),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),   # tiles (HBM)
-            pl.BlockSpec(memory_space=pl.ANY),   # acc (HBM, aliased)
-            pl.BlockSpec(memory_space=pl.ANY),   # wsum (HBM, aliased)
-        ],
+        in_specs=in_specs,
         out_specs=(pl.BlockSpec(memory_space=pl.ANY),
                    pl.BlockSpec(memory_space=pl.ANY)),
-        scratch_shapes=[
-            pltpu.VMEM((2, chunk_rows, tw), tiles.dtype),  # double-buffered
-            pltpu.VMEM((chunk_rows + align_y, tw + ALIGN_X), jnp.float32),
-            pltpu.VMEM((chunk_rows + align_y, tw + ALIGN_X), jnp.float32),
-            pltpu.SemaphoreType.DMA((4,)),
-        ],
+        scratch_shapes=scratch,
     )
+    operands = [info, crops, valid.astype(jnp.int32), tiles]
+    if with_ff:
+        operands.append(ff_recip)
+    operands += [acc, wsum]
+    na = len(operands)
     return pl.pallas_call(
-        _feather_kernel(th, tw, align_y, chunk_rows, blend_px, n_chunks, n),
+        _feather_kernel(th, tw, align_y, chunk_rows, blend_px, n_chunks, n,
+                        with_ff=with_ff, ff_max=ff_max),
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct(acc.shape, jnp.float32),
                    jax.ShapeDtypeStruct(wsum.shape, jnp.float32)),
-        input_output_aliases={4: 0, 5: 1},  # acc, wsum -> outputs
+        input_output_aliases={na - 2: 0, na - 1: 1},  # acc, wsum -> outputs
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(info, crops, valid.astype(jnp.int32), tiles, acc, wsum)
+    )(*operands)
 
 
 @functools.partial(jax.jit, static_argnames=('interpret', 'chunk_budget'),

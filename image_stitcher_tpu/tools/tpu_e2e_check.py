@@ -69,6 +69,39 @@ def main() -> None:
             print(f"{name}: byte-equal={'OK' if same else 'FAIL'}",
                   flush=True)
             fails += not same
+
+        # feather (quality mode): host vs device-pallas, <=1 LSB (f32
+        # accumulation order)
+        fresults = {}
+        for name, opts in {
+            "host_feather": dict(fusion_device='host', streaming='off'),
+            "pallas_feather": dict(fusion_device='device', streaming='off',
+                                   device_fusion_kernel='pallas'),
+            "pallas_feather_stream": dict(fusion_device='device',
+                                          streaming='on',
+                                          device_fusion_kernel='pallas',
+                                          chunks=(1, 1, 1, 128, 128)),
+        }.items():
+            acq = os.path.join(workdir, name)
+            write_synthetic_acquisition(
+                acq, grid_cols=3, grid_rows=3, tile_w=128, tile_h=128,
+                overlap=32, seed=11, jitter=2,
+                channels=["Fluorescence 405 nm Ex",
+                          "Fluorescence 488 nm Ex"],
+                acq_params_overrides={"pixel_binning": 2})
+            stitch(acq, use_registration=True, apply_flatfield=True,
+                   options=EngineOptions(blend_method='feather',
+                                         feather_px=24, **opts))
+            out = sorted(glob.glob(acq + "_stitched_*"))[-1]
+            fresults[name] = np.asarray(open_zarr_array(os.path.join(
+                out, "0_stitched", "A1_stitched.ome.zarr", "0"))
+                .read().result())
+        fref = fresults.pop("host_feather").astype(int)
+        for name, data in fresults.items():
+            diff = int(np.abs(data.astype(int) - fref).max())
+            print(f"{name}: maxdiff={diff} "
+                  f"({'OK' if diff <= 1 else 'FAIL'})", flush=True)
+            fails += diff > 1
         print("FAILS:", fails)
         assert fails == 0
     finally:

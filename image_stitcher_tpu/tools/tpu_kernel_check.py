@@ -79,11 +79,25 @@ def main() -> None:
         fgot = np.asarray(finalize_feather(pa, pw, jnp.uint16))[:, :, :H, :W]
         fdiff = int(np.abs(fref.astype(int) - fgot.astype(int)).max())
         ok_f = fdiff <= 1
+
+        # fused-ff feather: pallas(ff_recip) vs apply_flatfield -> pallas
+        fa2, fw2 = fuse_feather_pallas(
+            jnp.zeros(pshp, jnp.float32), jnp.zeros(pshp, jnp.float32),
+            corrected, jnp.asarray(info), jnp.asarray(crops),
+            jnp.asarray(valid), blend_px=48)
+        ffr = np.asarray(finalize_feather(fa2, fw2, jnp.uint16))[:, :, :H, :W]
+        fa3, fw3 = fuse_feather_pallas(
+            jnp.zeros(pshp, jnp.float32), jnp.zeros(pshp, jnp.float32),
+            jnp.asarray(tiles), jnp.asarray(info), jnp.asarray(crops),
+            jnp.asarray(valid), ff_recip=jnp.asarray(ff), blend_px=48)
+        ffg = np.asarray(finalize_feather(fa3, fw3, jnp.uint16))[:, :, :H, :W]
+        ok_fff = np.array_equal(ffr, ffg)
         print(f"trial {trial}: T={T} n={n} canvas={H}x{W} C={C} "
               f"overwrite={'OK' if ok else 'FAIL'} "
               f"fused_ff={'OK' if ok_ff else 'FAIL'} "
-              f"feather_maxdiff={fdiff}", flush=True)
-        fails += (not ok) + (not ok_f) + (not ok_ff)
+              f"feather_maxdiff={fdiff} "
+              f"feather_fused_ff={'OK' if ok_fff else 'FAIL'}", flush=True)
+        fails += (not ok) + (not ok_f) + (not ok_ff) + (not ok_fff)
     print("FAILS:", fails)
     assert fails == 0
 

@@ -125,3 +125,34 @@ def test_pallas_fused_flatfield_matches_xla(rng, budget):
         jnp.asarray(crops), jnp.asarray(valid), ff_recip=jnp.asarray(ff),
         interpret=True, chunk_budget=budget))[:, :, :H, :W]
     np.testing.assert_array_equal(got, expect)
+
+
+@pytest.mark.parametrize("budget", [6 << 20, 20_000])
+def test_pallas_feather_fused_flatfield_matches_xla(rng, budget):
+    """Feather with ff_recip fused must equal apply_flatfield ->
+    fuse_feather (the correction quantizes to dtype before the ramps)."""
+    from image_stitcher_tpu.ops.fuse import (apply_flatfield,
+                                             finalize_feather, fuse_feather)
+    from image_stitcher_tpu.ops.pallas_fuse import fuse_feather_pallas
+    C, Z, H, W, th, tw = 2, 1, 128, 112, 32, 32
+    tiles, info, crops, valid = _problem(rng, n=14, C=C, Z=Z, H=H, W=W,
+                                         th=th, tw=tw)
+    ff = (rng.random((C, th, tw)) * 0.8 + 0.6).astype(np.float32)
+    corrected = apply_flatfield(jnp.asarray(tiles), jnp.asarray(ff),
+                                jnp.asarray(info[:, 0]), jnp.uint16)
+    shp = padded_canvas_shape(C, Z, H, W, th, tw)
+    acc_x, w_x = fuse_feather(jnp.zeros(shp, jnp.float32),
+                              jnp.zeros(shp, jnp.float32),
+                              corrected, jnp.asarray(info),
+                              jnp.asarray(crops), jnp.asarray(valid),
+                              blend_px=12)
+    expect = np.asarray(finalize_feather(acc_x, w_x,
+                                         jnp.uint16))[:, :, :H, :W]
+    pshp = pallas_padded_canvas_shape(C, Z, H, W, th, tw, np.uint16)
+    acc_p, w_p = fuse_feather_pallas(
+        jnp.zeros(pshp, jnp.float32), jnp.zeros(pshp, jnp.float32),
+        jnp.asarray(tiles), jnp.asarray(info), jnp.asarray(crops),
+        jnp.asarray(valid), ff_recip=jnp.asarray(ff), blend_px=12,
+        interpret=True, chunk_budget=budget)
+    got = np.asarray(finalize_feather(acc_p, w_p, jnp.uint16))[:, :, :H, :W]
+    np.testing.assert_array_equal(got, expect)

@@ -255,7 +255,7 @@ class StitchingGUI(QWidget):
                 wavelength = self._extract_wavelength(layer.name)
                 info = CHANNEL_COLORS_MAP.get(
                     wavelength, {'hex': 0xFFFFFF, 'name': 'gray'})
-                layer.colormap = self._resolve_colormap(napari, info)
+                layer.colormap = self._resolve_colormap(info)
                 dt = getattr(getattr(layer, 'data', None), 'dtype', None)
                 if dt is not None and np.issubdtype(dt, np.integer):
                     ii = np.iinfo(dt)
@@ -267,7 +267,7 @@ class StitchingGUI(QWidget):
             QMessageBox.critical(self, "Viewer", f"Could not open viewer: {e}")
 
     @staticmethod
-    def _resolve_colormap(napari, channel_info):
+    def _resolve_colormap(channel_info):
         """A napari-registered colormap by name, else a linear
         black->channel-color Colormap built from the hex (reference
         stitcher_process_gui.py:404-406 + generateColormap)."""

@@ -582,8 +582,11 @@ class StitchPipeline:
                     'rejected': False,
                     'tiles_solved': len(constrained),
                     'tiles_total': n_rows * n_cols,
-                    'residual_rms_px': float(np.sqrt((res ** 2).mean())),
-                    'residual_max_px': float(np.abs(res).max()),
+                    # no pairs (1x1 region, all truncated): no residuals
+                    'residual_rms_px': (float(np.sqrt((res ** 2).mean()))
+                                        if res.size else None),
+                    'residual_max_px': (float(np.abs(res).max())
+                                        if res.size else None),
                 }
 
     def _ensure_global_positions(self, t, region: str):
@@ -846,7 +849,7 @@ class StitchPipeline:
                 acq.input_height, acq.input_width, acq.dtype,
                 self.num_pyramid_levels, opts.pyramid_downsample,
                 chunk_rows=opts.write_band_rows()
-                * max(1, opts.device_band_multiple),
+                * opts.device_band_multiple,
                 batch_size=opts.fusion_batch,
                 reader_threads=opts.resolved_reader_threads(),
                 ff_recip=ff, blend_method=opts.blend_method,

@@ -57,7 +57,7 @@ def pallas_padded_canvas_shape(num_c: int, num_z: int, height: int,
 
 def _fuse_kernel(th: int, tw: int, align_y: int, chunk_rows: int,
                  n_chunks: int, n_tiles: int, with_ff: bool = False,
-                 ff_max: float = 65535.0):
+                 ff_min: float = 0.0, ff_max: float = 65535.0):
     """Grid = (tiles, row-chunks): each step handles ``chunk_rows`` tile
     rows so VMEM scratch stays bounded for production tile sizes (a
     whole 2048^2 u16 tile + window would blow the ~16 MB VMEM budget).
@@ -150,7 +150,7 @@ def _fuse_kernel(th: int, tw: int, align_y: int, chunk_rows: int,
             # u8/u16 content, and the clip bounds the way back).
             corrected = chunk.astype(jnp.int32).astype(jnp.float32) \
                 * ff_v[slot]
-            chunk = (jnp.clip(corrected, 0.0, ff_max)
+            chunk = (jnp.clip(corrected, ff_min, ff_max)
                      .astype(jnp.int32).astype(tile_v.dtype))
 
         # Embed the chunk at (dy, dx) inside the aligned window: pad to
@@ -214,7 +214,8 @@ def _pick_chunk_rows(th: int, tw: int, itemsize: int, align_y: int,
 
 def _feather_kernel(th: int, tw: int, align_y: int, chunk_rows: int,
                     blend_px: int, n_chunks: int, n_tiles: int,
-                    with_ff: bool = False, ff_max: float = 65535.0):
+                    with_ff: bool = False, ff_min: float = 0.0,
+                    ff_max: float = 65535.0):
     """Feathered accumulate: acc += ramp*tile, wsum += ramp, into aligned
     (acc, wsum) float32 windows. Accumulation is commutative, so chunk
     order is free; ramps are computed in GLOBAL tile coordinates from
@@ -304,7 +305,7 @@ def _feather_kernel(th: int, tw: int, align_y: int, chunk_rows: int,
             # no 16-bit<->f32 casts, hop through i32)
             corrected = chunk.astype(jnp.int32).astype(jnp.float32) \
                 * ff_v[slot]
-            chunk = (jnp.clip(corrected, 0.0, ff_max)
+            chunk = (jnp.clip(corrected, ff_min, ff_max)
                      .astype(jnp.int32).astype(tile_v.dtype))
         padded = jnp.pad(chunk, ((0, ALIGN_Y), (0, ALIGN_X)))
         wide = padded.astype(jnp.int32)
@@ -369,9 +370,11 @@ def fuse_feather_pallas(acc: jnp.ndarray, wsum: jnp.ndarray,
                                   ff_itemsize=4 if with_ff else 0)
     n_chunks = -(-th // chunk_rows)
     import numpy as np
-    ff_max = (float(np.iinfo(np.dtype(tiles.dtype)).max)
-              if np.issubdtype(np.dtype(tiles.dtype), np.integer)
-              else float('inf'))
+    if np.issubdtype(np.dtype(tiles.dtype), np.integer):
+        ii = np.iinfo(np.dtype(tiles.dtype))
+        ff_min, ff_max = float(ii.min), float(ii.max)
+    else:
+        ff_min, ff_max = float('-inf'), float('inf')
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)]      # tiles (HBM)
     if with_ff:
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # ff (HBM)
@@ -402,7 +405,7 @@ def fuse_feather_pallas(acc: jnp.ndarray, wsum: jnp.ndarray,
     na = len(operands)
     return pl.pallas_call(
         _feather_kernel(th, tw, align_y, chunk_rows, blend_px, n_chunks, n,
-                        with_ff=with_ff, ff_max=ff_max),
+                        with_ff=with_ff, ff_min=ff_min, ff_max=ff_max),
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct(acc.shape, jnp.float32),
                    jax.ShapeDtypeStruct(wsum.shape, jnp.float32)),
@@ -438,9 +441,13 @@ def fuse_overwrite_pallas(canvas: jnp.ndarray, tiles: jnp.ndarray,
                                   ff_itemsize=4 if with_ff else 0)
     n_chunks = -(-th // chunk_rows)
     import numpy as np
-    ff_max = (float(np.iinfo(np.dtype(canvas.dtype)).max)
-              if np.issubdtype(np.dtype(canvas.dtype), np.integer)
-              else float('inf'))
+    # apply_flatfield clips to the STORAGE dtype's full range (tiles
+    # and canvas share it on every pipeline path)
+    if np.issubdtype(np.dtype(tiles.dtype), np.integer):
+        ii = np.iinfo(np.dtype(tiles.dtype))
+        ff_min, ff_max = float(ii.min), float(ii.max)
+    else:
+        ff_min, ff_max = float('-inf'), float('inf')
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)]      # tiles (HBM)
     if with_ff:
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # ff (HBM)
@@ -465,7 +472,7 @@ def fuse_overwrite_pallas(canvas: jnp.ndarray, tiles: jnp.ndarray,
     operands.append(canvas)
     return pl.pallas_call(
         _fuse_kernel(th, tw, align_y, chunk_rows, n_chunks, n,
-                     with_ff=with_ff, ff_max=ff_max),
+                     with_ff=with_ff, ff_min=ff_min, ff_max=ff_max),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(canvas.shape, canvas.dtype),
         input_output_aliases={len(operands) - 1: 0},  # canvas -> output

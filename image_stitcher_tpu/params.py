@@ -240,10 +240,11 @@ class EngineOptions:
                 for name in self.OUTPUT_AFFECTING}
 
     def write_band_rows(self) -> int:
-        """Row granularity for band-streamed writes: the read-chunk rows
-        on zarr v2, the full shard rows on zarr v3 (a band smaller than
-        the shard would force read-modify-write shard updates)."""
-        return self.chunks[3] * (4 if self.zarr_format == 3 else 1)
+        """Row granularity for band-streamed writes: the read-chunk
+        rows. zarr v3 shards are Y-thin (one chunk row tall, see
+        create_zarr3_sharded_array), so chunk-row bands cover whole
+        shards on either format — no shard read-modify-write."""
+        return self.chunks[3]
 
     def resolved_reader_threads(self) -> int:
         if self.reader_threads is not None:

@@ -18,6 +18,10 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Spawned stitcher children (GUI/process-edition tests) re-initialize
+# jax from scratch; this pins them to CPU too (editions._child_main).
+os.environ["IMAGE_STITCHER_JAX_PLATFORM"] = "cpu"
+
 import numpy as np
 import pytest
 

@@ -153,3 +153,22 @@ def test_registration_report_center(tmp_path):
     assert region["scope"] == "center"
     assert region["aggregated"]["h_shift"] == [0, -32]
     assert region["aggregated"]["v_shift"] == [-32, 0]
+
+
+def test_registration_report_global_single_tile_region(tmp_path):
+    """A 1x1 region has no measurable pairs: the global report must
+    carry null residuals instead of crashing (zero-size reduction)."""
+    import json
+    acq_dir = str(tmp_path / "acq")
+    write_synthetic_acquisition(acq_dir, grid_cols=1, grid_rows=1,
+                                tile_w=96, tile_h=96, overlap=32,
+                                acq_params_overrides={"pixel_binning": 2})
+    pipe = stitch(acq_dir, use_registration=True,
+                  options=EngineOptions(registration_scope='global',
+                                        registration_report=True))
+    with open(os.path.join(pipe.output_folder,
+                           "registration_report.json")) as f:
+        rep = json.load(f)
+    region = rep["regions"]["A1"]
+    assert region["pairs"] == []
+    assert region["global"]["residual_rms_px"] is None

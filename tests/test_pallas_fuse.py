@@ -156,3 +156,32 @@ def test_pallas_feather_fused_flatfield_matches_xla(rng, budget):
         interpret=True, chunk_budget=budget)
     got = np.asarray(finalize_feather(acc_p, w_p, jnp.uint16))[:, :, :H, :W]
     np.testing.assert_array_equal(got, expect)
+
+
+def test_pallas_fused_flatfield_signed_dtype(rng):
+    """int16 tiles: the fused correction must clip to the dtype's FULL
+    range (negatives survive), matching apply_flatfield exactly."""
+    from image_stitcher_tpu.ops.fuse import apply_flatfield
+    C, Z, H, W, th, tw = 1, 1, 96, 96, 32, 32
+    n = 6
+    tiles = rng.integers(-30000, 30000, (n, th, tw)).astype(np.int16)
+    info = np.stack([np.zeros(n, int), np.zeros(n, int),
+                     rng.integers(0, H, n), rng.integers(0, W, n)],
+                    axis=1).astype(np.int32)
+    crops = np.zeros((n, 4), np.int32)
+    valid = np.ones((n,), bool)
+    ff = (rng.random((C, th, tw)) * 0.8 + 0.6).astype(np.float32)
+    corrected = apply_flatfield(jnp.asarray(tiles), jnp.asarray(ff),
+                                jnp.asarray(info[:, 0]), jnp.int16)
+    cv0 = jnp.zeros(padded_canvas_shape(C, Z, H, W, th, tw), jnp.int16)
+    expect = np.asarray(fuse_overwrite(
+        cv0, corrected, jnp.asarray(info),
+        jnp.asarray(crops), jnp.asarray(valid)))[:, :, :H, :W]
+    assert expect.min() < 0  # negatives must be exercised
+    cv1 = jnp.zeros(pallas_padded_canvas_shape(C, Z, H, W, th, tw,
+                                               np.int16), jnp.int16)
+    got = np.asarray(fuse_overwrite_pallas(
+        cv1, jnp.asarray(tiles), jnp.asarray(info),
+        jnp.asarray(crops), jnp.asarray(valid), ff_recip=jnp.asarray(ff),
+        interpret=True))[:, :, :H, :W]
+    np.testing.assert_array_equal(got, expect)

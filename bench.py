@@ -405,14 +405,17 @@ def device_e2e_bench():
                                            ff_recip=ff)
         level = canvas[:, :, :H, :W]
         del canvas  # keep HBM headroom for the pyramid chain
-        total = 0.0
+        # one data-dependent readback per level, but only the LAST sums
+        # are forced at the end: each float() is a tunnel round-trip
+        # (2-60 ms), so syncing per level times the tunnel, not the
+        # chip. All levels stay live — ~0.8 GB on top of the canvas.
+        sums = []
         for _ in range(3):
-            # sync per level so at most two levels are live at once
-            total += float(jnp.sum(
-                level[0, 0, ::997, ::997].astype(jnp.float32)))
+            sums.append(jnp.sum(level[0, 0, ::997, ::997]
+                                .astype(jnp.float32)))
             level = downsample(level, 'nearest')
-        return total + float(jnp.sum(
-            level[0, 0, ::997, ::997].astype(jnp.float32)))
+        sums.append(jnp.sum(level[0, 0, ::997, ::997].astype(jnp.float32)))
+        return sum(float(s) for s in sums)
 
     one_pass(ff)  # compile
     best = None

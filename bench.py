@@ -88,17 +88,24 @@ def run_ours(acq_dir, device_stages=False):
     from image_stitcher_tpu.utils.progress import ProgressReporter
     params = StitchingParameters(input_folder=acq_dir, use_registration=True,
                                  apply_flatfield=True)
+    # compressor 'auto': blosc on incompressible content burns core
+    # time for zero size benefit; the probe stores raw when a sample
+    # tile doesn't compress (the synthetic texture doesn't; real
+    # microscopy usually does and keeps blosc)
     if device_stages:
         options = EngineOptions(fusion_batch=10, reader_threads=8,
                                 registration_scope='all-pairs',
                                 registration_device_threshold=0,
-                                flatfield_device='device')
+                                flatfield_device='device',
+                                compressor_cname='auto')
     else:
-        options = EngineOptions(fusion_batch=10, reader_threads=8)
+        options = EngineOptions(fusion_batch=10, reader_threads=8,
+                                compressor_cname='auto')
     reporter = ProgressReporter(
         status=lambda msg, s=False: (
             log("  " + msg) if msg.startswith(
-                ("stream stages", "fusion backend", "pallas kernel"))
+                ("stream stages", "fusion backend", "pallas kernel",
+                 "compressor auto"))
             else None))
     pipe = StitchPipeline(params, options, reporter=reporter)
     t0 = time.perf_counter()

@@ -44,9 +44,14 @@ def create_zarr_array(
 
     Default compressor parity with the reference's production writer
     (zarr_stitcher.py:409: Blosc zstd, clevel=1, shuffle=SHUFFLE).
+    ``cname=None`` stores chunks raw (compressor: null) — the right
+    call for content that doesn't compress.
     """
     chunks = [min(int(c), int(s)) if s > 0 else int(c)
               for c, s in zip(chunks, shape)]
+    compressor = (None if cname is None else
+                  {'id': 'blosc', 'cname': cname,
+                   'clevel': int(clevel), 'shuffle': int(shuffle)})
     spec = {
         'driver': 'zarr',
         'kvstore': {'driver': 'file', 'path': path},
@@ -54,8 +59,7 @@ def create_zarr_array(
             'shape': list(map(int, shape)),
             'chunks': list(map(int, chunks)),
             'dtype': zarr_dtype_str(dtype),
-            'compressor': {'id': 'blosc', 'cname': cname,
-                           'clevel': int(clevel), 'shuffle': int(shuffle)},
+            'compressor': compressor,
             'fill_value': fill_value,
             'order': 'C',
             'dimension_separator': dimension_separator,
@@ -117,11 +121,12 @@ def create_zarr3_sharded_array(
                     'codecs': [
                         {'name': 'bytes',
                          'configuration': {'endian': 'little'}},
+                    ] + ([] if cname is None else [
                         {'name': 'blosc',
                          'configuration': {'cname': cname,
                                            'clevel': int(clevel),
                                            'shuffle': 'shuffle'}},
-                    ],
+                    ]),
                     'index_codecs': [
                         {'name': 'bytes',
                          'configuration': {'endian': 'little'}},

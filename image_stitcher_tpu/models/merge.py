@@ -102,11 +102,12 @@ def _make_image_writer(pipeline, path: str, base_shape, name: str,
                        omero_full: bool = False) -> MultiscaleWriter:
     acq = pipeline.acq
     opts = pipeline.options
+    cname, clevel, shuffle = pipeline.resolved_compressor()
     return MultiscaleWriter(
         path, base_shape, pipeline.num_pyramid_levels, acq.dtype, opts.chunks,
         name, acq.dz_um, acq.pixel_size_um, acq.monochrome_channels,
-        acq.monochrome_colors, cname=opts.compressor_cname,
-        clevel=opts.compressor_clevel, shuffle=opts.compressor_shuffle,
+        acq.monochrome_colors, cname=cname,
+        clevel=clevel, shuffle=shuffle,
         omero_full=omero_full, zarr_format=opts.zarr_format)
 
 

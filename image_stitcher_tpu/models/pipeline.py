@@ -177,6 +177,35 @@ class StitchPipeline:
                 self.reporter.update_progress(idx + 1, acq.num_c)
             self._check_stop()
 
+    def resolved_compressor(self):
+        """(cname, clevel, shuffle) for the zarr writers. 'auto' probes
+        one tile's content with zlib-1 and stores RAW when it doesn't
+        compress (ratio > 0.92): blosc on incompressible content burns
+        seconds of core time per GB for zero size benefit. The probe is
+        conservative — anything that compresses at all keeps blosc-lz4.
+        Cached per run so every writer (regions + merges) agrees."""
+        opts = self.options
+        if opts.compressor_cname != 'auto':
+            return (opts.compressor_cname, opts.compressor_clevel,
+                    opts.compressor_shuffle)
+        if getattr(self, '_compressor_choice', None) is None:
+            import zlib
+            rec = next(iter(self.acq.tiles.values()))
+            raw = np.ascontiguousarray(
+                read_image(rec.filepath)).tobytes()[:1 << 20]
+            ratio = len(zlib.compress(raw, 1)) / max(1, len(raw))
+            if ratio > 0.92:
+                self._compressor_choice = (None, 0, 0)
+                self.reporter.status(
+                    f"compressor auto: sample ratio {ratio:.2f} — "
+                    "storing raw chunks", False)
+            else:
+                self._compressor_choice = ('lz4', 5, 1)
+                self.reporter.status(
+                    f"compressor auto: sample ratio {ratio:.2f} — "
+                    "blosc-lz4-5", False)
+        return self._compressor_choice
+
     def _flatfield_recip_np(self) -> np.ndarray:
         """(C, th, tw) f32 RECIPROCAL flatfield stack; ones where no
         field was fitted. Computed once on the host so every backend
@@ -839,8 +868,8 @@ class StitchPipeline:
             self.num_pyramid_levels, acq.dtype, opts.chunks,
             f"{region}_t{t}", acq.dz_um, acq.pixel_size_um,
             acq.monochrome_channels, acq.monochrome_colors,
-            cname=opts.compressor_cname, clevel=opts.compressor_clevel,
-            shuffle=opts.compressor_shuffle, zarr_format=opts.zarr_format)
+            cname=(cc := self.resolved_compressor())[0], clevel=cc[1],
+            shuffle=cc[2], zarr_format=opts.zarr_format)
         backend = self._select_fusion_backend(height, width, len(jobs))
         ff = self._flatfield_recip_np() if self.flatfields else None
         if backend == 'device':
@@ -930,8 +959,8 @@ class StitchPipeline:
             output_path, (1, c, z, h, w), num_levels,
             acq.dtype, opts.chunks, f"{region}_t{t}", acq.dz_um,
             acq.pixel_size_um, acq.monochrome_channels, acq.monochrome_colors,
-            cname=opts.compressor_cname, clevel=opts.compressor_clevel,
-            shuffle=opts.compressor_shuffle, zarr_format=opts.zarr_format)
+            cname=(cc := self.resolved_compressor())[0], clevel=cc[1],
+            shuffle=cc[2], zarr_format=opts.zarr_format)
         is_host = isinstance(canvas, np.ndarray)
         level = canvas
         for lv in range(num_levels):

@@ -130,6 +130,10 @@ class EngineOptions:
     # (stitcher.py:818 zarr.storage.default_compressor); the production
     # zarr_stitcher edition's zstd-1 (zarr_stitcher.py:409) is one knob
     # away. lz4 is ~2x faster per core at similar microscopy ratios.
+    # 'auto' probes a sample tile at write time and stores RAW when the
+    # content doesn't compress (>0.92 ratio): on incompressible data
+    # blosc burns CPU for zero size benefit — the compress stage of a
+    # 2.9 GB output costs seconds of core time on starved hosts.
     compressor_cname: str = 'lz4'
     compressor_clevel: int = 5
     compressor_shuffle: int = 1

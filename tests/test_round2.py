@@ -347,3 +347,43 @@ def test_flatfield_device_matches_host(tmp_path):
     a, b = fields["host"], fields["device"]
     assert np.abs(a - b).mean() < 0.02
     assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.98
+
+
+def test_compressor_auto(tmp_path):
+    """'auto' stores raw chunks for incompressible content and keeps
+    blosc for compressible content — one decision per run, applied to
+    region writers and merges alike."""
+    import json
+
+    from fixtures import write_synthetic_acquisition
+    from image_stitcher_tpu import EngineOptions, stitch
+
+    # random uint16 texture: incompressible -> raw
+    acq1 = str(tmp_path / "noise")
+    write_synthetic_acquisition(acq1, grid_cols=2, grid_rows=1,
+                                tile_w=64, tile_h=64, overlap=16)
+    pipe = stitch(acq1, options=EngineOptions(compressor_cname='auto'))
+    out = sorted(glob.glob(acq1 + "_stitched_*"))[-1]
+    with open(os.path.join(out, "0_stitched", "A1_stitched.ome.zarr",
+                           "0", ".zarray")) as f:
+        assert json.load(f)["compressor"] is None
+    assert pipe.resolved_compressor()[0] is None
+
+    # dark gamma-skewed content with flat background: compressible
+    acq2 = str(tmp_path / "dark")
+    write_synthetic_acquisition(acq2, grid_cols=2, grid_rows=1,
+                                tile_w=64, tile_h=64, overlap=16,
+                                gt_gamma=40.0)
+    stitch(acq2, options=EngineOptions(compressor_cname='auto'))
+    out = sorted(glob.glob(acq2 + "_stitched_*"))[-1]
+    with open(os.path.join(out, "0_stitched", "A1_stitched.ome.zarr",
+                           "0", ".zarray")) as f:
+        comp = json.load(f)["compressor"]
+    assert comp is not None and comp["id"] == "blosc"
+
+    # raw output must round-trip identically
+    from image_stitcher_tpu.io.zarr_store import open_zarr_array
+    data = np.asarray(open_zarr_array(os.path.join(
+        sorted(glob.glob(acq1 + "_stitched_*"))[-1], "0_stitched",
+        "A1_stitched.ome.zarr", "0")).read().result())
+    assert data.max() > 0

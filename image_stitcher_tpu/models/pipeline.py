@@ -912,11 +912,17 @@ class StitchPipeline:
         acq = self.acq
         opts = self.options
         mesh = make_mesh(opts.mesh_shape)
+        ff_np = self._flatfield_recip_np() if self.flatfields else None
         canvas = ShardedCanvas(mesh, acq.num_c, acq.num_z, height, width,
                                acq.input_height, acq.input_width, acq.dtype,
                                blend_method=opts.blend_method,
-                               blend_px=opts.feather_px)
-        ff_stack = self._flatfield_recip() if self.flatfields else None
+                               blend_px=opts.feather_px,
+                               device_kernel=opts.device_fusion_kernel,
+                               ff_recip=ff_np)
+        # pallas shards fuse the flatfield in-kernel; the XLA shard scan
+        # takes pre-corrected tiles
+        ff_stack = (self._flatfield_recip()
+                    if (self.flatfields and not canvas.use_pallas) else None)
         processed = 0
         for batch in loader:
             self._check_stop()

@@ -36,7 +36,9 @@ class ShardedCanvas:
 
     def __init__(self, mesh: Mesh, num_c: int, num_z: int,
                  height: int, width: int, tile_h: int, tile_w: int, dtype,
-                 blend_method: str = 'overwrite', blend_px: int = 64):
+                 blend_method: str = 'overwrite', blend_px: int = 64,
+                 device_kernel: str = 'auto', ff_recip=None,
+                 pallas_interpret: bool = False):
         self.mesh = mesh
         self.n_bands = mesh.shape[AXIS_CANVAS]
         self.height, self.width = height, width
@@ -46,7 +48,34 @@ class ShardedCanvas:
         self.dtype = np.dtype(dtype)
         self.blend = blend_method
         self.blend_px = blend_px
-        shape = (self.n_bands, num_c, num_z, self.band_pad, width + tile_w)
+        # pallas per shard: each device runs the Mosaic window kernel on
+        # its own band (shard_map composes with pallas_call) — same
+        # selection rule as the unsharded device path. Feather keeps the
+        # XLA scan (its (acc, wsum) pair is already banded f32).
+        from ..ops.pallas_fuse import pallas_supported
+        supported = (blend_method != 'feather'
+                     and (pallas_interpret
+                          or (jax.default_backend() == 'tpu'
+                              and pallas_supported(tile_h, tile_w,
+                                                   self.dtype))))
+        if device_kernel == 'auto':
+            device_kernel = 'pallas' if supported else 'xla'
+        elif device_kernel == 'pallas' and not supported:
+            device_kernel = 'xla'
+        self.use_pallas = device_kernel == 'pallas'
+        self._pallas_interpret = pallas_interpret
+        # ff_recip ((C, th, tw) f32): fused into the pallas kernel; the
+        # XLA paths expect pre-corrected tiles (parity with the
+        # unsharded backends)
+        self.ff_recip = ff_recip if self.use_pallas else None
+        if self.use_pallas:
+            from ..ops.pallas_fuse import ALIGN_X, align_y_for
+            self.band_pad += align_y_for(self.dtype)
+            extra_x = ALIGN_X
+        else:
+            extra_x = 0
+        shape = (self.n_bands, num_c, num_z, self.band_pad,
+                 width + tile_w + extra_x)
 
         def banded_zeros(dt):
             # jit-init with out_shardings: zeros materialize directly in
@@ -62,16 +91,21 @@ class ShardedCanvas:
             self._fuse = self._build_fuse_feather()
         else:
             self.array = banded_zeros(dtype)
-            self._fuse = self._build_fuse()
+            self._fuse = (self._build_fuse_pallas() if self.use_pallas
+                          else self._build_fuse())
 
-    def _band_local_pos(self, meta, cv_rows):
-        """Band-local y origin + intersection flag for one tile."""
+    def _band_local_pos(self, meta, cv_rows=None):
+        """Band-local y origin + intersection flag for one tile.
+
+        Origins clamp to [0, band + tile_h] — the placement envelope of
+        a band with one-tile aprons (the pallas layout carries an extra
+        alignment margin below it, never a placement target)."""
         band = self.band
         tile_h = self.tile_h
         b = jax.lax.axis_index(AXIS_CANVAS)
         band_start = b * band
         y = meta[2]
-        y_local = jnp.clip(y - band_start + tile_h, 0, cv_rows - tile_h)
+        y_local = jnp.clip(y - band_start + tile_h, 0, band + tile_h)
         intersects = (y + tile_h > band_start) & (y < band_start + band)
         return y_local, intersects
 
@@ -101,6 +135,48 @@ class ShardedCanvas:
             out_specs=P(AXIS_CANVAS),
             check_vma=False)
         return jax.jit(fuse, donate_argnums=(0,))
+
+    def _build_fuse_pallas(self):
+        """Per-shard Mosaic window kernel: each device runs the SAME
+        pallas placement (with optional fused flatfield) on its own
+        band. Band-local origins ride a rewritten info batch; tiles not
+        intersecting a band keep a legal clamped origin with valid
+        masked off (the window DMA round-trips unchanged bytes)."""
+        tile_h = self.tile_h
+        band = self.band
+        mesh = self.mesh
+        interpret = self._pallas_interpret
+        from ..ops.pallas_fuse import fuse_overwrite_pallas
+        with_ff = self.ff_recip is not None
+
+        def local_fuse(canvas, tiles, info, crops, valid, *ff):
+            # canvas: (1, C, Z, band_pad, Wp) local shard
+            b = jax.lax.axis_index(AXIS_CANVAS)
+            band_start = b * band
+            y = info[:, 2]
+            y_local = jnp.clip(y - band_start + tile_h, 0, band + tile_h)
+            intersects = ((y + tile_h > band_start)
+                          & (y < band_start + band))
+            dinfo = jnp.stack([info[:, 0], info[:, 1], y_local,
+                               info[:, 3]], axis=1)
+            out = fuse_overwrite_pallas(
+                canvas[0], tiles, dinfo, crops, valid & intersects,
+                ff_recip=ff[0] if with_ff else None, interpret=interpret)
+            return out[None]
+
+        in_specs = [P(AXIS_CANVAS), P(), P(), P(), P()]
+        if with_ff:
+            in_specs.append(P())
+        fuse = shard_map(
+            local_fuse, mesh=mesh,
+            in_specs=tuple(in_specs),
+            out_specs=P(AXIS_CANVAS),
+            check_vma=False)
+        jitted = jax.jit(fuse, donate_argnums=(0,))
+        if with_ff:
+            ff_arr = jnp.asarray(self.ff_recip, jnp.float32)
+            return lambda cv, t, i, cr, v: jitted(cv, t, i, cr, v, ff_arr)
+        return jitted
 
     def _build_fuse_feather(self):
         tile_h, tile_w = self.tile_h, self.tile_w

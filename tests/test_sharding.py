@@ -114,3 +114,30 @@ def test_graft_entry_single():
 def test_graft_entry_dryrun_multichip(n):
     import __graft_entry__ as ge
     ge.dryrun_multichip(n)
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 4), (2, 2)])
+def test_sharded_pallas_matches_single_device(mesh_shape, rng):
+    """The per-shard pallas window kernel (interpret mode here; Mosaic
+    on real TPUs) must produce the same banded canvas as the XLA scan
+    paths — with the flatfield fused in."""
+    from image_stitcher_tpu.ops.fuse import apply_flatfield
+    C, Z, H, W, th, tw = 2, 2, 100, 80, 32, 32
+    tiles, info, crops, valid = _random_problem(rng)
+    ff = (rng.random((C, th, tw)) * 0.8 + 0.6).astype(np.float32)
+    corrected = apply_flatfield(jnp.asarray(tiles), jnp.asarray(ff),
+                                jnp.asarray(info[:, 0]), jnp.uint16)
+    cv = jnp.zeros(padded_canvas_shape(C, Z, H, W, th, tw), jnp.uint16)
+    cv = fuse_overwrite(cv, corrected, jnp.asarray(info),
+                        jnp.asarray(crops), jnp.asarray(valid))
+    expect = np.asarray(cv)[:, :, :H, :W]
+
+    mesh = make_mesh(mesh_shape)
+    canvas = ShardedCanvas(mesh, C, Z, H, W, th, tw, np.uint16,
+                           device_kernel='pallas', ff_recip=ff,
+                           pallas_interpret=True)
+    assert canvas.use_pallas
+    canvas.fuse_batch(jnp.asarray(tiles), jnp.asarray(info),
+                      jnp.asarray(crops), jnp.asarray(valid))
+    got = np.asarray(canvas.finalize())
+    np.testing.assert_array_equal(got, expect)

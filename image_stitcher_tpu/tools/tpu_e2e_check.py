@@ -42,6 +42,10 @@ def main() -> None:
         "device_pallas_stream": dict(fusion_device='device', streaming='on',
                                      device_fusion_kernel='pallas',
                                      chunks=(1, 1, 1, 128, 128)),
+        # shard_map + Mosaic composition (single-chip mesh; pods shard
+        # the same code over more devices)
+        "mesh_pallas": dict(mesh_shape=(1, 1), streaming='off',
+                            device_fusion_kernel='pallas'),
     }
     results = {}
     try:

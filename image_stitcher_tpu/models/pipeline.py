@@ -767,21 +767,16 @@ class StitchPipeline:
         loader = TileBatchLoader(jobs, opts.fusion_batch, th, tw, acq.dtype,
                                  num_threads=opts.resolved_reader_threads())
         use_feather = opts.blend_method == 'feather'
-        kernel = opts.device_fusion_kernel
-        from ..ops.pallas_fuse import pallas_supported
-        supported = (jax.default_backend() == 'tpu'
-                     and pallas_supported(th, tw, acq.dtype))
-        if kernel == 'auto':
-            # the pallas window kernels need a real TPU (Mosaic) and
-            # register-aligned tile extents; the scan paths serve
-            # interpret/CPU backends and odd tile sizes
-            kernel = 'pallas' if supported else 'xla'
-        elif kernel == 'pallas' and not supported:
-            self.reporter.status(
+        # the pallas window kernels need a real TPU (Mosaic) and
+        # register-aligned tile extents; the scan paths serve
+        # interpret/CPU backends and odd tile sizes
+        from ..ops.pallas_fuse import select_device_kernel
+        use_pallas = select_device_kernel(
+            th, tw, acq.dtype, opts.device_fusion_kernel,
+            on_fallback=lambda: self.reporter.status(
                 f"pallas kernel unsupported for {th}x{tw} {acq.dtype} "
-                "tiles on this backend; using the XLA scan", False)
-            kernel = 'xla'
-        use_pallas = kernel == 'pallas'
+                "tiles on this backend; using the XLA scan", False),
+        ) == 'pallas'
         if use_pallas:
             from ..ops.pallas_fuse import (fuse_feather_pallas,
                                            fuse_overwrite_pallas,
@@ -919,18 +914,13 @@ class StitchPipeline:
                                blend_px=opts.feather_px,
                                device_kernel=opts.device_fusion_kernel,
                                ff_recip=ff_np)
-        # pallas shards fuse the flatfield in-kernel; the XLA shard scan
-        # takes pre-corrected tiles
-        ff_stack = (self._flatfield_recip()
-                    if (self.flatfields and not canvas.use_pallas) else None)
+        # ShardedCanvas owns the correction: in-kernel on pallas shards,
+        # batched apply_flatfield on the XLA paths
         processed = 0
         for batch in loader:
             self._check_stop()
             tiles = jnp.asarray(batch.tiles)
             info = jnp.asarray(batch.info)
-            if ff_stack is not None:
-                tiles = fuse_ops.apply_flatfield(tiles, ff_stack, info[:, 0],
-                                                 acq.dtype)
             canvas.fuse_batch(tiles, info, jnp.asarray(batch.crops),
                               jnp.asarray(batch.valid))
             processed += batch.count

@@ -175,7 +175,7 @@ class StreamingFuser:
 
     def _process_band(self, c: int, z: int, band0: int,
                       jobs: Sequence, load_fn: Callable,
-                      progress_cb=None) -> None:
+                      progress_cb=None, stop_check=None) -> None:
         import time as _time
         rows = min(self.band, self.height - band0)
         if self.blend == 'feather':
@@ -184,6 +184,8 @@ class StreamingFuser:
         else:
             buf = np.zeros((rows, self.width), self.dtype)
         for job, is_primary in jobs:
+            if stop_check is not None:
+                stop_check()  # per-tile cancellation, like HostCanvas
             t0 = _time.perf_counter()
             tile = load_fn(job)
             t0 = self._tick('decode', t0)
@@ -232,7 +234,8 @@ class StreamingFuser:
             if stop_check is not None:
                 stop_check()
             c, z, band0 = key
-            self._process_band(c, z, band0, tasks[key], load_fn, progress)
+            self._process_band(c, z, band0, tasks[key], load_fn, progress,
+                               stop_check=stop_check)
 
         pool = ThreadPoolExecutor(self.num_threads)
         try:
@@ -288,19 +291,13 @@ class DeviceStreamingFuser:
         self.ff_recip = ff_recip
         self.blend = blend_method
         self.blend_px = blend_px
-        import jax
-        from ..ops.pallas_fuse import pallas_supported
-        supported = (jax.default_backend() == 'tpu'
-                     and pallas_supported(tile_h, tile_w, self.dtype))
-        if device_kernel == 'auto':
-            device_kernel = 'pallas' if supported else 'xla'
-        elif device_kernel == 'pallas' and not supported:
-            device_kernel = 'xla'  # odd tile extents / non-TPU backend
-        self.use_pallas = device_kernel == 'pallas'
+        from ..ops.pallas_fuse import select_device_kernel
+        self.use_pallas = select_device_kernel(
+            tile_h, tile_w, self.dtype, device_kernel) == 'pallas'
         self._ff_device = None  # lazy one-time H2D of the flatfields
 
     def _fuse_band(self, band_c: int, band0: int, band_jobs: Sequence,
-                   progress_cb=None) -> np.ndarray:
+                   progress_cb=None, stop_check=None) -> np.ndarray:
         import jax.numpy as jnp
         from ..io.readers import TileBatchLoader
         from ..ops import fuse as fuse_ops
@@ -343,6 +340,8 @@ class DeviceStreamingFuser:
         ff_band = (ff[band_c:band_c + 1]
                    if (fused_ff and ff is not None) else None)
         for batch in loader:
+            if stop_check is not None:
+                stop_check()  # per-batch cancellation
             dtiles = jnp.asarray(batch.tiles)
             info = jnp.asarray(batch.info)
             dcrops = jnp.asarray(batch.crops)
@@ -404,7 +403,8 @@ class DeviceStreamingFuser:
             if stop_check is not None:
                 stop_check()
             c, z, band0 = key
-            buf = self._fuse_band(c, band0, tasks[key], progress)
+            buf = self._fuse_band(c, band0, tasks[key], progress,
+                                  stop_check=stop_check)
             write_band_levels(self.writer, c, z, band0, buf,
                               self.num_levels, self.mode, self.width)
         self.writer.close()

@@ -153,9 +153,17 @@ def load_sample_small(path: str,
     pages; the final INTER_AREA resample runs on the small array.
     Returns (ws, ws) float32, or (ws, ws, 3) for RGB tiles.
     """
-    import cv2
     from ..io.acquisition import read_image
-    img = read_image(path, prefer_mmap=True)
+    return decimate_to_working(read_image(path, prefer_mmap=True),
+                               working_size)
+
+
+def decimate_to_working(img: np.ndarray, working_size: int) -> np.ndarray:
+    """(H, W[, 3]) image -> (ws, ws[, 3]) float32: stride-decimate
+    toward ~2x the working size first (free; mmap-backed inputs fault
+    only every sy-th row), then one INTER_AREA resample for the final
+    step. The ONE sampling recipe every fit path uses."""
+    import cv2
     h, w = img.shape[:2]
     sy = max(1, h // (2 * working_size))
     sx = max(1, w // (2 * working_size))
@@ -205,20 +213,9 @@ def fit_flatfield(tiles: np.ndarray, smoothness: float = 1.0,
     set ``prefer_device=True`` (or shard the batch, parallel/sharded_ops)
     to run the jitted solver on accelerators.
     """
-    import cv2
     tiles = np.asarray(tiles)
     n, h, w = tiles.shape
-    # Stride-decimate toward ~2x the working size first (free), then a
-    # proper area resample for the final step — full-resolution
-    # INTER_AREA on large tiles costs ~100ms/tile for no extra quality
-    # at shading-estimation scales.
-    sy = max(1, h // (2 * working_size))
-    sx = max(1, w // (2 * working_size))
-    small = np.stack([
-        cv2.resize(np.ascontiguousarray(t[::sy, ::sx]).astype(np.float32),
-                   (working_size, working_size),
-                   interpolation=cv2.INTER_AREA)
-        for t in tiles])
+    small = np.stack([decimate_to_working(t, working_size) for t in tiles])
     if prefer_device:
         s = np.asarray(fit_flatfield_stack(jnp.asarray(small),
                                            smoothness=smoothness,

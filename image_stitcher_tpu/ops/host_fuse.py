@@ -29,7 +29,10 @@ def correct_tile(tile: np.ndarray, ff_recip: Optional[np.ndarray],
     TPUs (whose f32 divide is reciprocal-approximated)."""
     if ff_recip is None:
         return tile
-    corrected = tile * ff_recip[c]
+    # undersized edge tiles: correct by the matching top-left window of
+    # the nominal-size field (the C kernel indexes ff per pixel the
+    # same way)
+    corrected = tile * ff_recip[c][:tile.shape[0], :tile.shape[1]]
     if np.issubdtype(dtype, np.integer):
         info = np.iinfo(dtype)
         np.clip(corrected, info.min, info.max, out=corrected)

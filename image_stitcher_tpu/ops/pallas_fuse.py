@@ -44,6 +44,30 @@ def pallas_supported(tile_h: int, tile_w: int, dtype) -> bool:
     return tile_w % ALIGN_X == 0 and tile_h % align_y_for(dtype) == 0
 
 
+def select_device_kernel(tile_h: int, tile_w: int, dtype,
+                         requested: str = 'auto', interpret: bool = False,
+                         extra_ok: bool = True, on_fallback=None) -> str:
+    """The one kernel-selection rule for every device fusion backend.
+
+    'pallas' when Mosaic can compile the window kernels for this tile
+    shape on this backend (or ``interpret`` forces the interpret-mode
+    path for tests), else 'xla'. ``extra_ok`` lets a backend exclude
+    pallas for reasons of its own (e.g. the sharded feather pair);
+    ``on_fallback`` fires when an explicit 'pallas' request falls back.
+    """
+    import jax
+    supported = extra_ok and (
+        interpret or (jax.default_backend() == 'tpu'
+                      and pallas_supported(tile_h, tile_w, dtype)))
+    if requested == 'auto':
+        return 'pallas' if supported else 'xla'
+    if requested == 'pallas' and not supported:
+        if on_fallback is not None:
+            on_fallback()
+        return 'xla'
+    return requested
+
+
 def pallas_padded_canvas_shape(num_c: int, num_z: int, height: int,
                                width: int, tile_h: int, tile_w: int,
                                dtype=None) -> Tuple[int, int, int, int]:

@@ -98,7 +98,9 @@ def choose_fusion_backend(canvas_bytes: int, tiles_bytes: int,
     host path moves tile bytes through RAM twice (read + place).
     """
     probe = probe or probe_link_bandwidth()
-    device_s = (tiles_bytes / (probe['h2d_mbps'] * 1e6)
-                + canvas_bytes / (probe['d2h_mbps'] * 1e6))
+    # the probe reports MiB/s (it divides size_mb MiB by seconds)
+    mib = 1024 * 1024
+    device_s = (tiles_bytes / (probe['h2d_mbps'] * mib)
+                + canvas_bytes / (probe['d2h_mbps'] * mib))
     host_s = 2 * tiles_bytes / HOST_FUSE_BYTES_PER_S
     return 'device' if device_s < host_s else 'host'

@@ -31,6 +31,17 @@ from ..ops.fuse import _feather_ramp, _tile_mask
 from .mesh import AXIS_CANVAS, band_sharding
 
 
+def band_local_origin(y, band: int, tile_h: int, band_start):
+    """Band-local y origin + intersection flag (scalar or batched ``y``).
+
+    Origins clamp to [0, band + tile_h] — the placement envelope of a
+    band with one-tile aprons (the pallas layout carries an extra
+    alignment margin below it, never a placement target)."""
+    y_local = jnp.clip(y - band_start + tile_h, 0, band + tile_h)
+    intersects = (y + tile_h > band_start) & (y < band_start + band)
+    return y_local, intersects
+
+
 class ShardedCanvas:
     """A (C, Z, H, W) canvas banded across the mesh 'canvas' axis."""
 
@@ -52,22 +63,17 @@ class ShardedCanvas:
         # its own band (shard_map composes with pallas_call) — same
         # selection rule as the unsharded device path. Feather keeps the
         # XLA scan (its (acc, wsum) pair is already banded f32).
-        from ..ops.pallas_fuse import pallas_supported
-        supported = (blend_method != 'feather'
-                     and (pallas_interpret
-                          or (jax.default_backend() == 'tpu'
-                              and pallas_supported(tile_h, tile_w,
-                                                   self.dtype))))
-        if device_kernel == 'auto':
-            device_kernel = 'pallas' if supported else 'xla'
-        elif device_kernel == 'pallas' and not supported:
-            device_kernel = 'xla'
-        self.use_pallas = device_kernel == 'pallas'
+        from ..ops.pallas_fuse import select_device_kernel
+        self.use_pallas = select_device_kernel(
+            tile_h, tile_w, self.dtype, device_kernel,
+            interpret=pallas_interpret,
+            extra_ok=blend_method != 'feather') == 'pallas'
         self._pallas_interpret = pallas_interpret
         # ff_recip ((C, th, tw) f32): fused into the pallas kernel; the
-        # XLA paths expect pre-corrected tiles (parity with the
-        # unsharded backends)
-        self.ff_recip = ff_recip if self.use_pallas else None
+        # XLA kernels get it applied per batch in fuse_batch — either
+        # way, passing ff_recip is sufficient for corrected output
+        self.ff_recip = ff_recip
+        self._ff_device = None
         if self.use_pallas:
             from ..ops.pallas_fuse import ALIGN_X, align_y_for
             self.band_pad += align_y_for(self.dtype)
@@ -94,20 +100,12 @@ class ShardedCanvas:
             self._fuse = (self._build_fuse_pallas() if self.use_pallas
                           else self._build_fuse())
 
-    def _band_local_pos(self, meta, cv_rows=None):
-        """Band-local y origin + intersection flag for one tile.
-
-        Origins clamp to [0, band + tile_h] — the placement envelope of
-        a band with one-tile aprons (the pallas layout carries an extra
-        alignment margin below it, never a placement target)."""
-        band = self.band
-        tile_h = self.tile_h
+    def _band_local_pos(self, meta):
+        """Band-local y origin + intersection flag for one tile (the
+        scalar view of ``band_local_origin``)."""
         b = jax.lax.axis_index(AXIS_CANVAS)
-        band_start = b * band
-        y = meta[2]
-        y_local = jnp.clip(y - band_start + tile_h, 0, band + tile_h)
-        intersects = (y + tile_h > band_start) & (y < band_start + band)
-        return y_local, intersects
+        return band_local_origin(meta[2], self.band, self.tile_h,
+                                 b * self.band)
 
     def _build_fuse(self):
         tile_h, tile_w = self.tile_h, self.tile_w
@@ -118,7 +116,7 @@ class ShardedCanvas:
             def body(cv, inp):
                 tile, meta, crop, ok = inp
                 c, z, x = meta[0], meta[1], meta[3]
-                y_local, intersects = self._band_local_pos(meta, cv.shape[3])
+                y_local, intersects = self._band_local_pos(meta)
                 mask = _tile_mask(crop, tile_h, tile_w, ok & intersects)
                 cur = jax.lax.dynamic_slice(
                     cv, (0, c, z, y_local, x), (1, 1, 1, tile_h, tile_w))
@@ -153,10 +151,8 @@ class ShardedCanvas:
             # canvas: (1, C, Z, band_pad, Wp) local shard
             b = jax.lax.axis_index(AXIS_CANVAS)
             band_start = b * band
-            y = info[:, 2]
-            y_local = jnp.clip(y - band_start + tile_h, 0, band + tile_h)
-            intersects = ((y + tile_h > band_start)
-                          & (y < band_start + band))
+            y_local, intersects = band_local_origin(
+                info[:, 2], band, tile_h, band_start)
             dinfo = jnp.stack([info[:, 0], info[:, 1], y_local,
                                info[:, 3]], axis=1)
             out = fuse_overwrite_pallas(
@@ -188,7 +184,7 @@ class ShardedCanvas:
                 a, w = carry
                 tile, meta, crop, ok = inp
                 c, z, x = meta[0], meta[1], meta[3]
-                y_local, intersects = self._band_local_pos(meta, a.shape[3])
+                y_local, intersects = self._band_local_pos(meta)
                 # ramp from the tile's full crop window — identical on
                 # every band the tile touches (no boundary seams)
                 ramp = _feather_ramp(crop, tile_h, tile_w, ok & intersects,
@@ -216,7 +212,17 @@ class ShardedCanvas:
 
     def fuse_batch(self, tiles: jnp.ndarray, info: jnp.ndarray,
                    crops: jnp.ndarray, valid: jnp.ndarray):
-        """Fuse a replicated batch; tiles (N, th, tw), info (N,4) [c,z,y,x]."""
+        """Fuse a replicated batch; tiles (N, th, tw), info (N,4) [c,z,y,x].
+
+        When ``ff_recip`` was given, tiles arrive RAW and are corrected
+        here: in-kernel on the pallas path, as a batched apply_flatfield
+        on the XLA paths — one contract either way."""
+        if self.ff_recip is not None and not self.use_pallas:
+            from ..ops.fuse import apply_flatfield
+            if self._ff_device is None:
+                self._ff_device = jnp.asarray(self.ff_recip, jnp.float32)
+            tiles = apply_flatfield(tiles, self._ff_device, info[:, 0],
+                                    self.dtype)
         if self.blend == 'feather':
             self.acc, self.wsum = self._fuse(self.acc, self.wsum, tiles,
                                              info, crops, valid)

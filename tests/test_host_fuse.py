@@ -89,3 +89,17 @@ def test_autotune_choose_backend():
     gb = 1 << 30
     assert choose_fusion_backend(3 * gb, 2 * gb, fast) == 'device'
     assert choose_fusion_backend(3 * gb, 2 * gb, slow) == 'host'
+
+
+def test_correct_tile_undersized_numpy_fallback():
+    """The NumPy twin must correct an undersized edge tile by the
+    matching window of the nominal-size reciprocal field (it used to
+    raise a broadcast ValueError when the native kernel was absent)."""
+    from image_stitcher_tpu.ops.host_fuse import correct_tile
+    rng = np.random.default_rng(3)
+    ff = (rng.random((2, 64, 64)) * 0.8 + 0.6).astype(np.float32)
+    tile = rng.integers(0, 65535, (48, 40), dtype=np.uint16)
+    out = correct_tile(tile, ff, 1, np.dtype(np.uint16))
+    assert out.shape == (48, 40)
+    expect = np.clip(tile * ff[1][:48, :40], 0, 65535).astype(np.uint16)
+    np.testing.assert_array_equal(out, expect)

@@ -229,18 +229,24 @@ def scan_acquisition(input_folder: str) -> Acquisition:
         except FileNotFoundError:
             continue
 
-        image_files = sorted(
-            f for f in os.listdir(image_folder)
-            if parse_tile_filename(f) is not None
+        # one indexed lookup table instead of a full-column boolean
+        # filter per file (O(files x rows) on big plates). Regions
+        # compare as STRINGS: pandas reads purely-numeric region names
+        # (e.g. '0') as int64, which would never match the str parsed
+        # from filenames.
+        coord_rows: Dict = {}
+        for r in coords.to_dict('records'):
+            # first matching row wins, like the old .iloc[0]
+            coord_rows.setdefault(
+                (str(r['region']), int(r['fov']), int(r['z_level'])), r)
+        parsed = sorted(
+            (f, p) for f in os.listdir(image_folder)
+            if (p := parse_tile_filename(f)) is not None
         )
-        for fname in image_files:
-            region, fov, z_level, channel = parse_tile_filename(fname)
-            row = coords[(coords['region'] == region)
-                         & (coords['fov'] == fov)
-                         & (coords['z_level'] == z_level)]
-            if row.empty:
+        for fname, (region, fov, z_level, channel) in parsed:
+            row = coord_rows.get((region, fov, z_level))
+            if row is None:
                 continue
-            row = row.iloc[0]
             key: TileKey = (int(timepoint), region, fov, z_level, channel)
             tiles[key] = TileRecord(
                 filepath=os.path.join(image_folder, fname),

@@ -13,21 +13,16 @@ import numpy as np
 def write_ome_tiff_region(pipeline, t, region: str, canvas, output_path: str,
                           num_levels=None) -> str:
     from .tiffwriter import write_ome_tiff_pyramid
-    from ..ops import pyramid as pyr_ops
-    from ..ops.host_fuse import host_downsample
+    from ..ops.pyramid import iter_levels
 
     acq = pipeline.acq
     if num_levels is None:
         num_levels = pipeline.num_pyramid_levels
-    is_host = isinstance(canvas, np.ndarray)
-    levels = []
-    level = canvas
-    for lv in range(num_levels):
-        if lv > 0:
-            level = (host_downsample(level, pipeline.options.pyramid_downsample)
-                     if is_host else
-                     pyr_ops.downsample(level, pipeline.options.pyramid_downsample))
-        levels.append(np.asarray(level))
+    # the TIFF container interleaves SubIFD offsets, so the writer takes
+    # the full level list (peak memory ~1.33x the canvas — the zarr path
+    # streams levels instead)
+    levels = [np.asarray(level) for level in iter_levels(
+        canvas, num_levels, pipeline.options.pyramid_downsample)]
     # RGB acquisitions (channels expanded to {ch}_R/_G/_B) write true
     # SamplesPerPixel=3 pages, matching the reference's production RGB
     # TIFF path (stitcher_process.py:1429-1549)

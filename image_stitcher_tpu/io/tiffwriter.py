@@ -208,6 +208,13 @@ def ome_xml(image_name: str, size_x: int, size_y: int, size_z: int,
     reference's tifffile/ashlar metadata, stitcher_process.py:1344-1427,
     ashlar_stitcher.py:141-219).
     """
+    from xml.sax.saxutils import quoteattr
+
+    def q(text) -> str:
+        """Attribute-quote free-form text (names come from filenames —
+        '&', '<' or quotes would otherwise break the XML)."""
+        return quoteattr(str(text))
+
     ome_type = {np.dtype('uint8'): 'uint8', np.dtype('uint16'): 'uint16',
                 np.dtype('uint32'): 'uint32', np.dtype('int16'): 'int16',
                 np.dtype('float32'): 'float'}.get(np.dtype(dtype), 'uint16')
@@ -215,7 +222,7 @@ def ome_xml(image_name: str, size_x: int, size_y: int, size_z: int,
     if rgb:
         name = channel_names[0].rsplit('_', 1)[0] if channel_names else 'RGB'
         channels.append(
-            f'<Channel ID="Channel:0:0" Name="{name}" SamplesPerPixel="3"/>')
+            f'<Channel ID="Channel:0:0" Name={q(name)} SamplesPerPixel="3"/>')
     else:
         for i, (name, color) in enumerate(zip(channel_names, channel_colors)):
             r, g, b = (color >> 16) & 0xFF, (color >> 8) & 0xFF, color & 0xFF
@@ -223,7 +230,7 @@ def ome_xml(image_name: str, size_x: int, size_y: int, size_z: int,
             if rgba >= 2 ** 31:
                 rgba -= 2 ** 32
             channels.append(
-                f'<Channel ID="Channel:0:{i}" Name="{name}" Color="{rgba}" '
+                f'<Channel ID="Channel:0:{i}" Name={q(name)} Color="{rgba}" '
                 f'SamplesPerPixel="1"/>')
     plane_elems = []
     for p in planes or ():
@@ -242,7 +249,7 @@ def ome_xml(image_name: str, size_x: int, size_y: int, size_z: int,
         'xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance" '
         'xsi:schemaLocation="http://www.openmicroscopy.org/Schemas/OME/2016-06 '
         'http://www.openmicroscopy.org/Schemas/OME/2016-06/ome.xsd">'
-        f'<Image ID="Image:0" Name="{image_name}">'
+        f'<Image ID="Image:0" Name={q(image_name)}>'
         f'<Pixels ID="Pixels:0" DimensionOrder="XYZCT" Type="{ome_type}" '
         f'SizeX="{size_x}" SizeY="{size_y}" SizeZ="{size_z}" '
         f'SizeC="{size_c}" SizeT="{size_t}" '

@@ -55,6 +55,29 @@ def _open_region_level0(pipeline, t, region: str):
     return open_zarr_array(_region_level0_path(pipeline, t, region))
 
 
+def _unit_exists(pipeline, t, region: str) -> bool:
+    """A (timepoint, region) stitched store is present on disk. Units
+    can be missing legitimately: continue_on_error skipped a failed
+    region, or a resumed run never reached it — merges skip those with
+    a message instead of crashing after all stitching succeeded."""
+    return os.path.isdir(os.path.dirname(
+        _region_level0_path(pipeline, t, region)))
+
+
+def _regions_with_all_timepoints(pipeline):
+    out = []
+    for region in pipeline.acq.regions:
+        missing = [int(t) for t in pipeline.acq.timepoints
+                   if not _unit_exists(pipeline, int(t), region)]
+        if missing:
+            pipeline.reporter.status(
+                f"merge: skipping region {region} (missing stitched "
+                f"output for timepoint(s) {missing})", False)
+        else:
+            out.append(region)
+    return out
+
+
 def _max_region_shape(pipeline, region: str) -> Tuple[int, ...]:
     shapes = []
     for t in pipeline.acq.timepoints:
@@ -118,7 +141,7 @@ def merge_timepoints_per_region(pipeline) -> str:
     os.makedirs(out_dir, exist_ok=True)
     output_path = ''
     num_t = len(pipeline.acq.timepoints)
-    for region in pipeline.acq.regions:
+    for region in _regions_with_all_timepoints(pipeline):
         output_path = os.path.join(
             out_dir, f"{region}_time_series{pipeline.output_format}")
         max_shape = _max_region_shape(pipeline, region)
@@ -148,9 +171,17 @@ def create_hcs_ome_zarr_per_timepoint(pipeline) -> str:
     out_dir = os.path.join(pipeline.output_folder, "hcs_timepoints")
     os.makedirs(out_dir, exist_ok=True)
     output_path = ''
-    regions = pipeline.acq.regions
     for t in pipeline.acq.timepoints:
         t = int(t)
+        regions = [r for r in pipeline.acq.regions
+                   if _unit_exists(pipeline, t, r)]
+        skipped = [r for r in pipeline.acq.regions if r not in regions]
+        if skipped:
+            pipeline.reporter.status(
+                f"merge: plate t={t} skips missing region(s) {skipped}",
+                False)
+        if not regions:
+            continue
         output_path = os.path.join(out_dir, f"{t}_hcs{pipeline.output_format}")
         zf = pipeline.options.zarr_format
         write_group(output_path, _group_attrs(zf, **plate_attrs(
@@ -175,7 +206,12 @@ def create_complete_hcs_ome_zarr(pipeline) -> str:
     out_dir = os.path.join(pipeline.output_folder, "hcs_timepoints")
     os.makedirs(out_dir, exist_ok=True)
     output_path = os.path.join(out_dir, f"complete_hcs{pipeline.output_format}")
-    regions = pipeline.acq.regions
+    regions = _regions_with_all_timepoints(pipeline)
+    if not regions:
+        pipeline.reporter.status(
+            "merge: no region has a complete set of stitched outputs; "
+            "skipping the complete plate", False)
+        return ''
     zf = pipeline.options.zarr_format
     write_group(output_path, _group_attrs(zf, **plate_attrs(
         regions, "Complete HCS Dataset", "Stitched Acquisition")),

@@ -191,8 +191,9 @@ class StitchPipeline:
         if getattr(self, '_compressor_choice', None) is None:
             import zlib
             rec = next(iter(self.acq.tiles.values()))
+            flat = np.ravel(read_image(rec.filepath))
             raw = np.ascontiguousarray(
-                read_image(rec.filepath)).tobytes()[:1 << 20]
+                flat[:(1 << 20) // flat.itemsize]).tobytes()
             ratio = len(zlib.compress(raw, 1)) / max(1, len(raw))
             if ratio > 0.92:
                 self._compressor_choice = (None, 0, 0)
@@ -437,18 +438,25 @@ class StitchPipeline:
             if img.ndim == 3:
                 img = img[..., 0]
             h_img, w_img = img.shape
+            # store-only-True: both sides of a pair run on different
+            # pool threads; a |= read-modify-write could overwrite a
+            # True with a stale False
             i = h_idx.get(rc)
             if i is not None:                       # this tile is the REF
-                partial_h[i] |= _fill(a_h[i], img[my:h_img - my, -ox:])
+                if _fill(a_h[i], img[my:h_img - my, -ox:]):
+                    partial_h[i] = True
             i = h_idx.get((r, c - 1))
             if i is not None:                       # MOV of its left pair
-                partial_h[i] |= _fill(b_h[i], img[my:h_img - my, :ox])
+                if _fill(b_h[i], img[my:h_img - my, :ox]):
+                    partial_h[i] = True
             j = v_idx.get(rc)
             if j is not None:
-                partial_v[j] |= _fill(a_v[j], img[-oy:, mx:w_img - mx])
+                if _fill(a_v[j], img[-oy:, mx:w_img - mx]):
+                    partial_v[j] = True
             j = v_idx.get((r - 1, c))
             if j is not None:
-                partial_v[j] |= _fill(b_v[j], img[:oy, mx:w_img - mx])
+                if _fill(b_v[j], img[:oy, mx:w_img - mx]):
+                    partial_v[j] = True
 
         coords = [(r, c) for r in range(n_rows) for c in range(n_cols)]
         with ThreadPoolExecutor(self.options.resolved_reader_threads()) as pool:
@@ -957,15 +965,8 @@ class StitchPipeline:
             acq.pixel_size_um, acq.monochrome_channels, acq.monochrome_colors,
             cname=(cc := self.resolved_compressor())[0], clevel=cc[1],
             shuffle=cc[2], zarr_format=opts.zarr_format)
-        is_host = isinstance(canvas, np.ndarray)
-        level = canvas
-        for lv in range(num_levels):
-            if lv > 0:
-                if is_host:
-                    from ..ops.host_fuse import host_downsample
-                    level = host_downsample(level, opts.pyramid_downsample)
-                else:
-                    level = pyr_ops.downsample(level, opts.pyramid_downsample)
+        for lv, level in enumerate(pyr_ops.iter_levels(
+                canvas, num_levels, opts.pyramid_downsample)):
             writer.write_level(lv, np.asarray(level)[None])
         writer.close()
         return output_path

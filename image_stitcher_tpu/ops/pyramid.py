@@ -76,3 +76,23 @@ def downsample(x: jnp.ndarray, mode: str) -> jnp.ndarray:
     if mode == 'mean':
         return downsample_mean(x)
     raise ValueError(f"Unknown pyramid downsample mode: {mode}")
+
+
+def iter_levels(canvas, num_levels: int, mode: str):
+    """Yield pyramid levels level-from-level (level 0 = the input).
+
+    One dispatch point for host (NumPy, via host_fuse.host_downsample)
+    vs device (jitted downsample) canvases — the save and OME-TIFF
+    paths share it so the two can never drift.
+    """
+    import numpy as np
+    is_host = isinstance(canvas, np.ndarray)
+    level = canvas
+    for lv in range(num_levels):
+        if lv > 0:
+            if is_host:
+                from .host_fuse import host_downsample
+                level = host_downsample(level, mode)
+            else:
+                level = downsample(level, mode)
+        yield level

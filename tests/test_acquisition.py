@@ -125,3 +125,17 @@ def test_rgb_expansion(tmp_path):
         "BF LED matrix full_R", "BF LED matrix full_G", "BF LED matrix full_B"]
     assert acq.monochrome_colors == [0xFF0000, 0x00FF00, 0x0000FF]
     assert acq.rgb_channels == ["BF LED matrix full"]
+
+
+def test_numeric_region_names_match_coordinates(tmp_path):
+    """Purely-numeric region names ('0', '12'): pandas reads the CSV
+    column as int64, but filenames parse to str — the join must compare
+    as strings or every tile is silently skipped."""
+    from image_stitcher_tpu import scan_acquisition
+    acq_dir = str(tmp_path / "acq")
+    write_synthetic_acquisition(acq_dir, grid_cols=2, grid_rows=1,
+                                tile_w=48, tile_h=48, overlap=16,
+                                regions=["0", "7"])
+    acq = scan_acquisition(acq_dir)
+    assert sorted(acq.regions) == ["0", "7"]
+    assert len(acq.tiles) == 4

@@ -83,3 +83,38 @@ def test_multi_region_multi_timepoint_pipelined(tmp_path):
     b = np.asarray(open_zarr_array(os.path.join(
         out2, "1_stitched", "C3_stitched.ome.zarr", "0")).read().result())
     np.testing.assert_array_equal(a, b)
+
+
+def test_merges_skip_missing_units(tmp_path):
+    """continue_on_error leaves failed (t, region) stores absent; the
+    merge passes must skip them with a message instead of crashing."""
+    import shutil
+
+    from image_stitcher_tpu import StitchingParameters
+    from image_stitcher_tpu.models.pipeline import StitchPipeline
+    from image_stitcher_tpu.utils.progress import ProgressReporter
+    acq_dir = str(tmp_path / "acq")
+    write_synthetic_acquisition(acq_dir, grid_cols=1, grid_rows=1,
+                                tile_w=32, tile_h=32, overlap=8,
+                                regions=["A1", "A2", "B1"])
+    msgs = []
+    p = StitchingParameters(input_folder=acq_dir, merge_hcs_regions=True,
+                            merge_timepoints=True)
+    pipe = StitchPipeline(p, EngineOptions(), reporter=ProgressReporter(
+        status=lambda m, s=False: msgs.append(m)))
+    # simulate a failed region: stitch everything, delete one store,
+    # then run the merges directly
+    pipe.run()
+    victim = os.path.join(pipe.output_folder, "0_stitched",
+                          "A2_stitched.ome.zarr")
+    shutil.rmtree(victim)
+    from image_stitcher_tpu.models.merge import run_merges
+    out = run_merges(pipe)
+    assert any("skipping region A2" in m for m in msgs)
+    from image_stitcher_tpu.io.zarr_store import read_attrs
+    wells = [w["path"] for w in read_attrs(out)["plate"]["wells"]]
+    assert wells == ["A/1", "B/1"]
+    for well in wells:
+        data = np.asarray(open_zarr_array(
+            os.path.join(out, well, "0", "0")).read().result())
+        assert data.max() > 0

@@ -192,6 +192,17 @@ class StitchingGUI(QWidget):
         s = self.stitcher
         if s is None:
             return
+        self._drain_queues(s)
+        if not s.is_alive():
+            # final drain: the child can enqueue 'complete' and exit
+            # between the drain above and the liveness check — without
+            # this, a successful run's completion would be lost
+            self._drain_queues(s)
+            self.timer.stop()
+            self.start_btn.setEnabled(True)
+            self.stop_btn.setEnabled(False)
+
+    def _drain_queues(self, s):
         try:
             while True:
                 kind, data = s.progress_queue.get_nowait()
@@ -218,18 +229,23 @@ class StitchingGUI(QWidget):
                 self.status_label.setText(f"Complete: {self.output_path}")
         except queue_mod.Empty:
             pass
-        if not s.is_alive():
-            self.timer.stop()
-            self.start_btn.setEnabled(True)
-            self.stop_btn.setEnabled(False)
 
     def stop_stitching(self):
         """Stop -> join(timeout) -> terminate escalation (reference
-        stitcher_process_gui.py:313-341)."""
+        stitcher_process_gui.py:313-341). The wait is sliced so the
+        window keeps repainting and shutdown messages keep draining
+        instead of freezing for the full 10 s timeout."""
         if self.stitcher is None:
             return
+        import time as _time
         self.stitcher.request_stop()
-        self.stitcher.join(timeout=10)
+        deadline = _time.monotonic() + 10.0
+        while self.stitcher.is_alive() and _time.monotonic() < deadline:
+            self.stitcher.join(timeout=0.1)
+            self._drain_queues(self.stitcher)
+            app = QApplication.instance()
+            if HAVE_QT and app is not None:
+                app.processEvents()
         if self.stitcher.is_alive():
             self.stitcher.terminate()
         self.timer.stop()

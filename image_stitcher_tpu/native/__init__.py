@@ -20,8 +20,27 @@ _LOCK = threading.Lock()
 _SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), 'hostops.c')
 
 
+def _cpu_tag() -> str:
+    """A stable fingerprint of this host's ISA: -march=native binaries
+    from one CPU can SIGILL on another (shared NFS homes, migrated
+    containers), so the cache path must be CPU-specific."""
+    import hashlib
+    import platform
+    ident = platform.machine()
+    try:
+        with open('/proc/cpuinfo') as f:
+            for line in f:
+                if line.startswith(('flags', 'Features')):
+                    ident += line
+                    break
+    except OSError:
+        ident += platform.processor()
+    return hashlib.sha1(ident.encode()).hexdigest()[:12]
+
+
 def _build_dir() -> str:
-    return os.path.expanduser('~/.cache/image_stitcher_tpu/native')
+    return os.path.expanduser(
+        f'~/.cache/image_stitcher_tpu/native-{_cpu_tag()}')
 
 
 def _build() -> Optional[str]:

@@ -20,6 +20,7 @@ def monitor_process(stitcher, progress_queue, status_queue, complete_queue,
     """Poll queues until the child exits; returns an exit code."""
     status_line = ""
     completed_path = None
+    dead_polls = 0
     try:
         while stitcher.is_alive() or not (progress_queue.empty()
                                           and status_queue.empty()
@@ -53,7 +54,15 @@ def monitor_process(stitcher, progress_queue, status_queue, complete_queue,
                 drained = True
             except queue_mod.Empty:
                 pass
-            if not drained and not stitcher.is_alive():
+            # messages flushed just before child exit can still sit in
+            # the pipe buffer after is_alive() goes False; only break
+            # after ~0.5 s of dead-and-silent polls so the final
+            # 'complete' is never dropped
+            if drained or stitcher.is_alive():
+                dead_polls = 0
+            elif dead_polls < 5:
+                dead_polls += 1
+            else:
                 break
         if completed_path and os.path.isdir(completed_path) and (
                 completed_path.endswith('.zarr')):

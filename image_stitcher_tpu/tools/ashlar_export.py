@@ -32,9 +32,12 @@ def tile_ome_xml(img: np.ndarray, metadata, pixel_size_um: float,
                  filename: str) -> str:
     """Per-tile OME-XML with Plate/Well/Plane position blocks
     (reference ashlar_stitcher.py:160-199)."""
+    from xml.sax.saxutils import quoteattr as q
     x_pos_um = metadata.x * 1000
     y_pos_um = metadata.y * 1000
     z_pos_um = metadata.z
+    # Row stays the letter, matching the reference emission verbatim
+    # (ashlar_stitcher.py:153-167) — ashlar itself is the consumer
     row, col = metadata.region[0], metadata.region[1:]
     image_id = str(uuid.uuid4())
     return (
@@ -44,10 +47,11 @@ def tile_ome_xml(img: np.ndarray, metadata, pixel_size_um: float,
         'xsi:schemaLocation="http://www.openmicroscopy.org/Schemas/OME/2016-06 '
         'http://www.openmicroscopy.org/Schemas/OME/2016-06/ome.xsd">'
         f'<Plate ID="Plate:{uuid.uuid4()}" Name="Plate_1">'
-        f'<Well ID="Well:{uuid.uuid4()}" Column="{col}" Row="{row}">'
+        f'<Well ID="Well:{uuid.uuid4()}" Column={q(col)} Row={q(row)}>'
         f'<WellSample ID="WellSample:{image_id}" Index="{metadata.fov_idx}">'
         f'<ImageRef ID="Image:{image_id}"/></WellSample></Well></Plate>'
-        f'<Image ID="Image:{image_id}" Name="{metadata.region}_{metadata.fov_idx}">'
+        f'<Image ID="Image:{image_id}" '
+        f'Name={q(f"{metadata.region}_{metadata.fov_idx}")}>'
         '<Pixels BigEndian="false" DimensionOrder="XYZCT" '
         f'ID="Pixels:{uuid.uuid4()}" Interleaved="false" '
         f'PhysicalSizeX="{pixel_size_um}" PhysicalSizeXUnit="um" '
@@ -55,9 +59,9 @@ def tile_ome_xml(img: np.ndarray, metadata, pixel_size_um: float,
         f'SignificantBits="{img.dtype.itemsize * 8}" '
         f'SizeC="1" SizeT="1" SizeX="{img.shape[1]}" SizeY="{img.shape[0]}" '
         f'SizeZ="1" Type="{img.dtype}">'
-        f'<Channel ID="Channel:0" Name="{metadata.channel}" SamplesPerPixel="1" />'
+        f'<Channel ID="Channel:0" Name={q(metadata.channel)} SamplesPerPixel="1" />'
         '<TiffData FirstC="0" FirstT="0" FirstZ="0" IFD="0" PlaneCount="1">'
-        f'<UUID FileName="{filename}">{image_id}</UUID></TiffData>'
+        f'<UUID FileName={q(filename)}>{image_id}</UUID></TiffData>'
         f'<Plane TheC="0" TheT="0" TheZ="0" PositionX="{x_pos_um}" '
         f'PositionY="{y_pos_um}" PositionZ="{z_pos_um}" /></Pixels></Image></OME>')
 
@@ -91,7 +95,10 @@ class AshlarConverter:
             img = read_image(rec.filepath)
             if img.ndim == 3:
                 img = img[..., 0]
-            fname = (f"{region}_{fov}_{z}_"
+            # reference naming (ashlar_stitcher.py:238): the timepoint
+            # prefix keeps multi-timepoint acquisitions from clobbering
+            # each other's tiles
+            fname = (f"{t:03d}_{region}_{fov:03d}_{z:03d}_"
                      f"{channel.replace(' ', '_')}.ome.tif")
             out_path = os.path.join(temp_dir, fname)
             xml = tile_ome_xml(img, rec, self.acq.pixel_size_um, fname)

@@ -33,9 +33,9 @@ def validate_directories(subdirs) -> bool:
     return True
 
 
-def process_directory(input_dir: Path, subdir: Path, region: str) -> int:
+def process_directory(input_dir: Path, subdir: Path, region: str,
+                      max_j: int) -> int:
     df = pd.read_csv(subdir / 'coordinates.csv')
-    max_j = int(df['j'].max()) + 1
 
     position_map = {
         (int(row['i']), int(row['j']), int(row['z_level'])):
@@ -83,9 +83,22 @@ def convert(directory: str, region: Optional[str] = None) -> int:
         raise ValueError("No numbered subdirectories found")
     validate_directories(subdirs)
 
+    # refuse to run if the coordinates are already in the converted
+    # schema (an 'i'/'j'-less csv) — a second run used to destroy the
+    # only backup of the original data before failing
+    probe = pd.read_csv(subdirs[0] / 'coordinates.csv', nrows=1)
+    if 'i' not in probe.columns or 'j' not in probe.columns:
+        raise ValueError(
+            f"{subdirs[0] / 'coordinates.csv'} has no i/j columns — this "
+            "acquisition looks already converted; refusing to run")
+
     backup_dir = input_dir.parent / f"{input_dir.name}_old"
     if backup_dir.exists():
-        shutil.rmtree(backup_dir)
+        # never delete an existing backup: it may hold the only copy of
+        # the original grid-format data from a previous (failed) run
+        raise ValueError(
+            f"Backup directory already exists: {backup_dir}. Move it "
+            "aside (or restore from it) before converting again.")
     print(f"Creating backup: {backup_dir}")
     shutil.copytree(input_dir, backup_dir)
 
@@ -93,9 +106,16 @@ def convert(directory: str, region: Optional[str] = None) -> int:
         region = get_region_from_files(subdirs[0])
         print(f"Using region: {region}")
 
+    # one fov stride for the WHOLE acquisition: a truncated timepoint
+    # must not renumber the same physical (i, j) tile differently
+    max_j = 0
+    for subdir in subdirs:
+        df = pd.read_csv(subdir / 'coordinates.csv')
+        max_j = max(max_j, int(df['j'].max()) + 1)
+
     total = 0
     for subdir in subdirs:
-        count = process_directory(input_dir, subdir, region)
+        count = process_directory(input_dir, subdir, region, max_j)
         total += count
         print(f"Processed {count} files in {subdir.name}/")
     print(f"\nTotal files processed: {total}")

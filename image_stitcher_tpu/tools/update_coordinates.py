@@ -65,6 +65,16 @@ def process_folder(folder_path: str) -> pd.DataFrame:
             print(f"Error processing file {img_file}: {e}")
 
     ordered = sorted(info_by_key.values(), key=lambda x: x['timestamp'])
+    # the rewrite pairs image-derived rows with csv rows POSITIONALLY
+    # (mtime order vs acquisition order — the reference's contract);
+    # a count mismatch would silently shift every later coordinate and
+    # rewrite the file corrupted, so refuse instead
+    if len(ordered) != len(coords_df):
+        raise ValueError(
+            f"{coords_path}: {len(coords_df)} coordinate rows but "
+            f"{len(ordered)} unique (region, fov, z) images — counts "
+            "must match for the positional rewrite; fix the folder "
+            "before updating")
     new_df = pd.DataFrame()
     new_df['region'] = [i['region'] for i in ordered]
     new_df['fov'] = [i['fov'] for i in ordered]

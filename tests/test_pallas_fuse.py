@@ -185,3 +185,28 @@ def test_pallas_fused_flatfield_signed_dtype(rng):
         jnp.asarray(crops), jnp.asarray(valid), ff_recip=jnp.asarray(ff),
         interpret=True))[:, :, :H, :W]
     np.testing.assert_array_equal(got, expect)
+
+
+def test_select_device_kernel_rules():
+    """The ONE selection rule every device backend shares."""
+    from image_stitcher_tpu.ops.pallas_fuse import select_device_kernel
+    # CPU backend (tests): auto -> xla unless interpret forces pallas
+    assert select_device_kernel(2048, 2048, np.uint16, 'auto') == 'xla'
+    assert select_device_kernel(2048, 2048, np.uint16, 'auto',
+                                interpret=True) == 'pallas'
+    # unaligned tile extents can never take pallas; explicit requests
+    # fall back with notice
+    fired = []
+    assert select_device_kernel(100, 1500, np.uint16, 'pallas',
+                                interpret=True,
+                                on_fallback=lambda: fired.append(1)) \
+        == 'pallas'  # interpret path bypasses Mosaic alignment limits
+    assert select_device_kernel(2048, 2048, np.uint16, 'pallas',
+                                on_fallback=lambda: fired.append(1)) == 'xla'
+    assert fired == [1]
+    # extra_ok lets a backend exclude pallas for its own reasons
+    assert select_device_kernel(2048, 2048, np.uint16, 'auto',
+                                interpret=True, extra_ok=False) == 'xla'
+    # explicit xla is always honored
+    assert select_device_kernel(2048, 2048, np.uint16, 'xla',
+                                interpret=True) == 'xla'

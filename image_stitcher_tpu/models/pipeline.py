@@ -1123,13 +1123,28 @@ class StitchPipeline:
             manifest.set_params(self.params.to_dict(),
                                 self.options.output_fingerprint())
 
+            # The flatfield fit and the registration measurement read
+            # disjoint data (decimated samples vs overlap strips) and
+            # share no state: overlap them — either one can cost 10s+
+            # through a congested device link, and the sum is pure
+            # serial latency otherwise.
+            ff_future = None
             if self.params.apply_flatfield:
                 if self.resumed:
                     self.flatfields = manifest.load_flatfields()
                 if not self.flatfields:
-                    with self.timers.time('flatfield_fit'):
-                        self.compute_flatfields()
-                    manifest.save_flatfields(self.flatfields)
+                    def _fit_flatfields():
+                        with self.timers.time('flatfield_fit'):
+                            self.compute_flatfields()
+                    if (self.options.overlap_prep
+                            and self.params.use_registration):
+                        from concurrent.futures import ThreadPoolExecutor
+                        _prep_pool = ThreadPoolExecutor(1)
+                        ff_future = _prep_pool.submit(_fit_flatfields)
+                        _prep_pool.shutdown(wait=False)
+                    else:
+                        _fit_flatfields()
+                        manifest.save_flatfields(self.flatfields)
 
             if self.params.use_registration:
                 saved_shifts = manifest.get_shifts() if self.resumed else None
@@ -1153,6 +1168,9 @@ class StitchPipeline:
                 if self.global_positions:
                     manifest.set_global_positions(
                         self.global_positions, self.global_positions_float)
+            if ff_future is not None:
+                ff_future.result()  # surface fit errors before fusing
+                manifest.save_flatfields(self.flatfields)
             manifest.save()
             self._manifest = manifest
 

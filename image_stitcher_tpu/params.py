@@ -215,6 +215,10 @@ class EngineOptions:
     # Overlap each region's save with the next region's fusion via a
     # background writer (bounded depth 1 to cap canvas memory).
     pipelined_save: bool = True
+    # Overlap the flatfield fit with the registration measurement (they
+    # read disjoint data and share no state; either can cost 10s+
+    # through a congested device link).
+    overlap_prep: bool = True
     # Log-and-continue on per-region failures instead of aborting the run
     # (upgrade over the reference, which only counted per-FOV errors,
     # zarr_stitcher.py:487-489).

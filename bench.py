@@ -72,7 +72,7 @@ def cached_acquisition() -> str:
     return acq_dir
 
 
-def run_ours(acq_dir, device_stages=False):
+def run_ours(acq_dir, device_stages=False, rep_timeout=None):
     """One full pipeline run.
 
     device_stages=False: the all-host round-1 config (safe on tunneled
@@ -82,6 +82,11 @@ def run_ours(acq_dir, device_stages=False):
     kernel and the flatfield ADMM solved on device. Scoring is best-of
     across reps, so a cold compile in a device rep can only lose that
     rep, while a warm cache lets the device reps win outright.
+
+    ``rep_timeout`` arms a cooperative watchdog: a rep that blows past
+    it (a storm-swept tunnel has cost >1000 s of a 900 s budget) is
+    cancelled and scored as lost instead of consuming every remaining
+    rep's chance. Returns (dt or None-if-cancelled, pipeline).
     """
     from image_stitcher_tpu import EngineOptions, StitchingParameters
     from image_stitcher_tpu.models.pipeline import StitchPipeline
@@ -107,16 +112,36 @@ def run_ours(acq_dir, device_stages=False):
                 ("stream stages", "fusion backend", "pallas kernel",
                  "compressor auto"))
             else None))
-    pipe = StitchPipeline(params, options, reporter=reporter)
+    import threading
+    stop_event = threading.Event()
+    pipe = StitchPipeline(params, options, reporter=reporter,
+                          stop_event=stop_event)
+    watchdog = None
+    if rep_timeout is not None:
+        watchdog = threading.Timer(rep_timeout, stop_event.set)
+        watchdog.daemon = True
+        watchdog.start()
     t0 = time.perf_counter()
-    pipe.run()
+    cancelled = False
+    try:
+        pipe.run()
+    except BaseException as e:
+        if stop_event.is_set():
+            cancelled = True
+            log(f"  rep cancelled by {rep_timeout:.0f}s watchdog "
+                f"({type(e).__name__})")
+        else:
+            raise
+    finally:
+        if watchdog is not None:
+            watchdog.cancel()
     dt = time.perf_counter() - t0
     log(f"  config: {'device' if device_stages else 'host'} stages "
         f"(registration_scope={options.registration_scope}, "
         f"flatfield_device={options.flatfield_device})")
     for line in pipe.timers.summary():
         log("  " + line)
-    return dt, pipe
+    return (None if cancelled else dt), pipe
 
 
 def run_baseline(acq_dir, num_levels):
@@ -462,21 +487,44 @@ def main():
         n_tiles = GRID * GRID * len(CHANNELS)
         ours_best, base_best = None, None
         pipe = None
+        device_lost = False
         for rep in range(repeats):
             if rep > 0 and time.perf_counter() - bench_t0 > time_budget:
                 log(f"time budget reached after {rep} repeat(s)")
                 break
             # rep 0 is the all-host config: immune to a cold remote
             # compile, so the one rep guaranteed to finish inside any
-            # budget is the cheapest-to-win one. Every later rep puts
-            # the TPU kernels in the loop (compile caches persist on the
-            # bench host; a cold compile can only lose that rep).
-            ours_dt, pipe = run_ours(acq_dir, device_stages=(rep != 0))
-            log(f"ours[{rep}]: {ours_dt:.1f}s "
-                f"(shifts h={pipe.shifts.h_shift} v={pipe.shifts.v_shift})")
-            ours_best = ours_dt if ours_best is None else min(ours_best, ours_dt)
+            # budget is the cheapest-to-win one. Later reps put the TPU
+            # kernels in the loop (compile caches persist on the bench
+            # host; a cold compile can only lose that rep) — unless a
+            # device rep already blew its watchdog, which means the
+            # tunnel is storming; then the remaining reps go to the
+            # host config, which can still improve the best.
+            use_device = rep != 0 and not device_lost
+            # watchdog: a storm-swept rep must not consume the whole
+            # budget (a device rep has cost >1000 s of a 900 s budget).
+            # 2.5x the best known time, floored generously for cold
+            # compiles; rep 0 gets the remaining budget as its bound.
+            if ours_best is not None:
+                rep_timeout = max(300.0, 2.5 * ours_best)
+            else:
+                rep_timeout = max(300.0, time_budget)
+            ours_dt, pipe = run_ours(acq_dir, device_stages=use_device,
+                                     rep_timeout=rep_timeout)
+            if ours_dt is None:
+                log(f"ours[{rep}]: lost to the watchdog")
+                if use_device:
+                    device_lost = True
+            else:
+                log(f"ours[{rep}]: {ours_dt:.1f}s "
+                    f"(shifts h={pipe.shifts.h_shift} "
+                    f"v={pipe.shifts.v_shift})")
+                ours_best = (ours_dt if ours_best is None
+                             else min(ours_best, ours_dt))
             for d in __import__('glob').glob(acq_dir + "_stitched_*"):
                 shutil.rmtree(d, ignore_errors=True)
+            if ours_dt is None:
+                continue  # no finished pipeline to hand the baseline
 
             if base_best is not None and (
                     rep >= 2 or time.perf_counter() - bench_t0 > time_budget):
@@ -487,6 +535,16 @@ def main():
                 f"(shifts h={base_shifts.h_shift} v={base_shifts.v_shift})")
             base_best = base_dt if base_best is None else min(base_best, base_dt)
 
+        if ours_best is None:
+            # every capped rep lost its watchdog (apocalyptic weather):
+            # one final uncapped host rep — the driver's outer timeout
+            # is the bound now, and any number beats none
+            log("all reps lost; one final uncapped host rep")
+            ours_dt, pipe = run_ours(acq_dir, device_stages=False)
+            ours_best = ours_dt
+        if base_best is None:
+            base_dt, _ = run_baseline(acq_dir, pipe.num_pyramid_levels)
+            base_best = base_dt
         ours_tps = n_tiles / ours_best
         base_tps = n_tiles / base_best
         log(f"best ours {ours_best:.1f}s = {ours_tps:.2f} tiles/s; "

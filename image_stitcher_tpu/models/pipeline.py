@@ -1138,6 +1138,12 @@ class StitchPipeline:
                             self.compute_flatfields()
                     if (self.options.overlap_prep
                             and self.params.use_registration):
+                        # pre-import the heavy modules both stages load
+                        # lazily: a concurrent FIRST import of scipy/cv2
+                        # from two threads can observe a partially
+                        # initialized module and crash
+                        import cv2  # noqa: F401
+                        from scipy import fft as _scipy_fft  # noqa: F401
                         from concurrent.futures import ThreadPoolExecutor
                         _prep_pool = ThreadPoolExecutor(1)
                         ff_future = _prep_pool.submit(_fit_flatfields)

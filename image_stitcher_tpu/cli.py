@@ -63,7 +63,7 @@ def parse_args(argv=None) -> argparse.Namespace:
     parser.add_argument('--zarr-format', type=int, choices=[2, 3], default=2,
                         help="2 = zarr v2 + OME-NGFF 0.4 (reference-"
                              "compatible); 3 = zarr v3 sharded + NGFF 0.5 "
-                             "(16x fewer files at scale)")
+                             "(~10x fewer files at scale)")
     parser.add_argument('--streaming', choices=['auto', 'on', 'off'],
                         default='auto',
                         help="Bounded-memory band-streaming fusion "

@@ -160,7 +160,7 @@ class MultiscaleWriter:
                              full=omero_full) if write_omero else None)
         if zarr_format == 3:
             # OME-NGFF 0.5 on zarr v3: attrs under 'ome' in zarr.json,
-            # levels as sharding_indexed arrays (16x fewer files)
+            # levels as sharding_indexed arrays (~10x fewer files)
             attrs = multiscales_attrs_v3(name, num_levels, dz_um,
                                          pixel_size_um, omero=omero)
             write_group(path, attrs, zarr_format=3)

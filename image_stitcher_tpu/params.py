@@ -138,7 +138,7 @@ class EngineOptions:
     compressor_clevel: int = 5
     compressor_shuffle: int = 1
     # Zarr storage format: 2 = zarr v2 + OME-NGFF 0.4 (the reference-
-    # compatible tree); 3 = zarr v3 sharded + OME-NGFF 0.5 (16x fewer
+    # compatible tree); 3 = zarr v3 sharded + OME-NGFF 0.5 (~10x fewer
     # files at scale; see tools/SAVE_BENCH_RESULTS.md).
     zarr_format: int = 2
     # Fusion semantics: 'overwrite' = reference parity (stitcher.py:598,

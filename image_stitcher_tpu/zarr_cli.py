@@ -34,7 +34,7 @@ def parse_args(argv=None):
                         help="Number of host worker threads (default: 4)")
     parser.add_argument('--zarr-format', type=int, choices=[2, 3], default=2,
                         help="2 = zarr v2 + NGFF 0.4; 3 = zarr v3 sharded "
-                             "+ NGFF 0.5 (16x fewer files)")
+                             "+ NGFF 0.5 (~10x fewer files)")
     return parser.parse_args(argv)
 
 

@@ -125,6 +125,8 @@ def run_ours(acq_dir, device_stages=False, rep_timeout=None):
     cancelled = False
     try:
         pipe.run()
+    except (KeyboardInterrupt, SystemExit):
+        raise  # the user's abort outranks the watchdog
     except BaseException as e:
         if stop_event.is_set():
             cancelled = True

@@ -234,23 +234,30 @@ class StitchingGUI(QWidget):
         """Stop -> join(timeout) -> terminate escalation (reference
         stitcher_process_gui.py:313-341). The wait is sliced so the
         window keeps repainting and shutdown messages keep draining
-        instead of freezing for the full 10 s timeout."""
-        if self.stitcher is None:
+        instead of freezing for the full 10 s timeout.
+
+        Re-entrancy: the timer stops and both buttons disable BEFORE
+        the sliced wait, and the loop holds its own reference — events
+        pumped mid-stop can neither restart a run into this method's
+        terminate() nor re-enter it."""
+        s = self.stitcher
+        if s is None:
             return
         import time as _time
-        self.stitcher.request_stop()
+        self.timer.stop()
+        self.start_btn.setEnabled(False)
+        self.stop_btn.setEnabled(False)
+        s.request_stop()
         deadline = _time.monotonic() + 10.0
-        while self.stitcher.is_alive() and _time.monotonic() < deadline:
-            self.stitcher.join(timeout=0.1)
-            self._drain_queues(self.stitcher)
+        while s.is_alive() and _time.monotonic() < deadline:
+            s.join(timeout=0.1)
+            self._drain_queues(s)
             app = QApplication.instance()
             if HAVE_QT and app is not None:
                 app.processEvents()
-        if self.stitcher.is_alive():
-            self.stitcher.terminate()
-        self.timer.stop()
+        if s.is_alive():
+            s.terminate()
         self.start_btn.setEnabled(True)
-        self.stop_btn.setEnabled(False)
         self.status_label.setText("Stopped")
 
     def view_output(self):

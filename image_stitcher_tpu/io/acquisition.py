@@ -236,9 +236,12 @@ def scan_acquisition(input_folder: str) -> Acquisition:
         # from filenames.
         coord_rows: Dict = {}
         for r in coords.to_dict('records'):
+            try:
+                key2 = (str(r['region']), int(r['fov']), int(r['z_level']))
+            except (ValueError, TypeError):
+                continue  # blank/NaN cells: skip, like the old filter join
             # first matching row wins, like the old .iloc[0]
-            coord_rows.setdefault(
-                (str(r['region']), int(r['fov']), int(r['z_level'])), r)
+            coord_rows.setdefault(key2, r)
         parsed = sorted(
             (f, p) for f in os.listdir(image_folder)
             if (p := parse_tile_filename(f)) is not None

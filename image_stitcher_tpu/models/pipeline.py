@@ -140,6 +140,7 @@ class StitchPipeline:
             return finalize_flatfield(s, out_hw)
 
         for channel in acq.channel_names:
+            self._check_stop()
             paths = []
             for t in acq.timepoints:
                 t_paths = [rec.filepath for key, rec in acq.tiles.items()
@@ -285,6 +286,7 @@ class StitchPipeline:
 
         Parity with reference calculate_shifts (stitcher.py:422-498).
         """
+        self._check_stop()
         acq = self.acq
         if not self.registration_channel:
             self.registration_channel = acq.channel_names[0]
@@ -366,6 +368,7 @@ class StitchPipeline:
         """
         from ..ops.phasecorr import (phase_cross_correlation_conf_batch,
                                      phase_cross_correlation_conf_np)
+        self._check_stop()
         acq = self.acq
         if not self.registration_channel or \
                 self.registration_channel not in acq.channel_names:
@@ -424,6 +427,7 @@ class StitchPipeline:
             return s0 < dst.shape[0] or s1 < dst.shape[1]
 
         def load_strips(rc):
+            self._check_stop()  # cooperative cancel per tile (watchdog)
             r, c = rc
             rec = recs[rc]
             if rec is None:
@@ -497,6 +501,7 @@ class StitchPipeline:
                 self.options.upsample_factor)
             return list(np.asarray(shifts)), list(np.asarray(peaks))
 
+        self._check_stop()
         h_shifts, h_conf = batch_measure(a_h, b_h)
         v_shifts, v_conf = batch_measure(a_v, b_v)
         h_tags = [k[0] for k in h_keys]
@@ -1152,28 +1157,43 @@ class StitchPipeline:
                         _fit_flatfields()
                         manifest.save_flatfields(self.flatfields)
 
-            if self.params.use_registration:
-                saved_shifts = manifest.get_shifts() if self.resumed else None
-                if saved_shifts is not None:
-                    self.shifts = saved_shifts
-                    (self.global_positions,
-                     self.global_positions_float) =                         manifest.get_global_positions()
-                if saved_shifts is None or (
-                        self.options.registration_scope == 'global'
-                        and not self.global_positions):
-                    with self.timers.time('registration'):
-                        if self.options.registration_scope in ('all-pairs',
-                                                               'global'):
-                            self.calculate_shifts_all_pairs(
-                                int(self.acq.timepoints[0]),
-                                self.acq.regions[0])
-                        else:
-                            self.calculate_shifts(self.acq.timepoints[0],
-                                                  self.acq.regions[0])
-                manifest.set_shifts(self.shifts)
-                if self.global_positions:
-                    manifest.set_global_positions(
-                        self.global_positions, self.global_positions_float)
+            try:
+                if self.params.use_registration:
+                    saved_shifts = (manifest.get_shifts()
+                                    if self.resumed else None)
+                    if saved_shifts is not None:
+                        self.shifts = saved_shifts
+                        (self.global_positions,
+                         self.global_positions_float) = \
+                            manifest.get_global_positions()
+                    if saved_shifts is None or (
+                            self.options.registration_scope == 'global'
+                            and not self.global_positions):
+                        with self.timers.time('registration'):
+                            if self.options.registration_scope in (
+                                    'all-pairs', 'global'):
+                                self.calculate_shifts_all_pairs(
+                                    int(self.acq.timepoints[0]),
+                                    self.acq.regions[0])
+                            else:
+                                self.calculate_shifts(
+                                    self.acq.timepoints[0],
+                                    self.acq.regions[0])
+                    manifest.set_shifts(self.shifts)
+                    if self.global_positions:
+                        manifest.set_global_positions(
+                            self.global_positions,
+                            self.global_positions_float)
+            except BaseException:
+                # registration failed/cancelled: reap the overlapped fit
+                # so its thread never outlives the run (or leaks its
+                # error); the registration failure is the one reported
+                if ff_future is not None:
+                    try:
+                        ff_future.result()
+                    except BaseException:
+                        pass
+                raise
             if ff_future is not None:
                 ff_future.result()  # surface fit errors before fusing
                 manifest.save_flatfields(self.flatfields)

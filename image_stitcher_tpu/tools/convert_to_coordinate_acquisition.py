@@ -34,8 +34,7 @@ def validate_directories(subdirs) -> bool:
 
 
 def process_directory(input_dir: Path, subdir: Path, region: str,
-                      max_j: int) -> int:
-    df = pd.read_csv(subdir / 'coordinates.csv')
+                      max_j: int, df: pd.DataFrame) -> int:
 
     position_map = {
         (int(row['i']), int(row['j']), int(row['z_level'])):
@@ -108,14 +107,15 @@ def convert(directory: str, region: Optional[str] = None) -> int:
 
     # one fov stride for the WHOLE acquisition: a truncated timepoint
     # must not renumber the same physical (i, j) tile differently
-    max_j = 0
-    for subdir in subdirs:
-        df = pd.read_csv(subdir / 'coordinates.csv')
-        max_j = max(max_j, int(df['j'].max()) + 1)
+    # (each csv reads once; the frame feeds the rewrite too)
+    frames = {subdir: pd.read_csv(subdir / 'coordinates.csv')
+              for subdir in subdirs}
+    max_j = max(int(df['j'].max()) + 1 for df in frames.values())
 
     total = 0
     for subdir in subdirs:
-        count = process_directory(input_dir, subdir, region, max_j)
+        count = process_directory(input_dir, subdir, region, max_j,
+                                  frames[subdir])
         total += count
         print(f"Processed {count} files in {subdir.name}/")
     print(f"\nTotal files processed: {total}")

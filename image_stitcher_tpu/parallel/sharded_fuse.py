@@ -61,13 +61,12 @@ class ShardedCanvas:
         self.blend_px = blend_px
         # pallas per shard: each device runs the Mosaic window kernel on
         # its own band (shard_map composes with pallas_call) — same
-        # selection rule as the unsharded device path. Feather keeps the
-        # XLA scan (its (acc, wsum) pair is already banded f32).
+        # selection rule as the unsharded device path, for overwrite AND
+        # the feathered (acc, wsum) pair.
         from ..ops.pallas_fuse import select_device_kernel
         self.use_pallas = select_device_kernel(
             tile_h, tile_w, self.dtype, device_kernel,
-            interpret=pallas_interpret,
-            extra_ok=blend_method != 'feather') == 'pallas'
+            interpret=pallas_interpret) == 'pallas'
         self._pallas_interpret = pallas_interpret
         # ff_recip ((C, th, tw) f32): fused into the pallas kernel; the
         # XLA kernels get it applied per batch in fuse_batch — either
@@ -94,7 +93,9 @@ class ShardedCanvas:
         if blend_method == 'feather':
             self.acc = banded_zeros(jnp.float32)
             self.wsum = banded_zeros(jnp.float32)
-            self._fuse = self._build_fuse_feather()
+            self._fuse = (self._build_fuse_feather_pallas()
+                          if self.use_pallas
+                          else self._build_fuse_feather())
         else:
             self.array = banded_zeros(dtype)
             self._fuse = (self._build_fuse_pallas() if self.use_pallas
@@ -172,6 +173,48 @@ class ShardedCanvas:
         if with_ff:
             ff_arr = jnp.asarray(self.ff_recip, jnp.float32)
             return lambda cv, t, i, cr, v: jitted(cv, t, i, cr, v, ff_arr)
+        return jitted
+
+    def _build_fuse_feather_pallas(self):
+        """Per-shard Mosaic feather kernel: the banded (acc, wsum) f32
+        pair accumulates through fuse_feather_pallas on each device.
+        Ramps come from the FULL crop window (band aprons keep them
+        whole), so a straddler contributes identical weights to both its
+        bands — exactly the XLA shard path's invariant."""
+        tile_h = self.tile_h
+        band = self.band
+        mesh = self.mesh
+        interpret = self._pallas_interpret
+        blend_px = self.blend_px
+        from ..ops.pallas_fuse import fuse_feather_pallas
+        with_ff = self.ff_recip is not None
+
+        def local_fuse(acc, wsum, tiles, info, crops, valid, *ff):
+            b = jax.lax.axis_index(AXIS_CANVAS)
+            band_start = b * band
+            y_local, intersects = band_local_origin(
+                info[:, 2], band, tile_h, band_start)
+            dinfo = jnp.stack([info[:, 0], info[:, 1], y_local,
+                               info[:, 3]], axis=1)
+            a, w = fuse_feather_pallas(
+                acc[0], wsum[0], tiles, dinfo, crops, valid & intersects,
+                ff_recip=ff[0] if with_ff else None,
+                blend_px=blend_px, interpret=interpret)
+            return a[None], w[None]
+
+        in_specs = [P(AXIS_CANVAS), P(AXIS_CANVAS), P(), P(), P(), P()]
+        if with_ff:
+            in_specs.append(P())
+        fuse = shard_map(
+            local_fuse, mesh=mesh,
+            in_specs=tuple(in_specs),
+            out_specs=(P(AXIS_CANVAS), P(AXIS_CANVAS)),
+            check_vma=False)
+        jitted = jax.jit(fuse, donate_argnums=(0, 1))
+        if with_ff:
+            ff_arr = jnp.asarray(self.ff_recip, jnp.float32)
+            return lambda a, w, t, i, cr, v: jitted(a, w, t, i, cr, v,
+                                                    ff_arr)
         return jitted
 
     def _build_fuse_feather(self):

@@ -85,6 +85,8 @@ def main() -> None:
                                           streaming='on',
                                           device_fusion_kernel='pallas',
                                           chunks=(1, 1, 1, 128, 128)),
+            "mesh_pallas_feather": dict(mesh_shape=(1, 1), streaming='off',
+                                        device_fusion_kernel='pallas'),
         }.items():
             acq = os.path.join(workdir, name)
             write_synthetic_acquisition(

@@ -141,3 +141,37 @@ def test_sharded_pallas_matches_single_device(mesh_shape, rng):
                       jnp.asarray(crops), jnp.asarray(valid))
     got = np.asarray(canvas.finalize())
     np.testing.assert_array_equal(got, expect)
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 4), (2, 2)])
+def test_sharded_pallas_feather_matches_single_device(mesh_shape, rng):
+    """Per-shard pallas FEATHER (interpret here; Mosaic on TPUs) with
+    fused flatfield must match the single-device XLA feather."""
+    from image_stitcher_tpu.ops.fuse import (apply_flatfield,
+                                             finalize_feather, fuse_feather)
+    C, Z, H, W, th, tw = 2, 1, 100, 80, 32, 32
+    tiles, info, crops, valid = _random_problem(rng, C=C, Z=Z)
+    info[:, 1] = 0
+    ff = (rng.random((C, th, tw)) * 0.8 + 0.6).astype(np.float32)
+    corrected = apply_flatfield(jnp.asarray(tiles), jnp.asarray(ff),
+                                jnp.asarray(info[:, 0]), jnp.uint16)
+    shp = padded_canvas_shape(C, Z, H, W, th, tw)
+    acc, wsum = fuse_feather(jnp.zeros(shp, jnp.float32),
+                             jnp.zeros(shp, jnp.float32),
+                             corrected, jnp.asarray(info),
+                             jnp.asarray(crops), jnp.asarray(valid),
+                             blend_px=12)
+    expect = np.asarray(finalize_feather(acc, wsum,
+                                         jnp.uint16))[:, :, :H, :W]
+
+    mesh = make_mesh(mesh_shape)
+    canvas = ShardedCanvas(mesh, C, Z, H, W, th, tw, np.uint16,
+                           blend_method='feather', blend_px=12,
+                           device_kernel='pallas', ff_recip=ff,
+                           pallas_interpret=True)
+    assert canvas.use_pallas
+    canvas.fuse_batch(jnp.asarray(tiles), jnp.asarray(info),
+                      jnp.asarray(crops), jnp.asarray(valid))
+    got = np.asarray(canvas.finalize())
+    diff = np.abs(got.astype(int) - expect.astype(int))
+    assert diff.max() <= 1  # f32 accumulation order across bands

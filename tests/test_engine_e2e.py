@@ -199,3 +199,37 @@ def test_feather_blend_e2e(tmp_path):
     # feathered canvas of identical-content overlaps still equals gt
     diff = np.abs(data[0, 0, 0].astype(int) - gt.astype(int))
     assert diff.max() <= 1  # rounding in the blend only
+
+
+def test_overlap_prep_reaps_fit_on_registration_failure(tmp_path,
+                                                        monkeypatch):
+    """If registration raises while the overlapped flatfield fit is in
+    flight, the fit thread is awaited (not leaked) and the registration
+    error is the one reported."""
+    import image_stitcher_tpu.models.pipeline as pl
+    from image_stitcher_tpu import EngineOptions, StitchingParameters
+    from image_stitcher_tpu.models.pipeline import StitchPipeline
+    acq_dir = str(tmp_path / "acq")
+    write_synthetic_acquisition(acq_dir, grid_cols=2, grid_rows=2,
+                                tile_w=64, tile_h=64, overlap=16,
+                                acq_params_overrides={"pixel_binning": 2})
+    fit_done = []
+
+    orig_fit = StitchPipeline.compute_flatfields
+
+    def slow_fit(self):
+        orig_fit(self)
+        fit_done.append(True)
+
+    def boom(self, t, region):
+        raise RuntimeError("registration exploded")
+
+    monkeypatch.setattr(StitchPipeline, "compute_flatfields", slow_fit)
+    monkeypatch.setattr(StitchPipeline, "calculate_shifts", boom)
+    p = StitchingParameters(input_folder=acq_dir, use_registration=True,
+                            apply_flatfield=True)
+    pipe = StitchPipeline(p, EngineOptions(overlap_prep=True))
+    with pytest.raises(RuntimeError, match="registration exploded"):
+        pipe.run()
+    # the overlapped fit was awaited before the error propagated
+    assert fit_done == [True]

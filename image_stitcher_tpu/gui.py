@@ -247,6 +247,10 @@ class StitchingGUI(QWidget):
         self.timer.stop()
         self.start_btn.setEnabled(False)
         self.stop_btn.setEnabled(False)
+        view_was_enabled = self.view_btn.isEnabled()
+        self.view_btn.setEnabled(False)  # napari.run() would nest an
+        #                                  event loop inside this wait
+        prior_path = self.output_path
         s.request_stop()
         deadline = _time.monotonic() + 10.0
         while s.is_alive() and _time.monotonic() < deadline:
@@ -258,7 +262,13 @@ class StitchingGUI(QWidget):
         if s.is_alive():
             s.terminate()
         self.start_btn.setEnabled(True)
-        self.status_label.setText("Stopped")
+        if self.output_path != prior_path:
+            # the child completed during the wait: keep its 'Complete'
+            # status and viewer access instead of claiming 'Stopped'
+            self.view_btn.setEnabled(True)
+        else:
+            self.view_btn.setEnabled(view_was_enabled)
+            self.status_label.setText("Stopped")
 
     def view_output(self):
         """Open the result in napari: per-channel colormaps (named, or

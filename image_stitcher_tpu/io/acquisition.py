@@ -236,10 +236,17 @@ def scan_acquisition(input_folder: str) -> Acquisition:
         # from filenames.
         coord_rows: Dict = {}
         for r in coords.to_dict('records'):
+            # corrupt rows (blank/NaN cells, fractional fov/z) are
+            # skipped exactly like the old equality-filter join — int()
+            # alone would TRUNCATE 1.5 onto the genuine fov-1 key
             try:
-                key2 = (str(r['region']), int(r['fov']), int(r['z_level']))
+                fov_f, z_f = float(r['fov']), float(r['z_level'])
+                if (fov_f != int(fov_f) or z_f != int(z_f)
+                        or r['region'] != r['region']):  # NaN region
+                    continue
+                key2 = (str(r['region']), int(fov_f), int(z_f))
             except (ValueError, TypeError):
-                continue  # blank/NaN cells: skip, like the old filter join
+                continue
             # first matching row wins, like the old .iloc[0]
             coord_rows.setdefault(key2, r)
         parsed = sorted(

@@ -1187,11 +1187,14 @@ class StitchPipeline:
             except BaseException:
                 # registration failed/cancelled: reap the overlapped fit
                 # so its thread never outlives the run (or leaks its
-                # error); the registration failure is the one reported
+                # error); the registration failure is the one reported.
+                # Only the FIT's own Exception is swallowed — a
+                # KeyboardInterrupt raised in THIS thread during the
+                # wait must still win.
                 if ff_future is not None:
                     try:
                         ff_future.result()
-                    except BaseException:
+                    except Exception:
                         pass
                 raise
             if ff_future is not None:

@@ -46,17 +46,16 @@ def pallas_supported(tile_h: int, tile_w: int, dtype) -> bool:
 
 def select_device_kernel(tile_h: int, tile_w: int, dtype,
                          requested: str = 'auto', interpret: bool = False,
-                         extra_ok: bool = True, on_fallback=None) -> str:
+                         on_fallback=None) -> str:
     """The one kernel-selection rule for every device fusion backend.
 
     'pallas' when Mosaic can compile the window kernels for this tile
     shape on this backend (or ``interpret`` forces the interpret-mode
-    path for tests), else 'xla'. ``extra_ok`` lets a backend exclude
-    pallas for reasons of its own (e.g. the sharded feather pair);
-    ``on_fallback`` fires when an explicit 'pallas' request falls back.
+    path for tests), else 'xla'. ``on_fallback`` fires when an explicit
+    'pallas' request falls back.
     """
     import jax
-    supported = extra_ok and (
+    supported = (
         interpret or (jax.default_backend() == 'tpu'
                       and pallas_supported(tile_h, tile_w, dtype)))
     if requested == 'auto':

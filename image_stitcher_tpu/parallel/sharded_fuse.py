@@ -108,6 +108,16 @@ class ShardedCanvas:
         return band_local_origin(meta[2], self.band, self.tile_h,
                                  b * self.band)
 
+    def _shard_batch_info(self, info):
+        """Batched band-local rewrite shared by the pallas builders:
+        (dinfo with band-local y, intersects mask) for THIS shard."""
+        b = jax.lax.axis_index(AXIS_CANVAS)
+        y_local, intersects = band_local_origin(
+            info[:, 2], self.band, self.tile_h, b * self.band)
+        dinfo = jnp.stack([info[:, 0], info[:, 1], y_local,
+                           info[:, 3]], axis=1)
+        return dinfo, intersects
+
     def _build_fuse(self):
         tile_h, tile_w = self.tile_h, self.tile_w
         mesh = self.mesh
@@ -141,8 +151,6 @@ class ShardedCanvas:
         band. Band-local origins ride a rewritten info batch; tiles not
         intersecting a band keep a legal clamped origin with valid
         masked off (the window DMA round-trips unchanged bytes)."""
-        tile_h = self.tile_h
-        band = self.band
         mesh = self.mesh
         interpret = self._pallas_interpret
         from ..ops.pallas_fuse import fuse_overwrite_pallas
@@ -150,12 +158,7 @@ class ShardedCanvas:
 
         def local_fuse(canvas, tiles, info, crops, valid, *ff):
             # canvas: (1, C, Z, band_pad, Wp) local shard
-            b = jax.lax.axis_index(AXIS_CANVAS)
-            band_start = b * band
-            y_local, intersects = band_local_origin(
-                info[:, 2], band, tile_h, band_start)
-            dinfo = jnp.stack([info[:, 0], info[:, 1], y_local,
-                               info[:, 3]], axis=1)
+            dinfo, intersects = self._shard_batch_info(info)
             out = fuse_overwrite_pallas(
                 canvas[0], tiles, dinfo, crops, valid & intersects,
                 ff_recip=ff[0] if with_ff else None, interpret=interpret)
@@ -181,8 +184,6 @@ class ShardedCanvas:
         Ramps come from the FULL crop window (band aprons keep them
         whole), so a straddler contributes identical weights to both its
         bands — exactly the XLA shard path's invariant."""
-        tile_h = self.tile_h
-        band = self.band
         mesh = self.mesh
         interpret = self._pallas_interpret
         blend_px = self.blend_px
@@ -190,12 +191,7 @@ class ShardedCanvas:
         with_ff = self.ff_recip is not None
 
         def local_fuse(acc, wsum, tiles, info, crops, valid, *ff):
-            b = jax.lax.axis_index(AXIS_CANVAS)
-            band_start = b * band
-            y_local, intersects = band_local_origin(
-                info[:, 2], band, tile_h, band_start)
-            dinfo = jnp.stack([info[:, 0], info[:, 1], y_local,
-                               info[:, 3]], axis=1)
+            dinfo, intersects = self._shard_batch_info(info)
             a, w = fuse_feather_pallas(
                 acc[0], wsum[0], tiles, dinfo, crops, valid & intersects,
                 ff_recip=ff[0] if with_ff else None,

@@ -204,9 +204,6 @@ def test_select_device_kernel_rules():
     assert select_device_kernel(2048, 2048, np.uint16, 'pallas',
                                 on_fallback=lambda: fired.append(1)) == 'xla'
     assert fired == [1]
-    # extra_ok lets a backend exclude pallas for its own reasons
-    assert select_device_kernel(2048, 2048, np.uint16, 'auto',
-                                interpret=True, extra_ok=False) == 'xla'
     # explicit xla is always honored
     assert select_device_kernel(2048, 2048, np.uint16, 'xla',
                                 interpret=True) == 'xla'

@@ -50,6 +50,7 @@ class StitchingGUI(QWidget):
         self.stitcher = None
         self.input_folder = None
         self.output_path = ''
+        self._run_complete = False
         self.dtype = None
         self._build_ui()
 
@@ -180,6 +181,7 @@ class StitchingGUI(QWidget):
             QMessageBox.critical(self, "Parameters", str(e))
             return
         self.stitcher = StitcherProcess(params, options=EngineOptions())
+        self._run_complete = False
         self.stitcher.start()
         self.start_btn.setEnabled(False)
         self.stop_btn.setEnabled(True)
@@ -225,6 +227,7 @@ class StitchingGUI(QWidget):
             kind, data = s.complete_queue.get_nowait()
             if kind == 'complete':
                 self.output_path, self.dtype = data
+                self._run_complete = True
                 self.view_btn.setEnabled(True)
                 self.status_label.setText(f"Complete: {self.output_path}")
         except queue_mod.Empty:
@@ -250,7 +253,6 @@ class StitchingGUI(QWidget):
         view_was_enabled = self.view_btn.isEnabled()
         self.view_btn.setEnabled(False)  # napari.run() would nest an
         #                                  event loop inside this wait
-        prior_path = self.output_path
         s.request_stop()
         deadline = _time.monotonic() + 10.0
         while s.is_alive() and _time.monotonic() < deadline:
@@ -261,10 +263,18 @@ class StitchingGUI(QWidget):
                 app.processEvents()
         if s.is_alive():
             s.terminate()
+        # final drain: the child can enqueue 'complete' and exit between
+        # the last in-loop drain and the liveness check (or before the
+        # wait loop ever ran) — without this a successful run's
+        # completion would be reported as 'Stopped'
+        self._drain_queues(s)
         self.start_btn.setEnabled(True)
-        if self.output_path != prior_path:
-            # the child completed during the wait: keep its 'Complete'
-            # status and viewer access instead of claiming 'Stopped'
+        if self._run_complete:
+            # the child completed during the wait (or before stop was
+            # pressed): keep its 'Complete' status and viewer access
+            # instead of claiming 'Stopped'. An explicit flag — a path
+            # comparison would misread a re-run that completes into the
+            # same output path as "nothing new happened".
             self.view_btn.setEnabled(True)
         else:
             self.view_btn.setEnabled(view_was_enabled)

@@ -56,12 +56,54 @@ def _open_region_level0(pipeline, t, region: str):
 
 
 def _unit_exists(pipeline, t, region: str) -> bool:
-    """A (timepoint, region) stitched store is present on disk. Units
-    can be missing legitimately: continue_on_error skipped a failed
-    region, or a resumed run never reached it — merges skip those with
-    a message instead of crashing after all stitching succeeded."""
-    return os.path.isdir(os.path.dirname(
-        _region_level0_path(pipeline, t, region)))
+    """A (timepoint, region) stitched store is present AND complete.
+    Units can be missing legitimately: continue_on_error skipped a
+    failed region, or a resumed run never reached it — merges skip
+    those with a message instead of crashing after all stitching
+    succeeded.
+
+    "Complete" is decided by the run manifests' completed records when
+    any are available (a region that died mid-save under
+    continue_on_error leaves a partially written store on disk — its
+    directory existing does NOT make it mergeable). Under work sharding
+    the coordinator's own manifest only records its OWN units, so all
+    shard manifests in the output folder are unioned. Without any
+    manifest (merge invoked standalone on an existing tree) we fall
+    back to the level-0 array's metadata file being present, which a
+    store that failed before array creation lacks."""
+    completed = _completed_units(pipeline)
+    if completed is not None:
+        return f"{t}/{region}" in completed
+    level0 = _region_level0_path(pipeline, t, region)
+    return (os.path.exists(os.path.join(level0, '.zarray'))
+            or os.path.exists(os.path.join(level0, 'zarr.json')))
+
+
+def _completed_units(pipeline):
+    """Union of completed (t, region) keys across every shard manifest
+    in the output folder, or None when no manifest exists. Cached on
+    the pipeline for the duration of the merge pass (manifests don't
+    change once every shard has passed the pre-merge barrier)."""
+    cached = getattr(pipeline, '_merge_completed_units', None)
+    if cached is not None:
+        return cached
+    import glob as _glob
+    import json as _json
+    from ..utils.manifest import MANIFEST_NAME
+    keys = set()
+    paths = _glob.glob(os.path.join(pipeline.output_folder,
+                                    MANIFEST_NAME + '*'))
+    paths = [p for p in paths if not p.endswith('.tmp')]
+    if not paths:
+        return None
+    for p in paths:
+        try:
+            with open(p) as f:
+                keys.update(_json.load(f).get('completed', []))
+        except Exception:
+            continue
+    pipeline._merge_completed_units = keys
+    return keys
 
 
 def _regions_with_all_timepoints(pipeline):

@@ -191,21 +191,34 @@ class StitchPipeline:
                     opts.compressor_shuffle)
         if getattr(self, '_compressor_choice', None) is None:
             import zlib
-            rec = next(iter(self.acq.tiles.values()))
-            flat = np.ravel(read_image(rec.filepath))
-            raw = np.ascontiguousarray(
-                flat[:(1 << 20) // flat.itemsize]).tobytes()
-            ratio = len(zlib.compress(raw, 1)) / max(1, len(raw))
+            # Probe first/center/last tiles (in key order) and decide on
+            # the MEDIAN ratio: one atypically noisy tile on an otherwise
+            # compressible plate must not commit the whole run — all
+            # regions, merges, pyramid levels — to raw storage.
+            keys = sorted(self.acq.tiles.keys())
+            picks = sorted({0, len(keys) // 2, len(keys) - 1})
+            ratios = []
+            probed = []
+            for i in picks:
+                rec = self.acq.tiles[keys[i]]
+                flat = np.ravel(read_image(rec.filepath))
+                raw = np.ascontiguousarray(
+                    flat[:(1 << 20) // flat.itemsize]).tobytes()
+                ratios.append(len(zlib.compress(raw, 1)) / max(1, len(raw)))
+                probed.append(os.path.basename(rec.filepath))
+            ratio = float(np.median(ratios))
+            detail = ", ".join(f"{n}={r:.2f}"
+                               for n, r in zip(probed, ratios))
             if ratio > 0.92:
                 self._compressor_choice = (None, 0, 0)
                 self.reporter.status(
-                    f"compressor auto: sample ratio {ratio:.2f} — "
-                    "storing raw chunks", False)
+                    f"compressor auto: median ratio {ratio:.2f} "
+                    f"({detail}) — storing raw chunks", False)
             else:
                 self._compressor_choice = ('lz4', 5, 1)
                 self.reporter.status(
-                    f"compressor auto: sample ratio {ratio:.2f} — "
-                    "blosc-lz4-5", False)
+                    f"compressor auto: median ratio {ratio:.2f} "
+                    f"({detail}) — blosc-lz4-5", False)
         return self._compressor_choice
 
     def _flatfield_recip_np(self) -> np.ndarray:

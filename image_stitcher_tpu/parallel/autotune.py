@@ -15,8 +15,9 @@ from typing import Dict, Optional
 import numpy as np
 
 _PROBE_CACHE: Optional[Dict[str, float]] = None
+_HOST_PROBE_CACHE: Optional[float] = None
 
-HOST_FUSE_BYTES_PER_S = 1.2e9   # conservative in-RAM assembly rate
+HOST_FUSE_BYTES_PER_S = 1.2e9   # fallback if the host probe fails
 
 
 _PROBE_FILE = None  # resolved lazily; patchable in tests
@@ -90,17 +91,88 @@ def probe_link_bandwidth(size_mb: int = 16, force: bool = False) -> Dict[str, fl
     return _PROBE_CACHE
 
 
+def probe_host_bandwidth(size_mb: int = 16, force: bool = False) -> float:
+    """Measure the host's in-RAM tile-placement rate (bytes/s).
+
+    One shot: place uint16 blocks into a larger canvas through a f32
+    flatfield multiply — the actual work host fusion does per byte.
+    Measured, not assumed: a fast many-core host places at several GB/s
+    while a throttled shared core manages a few hundred MB/s, and the
+    backend choice flips on that difference. Cached in-process and in
+    the same on-disk file as the link probe (host rate is a machine
+    property, subject to the same TTL).
+    """
+    global _HOST_PROBE_CACHE
+    if _HOST_PROBE_CACHE is not None and not force:
+        return _HOST_PROBE_CACHE
+
+    import json
+    import os
+    path = _PROBE_FILE or _probe_cache_path()
+    if not force:
+        try:
+            with open(path) as f:
+                saved = json.load(f)
+            if (saved.get('host_bps')
+                    and time.time() - saved.get('host_ts', 0) < _PROBE_TTL_S):
+                _HOST_PROBE_CACHE = float(saved['host_bps'])
+                return _HOST_PROBE_CACHE
+        except Exception:
+            pass
+
+    n_bytes = size_mb * 1024 * 1024
+    tile_h = tile_w = 1024
+    tile_bytes = tile_h * tile_w * 2
+    n_tiles = max(1, n_bytes // tile_bytes)
+    rng = np.random.default_rng(0)
+    tiles = rng.integers(0, 60000, (n_tiles, tile_h, tile_w),
+                         dtype=np.uint16)
+    recip = np.float32(1.0) / (1.0 + rng.random(
+        (tile_h, tile_w), dtype=np.float32))
+    canvas = np.zeros((tile_h * 2, tile_w * ((n_tiles + 1) // 2)),
+                      dtype=np.uint16)
+    t0 = time.perf_counter()
+    for i in range(n_tiles):
+        r, c = (i % 2) * tile_h, (i // 2) * tile_w
+        corrected = (tiles[i] * recip).clip(0, 65535).astype(np.uint16)
+        canvas[r:r + tile_h, c:c + tile_w] = corrected
+    elapsed = max(time.perf_counter() - t0, 1e-9)
+    rate = n_tiles * tile_bytes / elapsed
+    _HOST_PROBE_CACHE = rate
+    try:
+        saved = {}
+        try:
+            with open(path) as f:
+                saved = json.load(f)
+        except Exception:
+            pass
+        saved.update({'host_bps': rate, 'host_ts': time.time()})
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, 'w') as f:
+            json.dump(saved, f)
+    except Exception:
+        pass
+    return rate
+
+
 def choose_fusion_backend(canvas_bytes: int, tiles_bytes: int,
-                          probe: Optional[Dict[str, float]] = None) -> str:
-    """'device' or 'host', by modeled wall time.
+                          probe: Optional[Dict[str, float]] = None,
+                          host_bps: Optional[float] = None) -> str:
+    """'device' or 'host', by modeled wall time from two MEASURED rates.
 
     device path moves all tile bytes H2D and the canvas D2H (for writing);
-    host path moves tile bytes through RAM twice (read + place).
+    host path moves tile bytes through RAM twice (read + place) at the
+    rate the host probe actually measured on this machine.
     """
     probe = probe or probe_link_bandwidth()
+    if host_bps is None:
+        try:
+            host_bps = probe_host_bandwidth()
+        except Exception:
+            host_bps = HOST_FUSE_BYTES_PER_S
     # the probe reports MiB/s (it divides size_mb MiB by seconds)
     mib = 1024 * 1024
     device_s = (tiles_bytes / (probe['h2d_mbps'] * mib)
                 + canvas_bytes / (probe['d2h_mbps'] * mib))
-    host_s = 2 * tiles_bytes / HOST_FUSE_BYTES_PER_S
+    host_s = 2 * tiles_bytes / host_bps
     return 'device' if device_s < host_s else 'host'

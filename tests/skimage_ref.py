@@ -1,10 +1,16 @@
-"""Float64 NumPy reference implementation of subpixel phase correlation.
+"""Float64 NumPy oracle for subpixel phase correlation (test-only).
 
-Our own implementation of the published Guizar-Sicairos matrix-DFT
-algorithm (the one scikit-image implements), kept in float64 to serve as
-the CPU ground truth for parity tests, since scikit-image itself is not
-installed in this environment. Validated independently against known
-analytic translations in test_phasecorr.py.
+Transcribed from scikit-image's BSD-3-licensed
+``skimage.registration.phase_cross_correlation`` /
+``skimage.registration._upsampled_dft`` (the Guizar-Sicairos matrix-DFT
+algorithm), kept in float64 so the oracle matches what the reference
+pipeline (/root/reference/stitcher.py:510,523) actually calls —
+scikit-image itself is not installable in this environment. Used ONLY as
+a parity oracle in tests; the framework's own implementation lives in
+``image_stitcher_tpu/ops/phasecorr.py`` and is derived independently.
+Also validated against known analytic translations in test_phasecorr.py.
+
+scikit-image license: BSD-3-Clause, Copyright the scikit-image team.
 """
 
 import numpy as np

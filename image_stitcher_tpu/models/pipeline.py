@@ -91,13 +91,39 @@ class StitchPipeline:
         if self.stop_event is not None and self.stop_event.is_set():
             raise StitchCancelled("stitching cancelled")
 
-    @staticmethod
-    def _shard_barrier():
+    def _shard_barrier(self):
         """Wait for every cooperating process (multi-controller runs);
-        a single-process work-sharded run (sequential shards) no-ops."""
-        if jax.process_count() > 1:
-            from jax.experimental import multihost_utils
-            multihost_utils.sync_global_devices("stitch_merge_barrier")
+        a single-process work-sharded run (sequential shards) no-ops.
+
+        Bounded: the wait uses the distributed coordination service's
+        timed barrier so a shard that crashed before reaching the merge
+        point FAILS this process with recovery guidance instead of
+        deadlocking it forever (sync_global_devices has no timeout)."""
+        if jax.process_count() <= 1:
+            return
+        timeout_s = self.options.merge_barrier_timeout_s
+        try:
+            client = None
+            try:
+                from jax._src import distributed as _dist
+                client = _dist.global_state.client
+            except Exception:
+                client = None
+            if client is not None and timeout_s:
+                client.wait_at_barrier("stitch_merge_barrier",
+                                       timeout_in_ms=int(timeout_s * 1000))
+            else:
+                from jax.experimental import multihost_utils
+                multihost_utils.sync_global_devices("stitch_merge_barrier")
+        except Exception as e:
+            raise RuntimeError(
+                "pre-merge shard barrier failed (timeout "
+                f"{timeout_s:.0f}s) — a cooperating shard likely died "
+                "before reaching the merge point. Recovery: re-run the "
+                "dead shard with --resume into the same output folder "
+                "(it skips its completed units), then re-run the "
+                "coordinator shard with --resume to complete the "
+                f"merges. (cause: {e})") from e
 
     def _dtype_max(self) -> float:
         dt = self.acq.dtype

@@ -200,6 +200,11 @@ class EngineOptions:
     registration_report: bool = False
     # Device mesh axis sizes (data, canvas-y). None -> single device.
     mesh_shape: Optional[Tuple[int, int]] = None
+    # Pre-merge shard barrier timeout (multi-controller runs): a shard
+    # that died mid-run must fail the survivors with recovery guidance,
+    # not deadlock them in sync_global_devices forever. 0 disables the
+    # timeout (falls back to the untimed collective barrier).
+    merge_barrier_timeout_s: float = 600.0
     # Bounded-memory streaming fusion (models/streaming.py): fuse and
     # write the canvas in chunk-aligned bands, never materializing it.
     # 'auto' streams when the canvas would exceed streaming_threshold

@@ -153,3 +153,97 @@ def test_pod_mesh_single_process_shape():
 
     with pytest.raises(ValueError):
         make_pod_mesh(local_shape=(3, 5))  # 15 != devices per process
+
+
+def test_shard_death_barrier_timeout_and_resume(tmp_path):
+    """Failure injection (VERDICT r2 #4): worker shard 1 dies mid-run.
+    The coordinator must NOT deadlock in the pre-merge barrier — it
+    fails within the configured timeout with recovery guidance. Then
+    the dead shard re-runs with resume, the coordinator re-runs with
+    resume, and the full tree (all units + the HCS plate) completes."""
+    import glob
+    import os
+    import socket
+    import subprocess
+    import sys
+    import time
+    from fixtures import write_synthetic_acquisition
+    from image_stitcher_tpu import EngineOptions, StitchingParameters
+    from image_stitcher_tpu.models.pipeline import StitchPipeline
+    from image_stitcher_tpu.utils.progress import ProgressReporter
+
+    acq_dir = str(tmp_path / "acq")
+    write_synthetic_acquisition(acq_dir, grid_cols=2, grid_rows=2,
+                                tile_w=64, tile_h=64, overlap=16,
+                                regions=["B2", "C3"], timepoints=2,
+                                seed=21)
+    out_dir = str(tmp_path / "out")
+    s = socket.socket()
+    s.bind(('localhost', 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    # worker 1 dies after its FIRST completed unit (simulated crash);
+    # the coordinator's barrier must time out, not hang
+    script = f"""
+import os, sys
+pid = int(sys.argv[1])
+from image_stitcher_tpu.parallel import distributed as dist
+dist.initialize("localhost:{port}", num_processes=2, process_id=pid,
+                platform='cpu')
+from image_stitcher_tpu import EngineOptions, StitchingParameters
+from image_stitcher_tpu.models.pipeline import StitchPipeline
+if pid == 1:
+    orig = StitchPipeline.save_region
+    def dying_save(self, *a, **k):
+        path = orig(self, *a, **k)
+        os._exit(42)  # die right after the first unit lands on disk
+    StitchPipeline.save_region = dying_save
+p = StitchingParameters(input_folder={acq_dir!r}, merge_hcs_regions=True)
+pipe = dist.stitch_distributed(
+    p, EngineOptions(output_folder={out_dir!r},
+                     merge_barrier_timeout_s=20.0,
+                     pipelined_save=False))
+print("worker", pid, "done", flush=True)
+"""
+    env = {k: v for k, v in os.environ.items() if k != 'JAX_PLATFORMS'}
+    env['JAX_PLATFORMS'] = 'cpu'
+    t0 = time.monotonic()
+    procs = [subprocess.Popen([sys.executable, "-c", script, str(i)],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, env=env,
+                              cwd="/root/repo")
+             for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=180)  # far below the deadlock ∞
+        outs.append(out.decode())
+    elapsed = time.monotonic() - t0
+    assert procs[1].returncode == 42          # injected death
+    assert procs[0].returncode != 0           # coordinator failed, not hung
+    assert elapsed < 150
+    assert "shard barrier failed" in outs[0] or \
+        "shard barrier failed" in outs[1] or \
+        any("--resume" in o for o in outs), outs[0][-2000:]
+
+    # --- recovery: re-run dead shard with resume (single-process mode,
+    # barrier no-ops), then the coordinator with resume -> merges run
+    params = StitchingParameters(input_folder=acq_dir,
+                                 merge_hcs_regions=True)
+    StitchPipeline(params, EngineOptions(
+        output_folder=out_dir, work_shard=(1, 2),
+        pipelined_save=False), resume=True).run()
+    logs = []
+    rep = ProgressReporter(status=lambda m, s=False: logs.append(m))
+    StitchPipeline(params, EngineOptions(
+        output_folder=out_dir, work_shard=(0, 2),
+        pipelined_save=False), rep, resume=True).run()
+    assert any("Skipping completed region" in m for m in logs)
+
+    for t in (0, 1):
+        for region in ("B2", "C3"):
+            assert os.path.isdir(os.path.join(
+                out_dir, f"{t}_stitched",
+                f"{region}_stitched.ome.zarr")), (t, region)
+    assert glob.glob(os.path.join(out_dir, "hcs_timepoints",
+                                  "*_hcs.ome.zarr"))

@@ -10,6 +10,21 @@ from __future__ import annotations
 import numpy as np
 
 
+def tiff_rgb_mode(acq) -> bool:
+    """True when the acquisition writes true SamplesPerPixel=3 RGB
+    pages (channels expanded to {ch}_R/_G/_B), matching the reference's
+    production RGB TIFF path (stitcher_process.py:1429-1549)."""
+    mono = list(acq.monochrome_channels)
+    return (len(mono) == 3 and len(acq.rgb_channels) > 0
+            and [m.rsplit('_', 1)[-1] for m in mono] == ['R', 'G', 'B'])
+
+
+def region_position_um(acq, t, region: str):
+    """Stage origin of a region, recorded per OME-XML Plane (mm->um)."""
+    xs, ys = acq.region_positions(int(t), region)
+    return (min(xs) * 1000.0, min(ys) * 1000.0) if xs and ys else None
+
+
 def write_ome_tiff_region(pipeline, t, region: str, canvas, output_path: str,
                           num_levels=None) -> str:
     from .tiffwriter import write_ome_tiff_pyramid
@@ -18,17 +33,14 @@ def write_ome_tiff_region(pipeline, t, region: str, canvas, output_path: str,
     acq = pipeline.acq
     if num_levels is None:
         num_levels = pipeline.num_pyramid_levels
-    # the TIFF container interleaves SubIFD offsets, so the writer takes
-    # the full level list (peak memory ~1.33x the canvas — the zarr path
-    # streams levels instead)
+    # in-RAM path (small canvases and RGB page mode): the writer takes
+    # the full level list (peak memory ~1.33x the canvas). Large
+    # monochrome canvases stream band-wise through StreamingTiffWriter
+    # instead (pipeline._stitch_and_save_streaming).
     levels = [np.asarray(level) for level in iter_levels(
         canvas, num_levels, pipeline.options.pyramid_downsample)]
-    # RGB acquisitions (channels expanded to {ch}_R/_G/_B) write true
-    # SamplesPerPixel=3 pages, matching the reference's production RGB
-    # TIFF path (stitcher_process.py:1429-1549)
     mono = list(acq.monochrome_channels)
-    rgb = (len(mono) == 3 and len(acq.rgb_channels) > 0
-           and [m.rsplit('_', 1)[-1] for m in mono] == ['R', 'G', 'B'])
+    rgb = tiff_rgb_mode(acq)
     # stage origin of this region, recorded per OME-XML Plane (mm -> um)
     xs, ys = acq.region_positions(int(t), region)
     position_um = (min(xs) * 1000.0, min(ys) * 1000.0) if xs and ys else None

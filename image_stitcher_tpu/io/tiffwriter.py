@@ -167,7 +167,13 @@ class BigTiffWriter:
     def _plane_entries(self, plane: np.ndarray, offsets, counts, subfile: int):
         h, w = plane.shape[:2]
         spp = plane.shape[2] if plane.ndim == 3 else 1
-        bits = plane.dtype.itemsize * 8
+        return self._plane_entries_dims(h, w, spp, plane.dtype,
+                                        offsets, counts, subfile)
+
+    def _plane_entries_dims(self, h: int, w: int, spp: int, dtype,
+                            offsets, counts, subfile: int):
+        dtype = np.dtype(dtype)
+        bits = dtype.itemsize * 8
         comp = 8 if self.compression == 'deflate' else 1
         entries = [
             (T_NEWSUBFILETYPE, TY_LONG, [subfile]),
@@ -182,11 +188,19 @@ class BigTiffWriter:
             (T_TILELENGTH, TY_SHORT, [self.tile]),
             (T_TILEOFFSETS, TY_LONG8, offsets),
             (T_TILEBYTECOUNTS, TY_LONG8, counts),
-            (T_SAMPLEFORMAT, TY_SHORT, [_sample_format(plane.dtype)] * spp),
+            (T_SAMPLEFORMAT, TY_SHORT, [_sample_format(dtype)] * spp),
         ]
         if spp > 1:
             entries.append((T_PLANARCONFIG, TY_SHORT, [1]))
         return entries
+
+    def append_tile_data(self, data: bytes) -> int:
+        """Append one already-compressed tile's bytes; returns its file
+        offset (streaming path: data first, IFDs at close)."""
+        self._align()
+        off = self.f.tell()
+        self.f.write(data)
+        return off
 
     def close(self):
         self.f.close()
@@ -323,3 +337,217 @@ def write_ome_tiff_pyramid(path: str, levels: List[np.ndarray],
                          subfile_type=1)
     writer.close()
     return path
+
+
+class _PlaneLevelStream:
+    """Row accumulator for one (page, pyramid level): buffers arriving
+    band rows, flushes full 256-row tile strips to the file as soon as
+    they are contiguous, and records their offsets for the close-time
+    IFD. Memory held: the unflushed tail plus any out-of-order parked
+    bands (bounded by the fuser's thread count)."""
+
+    def __init__(self, h: int, w: int, ts: int, dtype):
+        self.h, self.w, self.ts = h, w, ts
+        self.dtype = np.dtype(dtype)
+        self.next = 0                         # first unflushed row
+        self.tail = np.zeros((0, w), dtype)   # rows [next, next+len)
+        self.parked: dict = {}                # start_row -> rows
+        self.tiles_x = max(1, -(-w // ts)) if w else 0
+        self.tiles_y = max(1, -(-h // ts)) if h else 0
+        n = self.tiles_x * self.tiles_y
+        self.offsets = [0] * n
+        self.counts = [0] * n
+
+    def buffered_bytes(self) -> int:
+        return (self.tail.nbytes
+                + sum(a.nbytes for a in self.parked.values()))
+
+    def feed(self, y0: int, rows: np.ndarray, flush_tile_row) -> None:
+        """Accept rows starting at y0; flush every completed strip via
+        ``flush_tile_row(strip_index, rows_array)``."""
+        if y0 == self.next + self.tail.shape[0]:
+            self.tail = (rows if self.tail.shape[0] == 0
+                         else np.concatenate([self.tail, rows]))
+        else:
+            self.parked[y0] = rows
+        # absorb any parked band that is now contiguous
+        while self.next + self.tail.shape[0] in self.parked:
+            nxt = self.parked.pop(self.next + self.tail.shape[0])
+            self.tail = (nxt if self.tail.shape[0] == 0
+                         else np.concatenate([self.tail, nxt]))
+        while (self.tail.shape[0] >= self.ts
+               or (self.tail.shape[0] > 0
+                   and self.next + self.tail.shape[0] >= self.h)):
+            take = min(self.ts, self.h - self.next)
+            flush_tile_row(self.next // self.ts, self.tail[:take])
+            self.next += take
+            self.tail = self.tail[take:]
+
+
+class StreamingTiffWriter:
+    """Band-streamed pyramidal OME-TIFF (BigTIFF) writer.
+
+    MultiscaleWriter-compatible surface (``write_level(lv, data, sel)``
+    + ``close()``) so the banded streaming fusers (models/streaming.py)
+    drive OME-TIFF outputs exactly like OME-Zarr ones: tile DATA is
+    appended to the file as bands arrive (explicit TIFF tile offsets
+    make order irrelevant), all IFDs — SubIFD pyramids chained per
+    page, OME-XML on the first — are emitted at close. Peak memory is
+    the in-flight band strips, never the canvas (the in-RAM writer's
+    ~1.33x-canvas level list, VERDICT r2 #3; reference layout parity:
+    stitcher_process.py:1344-1427).
+
+    Monochrome pages only — RGB (SamplesPerPixel=3) acquisitions need
+    three channels interleaved per tile and use the in-RAM path.
+    """
+
+    def __init__(self, path: str, base_shape: Sequence[int],
+                 num_levels: int, dtype, image_name: str,
+                 dz_um: float, pixel_size_um: float,
+                 channel_names: Sequence[str],
+                 channel_colors: Sequence[int],
+                 compression: str = 'deflate',
+                 tile_size: int = TILE_SIZE,
+                 thumbnail: bool = True, thumbnail_max: int = 512,
+                 position_um: Optional[Sequence[float]] = None):
+        import threading
+        from ..ops.pyramid import level_shapes
+        _, self.num_c, self.num_z, self.height, self.width = base_shape
+        self.num_levels = num_levels
+        self.dtype = np.dtype(dtype)
+        self.ts = tile_size
+        self.core = BigTiffWriter(path, compression=compression,
+                                  tile_size=tile_size)
+        self.path = path
+        self._lock = threading.RLock()
+        shapes = level_shapes((1, self.num_c, self.num_z,
+                               self.height, self.width), num_levels)
+        self.level_hw = [(s[-2], s[-1]) for s in shapes]
+        # page index = ci * num_z + zi (DimensionOrder XYZCT: Z fastest)
+        self.streams = {
+            (ci * self.num_z + zi, lv): _PlaneLevelStream(
+                *self.level_hw[lv], tile_size, self.dtype)
+            for ci in range(self.num_c) for zi in range(self.num_z)
+            for lv in range(num_levels)}
+        self.peak_buffer_bytes = 0
+        # incremental thumbnail: global stride over the last level of
+        # page (c=0, z=0), identical to repeated [::2, ::2]
+        self.thumbnail = thumbnail
+        h_last, w_last = self.level_hw[-1]
+        s = 1
+        while max(h_last, w_last) > 0 and \
+                max(-(-h_last // s), -(-w_last // s)) > thumbnail_max:
+            s *= 2
+        self._thumb_stride = s
+        self._thumb = (np.zeros((-(-h_last // s) if h_last else 0,
+                                 -(-w_last // s) if w_last else 0),
+                                self.dtype) if thumbnail else None)
+        planes = []
+        for ci in range(self.num_c):
+            for zi in range(self.num_z):
+                p = {'the_c': ci, 'the_z': zi, 'the_t': 0,
+                     'z_um': round(zi * dz_um, 6)}
+                if position_um is not None:
+                    p['x_um'] = round(float(position_um[0]), 6)
+                    p['y_um'] = round(float(position_um[1]), 6)
+                planes.append(p)
+        self.xml = ome_xml(image_name, self.width, self.height,
+                           self.num_z, self.num_c, 1, self.dtype,
+                           channel_names, channel_colors,
+                           pixel_size_um, dz_um, rgb=False,
+                           planes=planes)
+
+    # -------------------------------------------------------------- feed
+
+    def _flush_tile_row(self, st: _PlaneLevelStream, strip: int,
+                        rows: np.ndarray) -> None:
+        ts = self.ts
+        for tx in range(st.tiles_x):
+            block = np.zeros((ts, ts), self.dtype)
+            sub = rows[:, tx * ts:(tx + 1) * ts]
+            block[:sub.shape[0], :sub.shape[1]] = sub
+            raw = block.tobytes()
+            data = (zlib.compress(raw, self.core.level)
+                    if self.core.compression == 'deflate' else raw)
+            idx = strip * st.tiles_x + tx
+            st.offsets[idx] = self.core.append_tile_data(data)
+            st.counts[idx] = len(data)
+
+    def write_level(self, level: int, data: np.ndarray,
+                    sel: Optional[Tuple] = None, block: bool = False):
+        """Accept one (c, z) band slab, shaped (1, 1, 1, rows, w) with
+        ``sel`` carrying the channel/z/row placement (the contract
+        write_band_levels uses)."""
+        if sel is None:
+            # whole-level write (tiny canvases): one band at row 0
+            full = np.asarray(data)
+            for ci in range(self.num_c):
+                for zi in range(self.num_z):
+                    self.write_level(
+                        level, full[:, ci:ci + 1, zi:zi + 1],
+                        sel=(slice(0, 1), slice(ci, ci + 1),
+                             slice(zi, zi + 1),
+                             slice(0, full.shape[-2]),
+                             slice(0, full.shape[-1])))
+            return
+        ci, zi, y0 = sel[1].start, sel[2].start, sel[3].start
+        rows = np.ascontiguousarray(np.asarray(data)[0, 0, 0])
+        page = ci * self.num_z + zi
+        with self._lock:
+            st = self.streams[(page, level)]
+            if (self.thumbnail and level == self.num_levels - 1
+                    and page == 0):
+                s = self._thumb_stride
+                first = -(-y0 // s) * s  # first global row in stride
+                if first < y0 + rows.shape[0]:
+                    picked = rows[first - y0::s, ::s]
+                    self._thumb[first // s:first // s
+                                + picked.shape[0]] = picked
+            st.feed(y0, rows,
+                    lambda strip, r: self._flush_tile_row(st, strip, r))
+            self.peak_buffer_bytes = max(
+                self.peak_buffer_bytes,
+                sum(s_.buffered_bytes() for s_ in self.streams.values()))
+
+    # ------------------------------------------------------------- close
+
+    def close(self):
+        with self._lock:
+            leftovers = [(k, st) for k, st in self.streams.items()
+                         if st.next < st.h]
+            if leftovers:
+                raise ValueError(
+                    f"StreamingTiffWriter.close: {len(leftovers)} "
+                    "page-level(s) missing rows, e.g. "
+                    f"{leftovers[0][0]} at row {leftovers[0][1].next}"
+                    f"/{leftovers[0][1].h}")
+            first = True
+            for ci in range(self.num_c):
+                for zi in range(self.num_z):
+                    page = ci * self.num_z + zi
+                    sub_offsets = []
+                    for lv in range(1, self.num_levels):
+                        st = self.streams[(page, lv)]
+                        sub_offsets.append(self.core._write_ifd(
+                            self.core._plane_entries_dims(
+                                st.h, st.w, 1, self.dtype,
+                                st.offsets, st.counts, subfile=1),
+                            chain=False))
+                    st0 = self.streams[(page, 0)]
+                    entries = self.core._plane_entries_dims(
+                        st0.h, st0.w, 1, self.dtype,
+                        st0.offsets, st0.counts, subfile=0)
+                    if first:
+                        entries.append(
+                            (T_IMAGEDESCRIPTION, TY_ASCII, self.xml))
+                        first = False
+                    if sub_offsets:
+                        entries.append((T_SUBIFDS, TY_IFD8, sub_offsets))
+                    self.core._write_ifd(entries, chain=True)
+            if self.thumbnail and self._thumb is not None \
+                    and self._thumb.size:
+                self.core.add_plane(
+                    [np.ascontiguousarray(self._thumb)],
+                    description="reduced-resolution overview",
+                    subfile_type=1)
+            self.core.close()

@@ -62,18 +62,18 @@ def _unit_exists(pipeline, t, region: str) -> bool:
     those with a message instead of crashing after all stitching
     succeeded.
 
-    "Complete" is decided by the run manifests' completed records when
-    any are available (a region that died mid-save under
-    continue_on_error leaves a partially written store on disk — its
-    directory existing does NOT make it mergeable). Under work sharding
-    the coordinator's own manifest only records its OWN units, so all
-    shard manifests in the output folder are unioned. Without any
-    manifest (merge invoked standalone on an existing tree) we fall
-    back to the level-0 array's metadata file being present, which a
-    store that failed before array creation lacks."""
+    "Complete" requires BOTH records to agree: the run manifests'
+    completed list (a region that died mid-save under continue_on_error
+    leaves a partially written store on disk — its directory existing
+    does NOT make it mergeable) AND the level-0 array metadata on disk
+    (an operator may have deleted a bad store after the run). Under
+    work sharding the coordinator's own manifest only records its OWN
+    units, so all shard manifests in the output folder are unioned.
+    Without any manifest (merge invoked standalone on an existing
+    tree) the on-disk metadata decides alone."""
     completed = _completed_units(pipeline)
-    if completed is not None:
-        return f"{t}/{region}" in completed
+    if completed is not None and f"{t}/{region}" not in completed:
+        return False
     level0 = _region_level0_path(pipeline, t, region)
     return (os.path.exists(os.path.join(level0, '.zarray'))
             or os.path.exists(os.path.join(level0, 'zarr.json')))

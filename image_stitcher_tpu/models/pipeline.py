@@ -915,9 +915,19 @@ class StitchPipeline:
 
     def _should_stream(self, t, region: str) -> bool:
         opts = self.options
+        if self.output_format.endswith('.zarr'):
+            fmt_ok = True
+        elif self.output_format.endswith('.tiff'):
+            # monochrome TIFF streams band-wise (StreamingTiffWriter);
+            # RGB page mode needs three channels interleaved per tile
+            # and stays on the in-RAM writer
+            from ..io.ometiff import tiff_rgb_mode
+            fmt_ok = not tiff_rgb_mode(self.acq)
+        else:
+            fmt_ok = False
         if (opts.streaming == 'off'
                 or opts.mesh_shape is not None
-                or not self.output_format.endswith('.zarr')):
+                or not fmt_ok):
             return False
         if opts.streaming == 'on':
             return True
@@ -943,13 +953,23 @@ class StitchPipeline:
         output_path = self.per_timepoint_region_output_template.format(
             timepoint=t, region=region)
         os.makedirs(os.path.dirname(output_path), exist_ok=True)
-        writer = MultiscaleWriter(
-            output_path, (1, acq.num_c, acq.num_z, height, width),
-            self.num_pyramid_levels, acq.dtype, opts.chunks,
-            f"{region}_t{t}", acq.dz_um, acq.pixel_size_um,
-            acq.monochrome_channels, acq.monochrome_colors,
-            cname=(cc := self.resolved_compressor())[0], clevel=cc[1],
-            shuffle=cc[2], zarr_format=opts.zarr_format)
+        if self.output_format.endswith('.tiff'):
+            from ..io.ometiff import region_position_um
+            from ..io.tiffwriter import StreamingTiffWriter
+            writer = StreamingTiffWriter(
+                output_path, (1, acq.num_c, acq.num_z, height, width),
+                self.num_pyramid_levels, acq.dtype,
+                f"{region}_t{t}", acq.dz_um, acq.pixel_size_um,
+                acq.monochrome_channels, acq.monochrome_colors,
+                position_um=region_position_um(acq, t, region))
+        else:
+            writer = MultiscaleWriter(
+                output_path, (1, acq.num_c, acq.num_z, height, width),
+                self.num_pyramid_levels, acq.dtype, opts.chunks,
+                f"{region}_t{t}", acq.dz_um, acq.pixel_size_um,
+                acq.monochrome_channels, acq.monochrome_colors,
+                cname=(cc := self.resolved_compressor())[0], clevel=cc[1],
+                shuffle=cc[2], zarr_format=opts.zarr_format)
         backend = self._select_fusion_backend(height, width, len(jobs))
         ff = self._flatfield_recip_np() if self.flatfields else None
         if backend == 'device':

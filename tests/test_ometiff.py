@@ -180,3 +180,128 @@ def test_thumbnail_page(tmp_path):
     assert len(pages) == 3  # 2 planes + thumbnail
     tw, thh = pages[-1]
     assert max(tw, thh) <= 512
+
+
+def _read_all_pages(path):
+    from PIL import Image
+    img = Image.open(path)
+    pages = []
+    i = 0
+    while True:
+        try:
+            img.seek(i)
+        except EOFError:
+            break
+        pages.append(np.asarray(img).copy())
+        i += 1
+    return pages, img
+
+
+def test_streaming_tiff_matches_inram(tmp_path):
+    """VERDICT r2 #3: the band-streamed BigTIFF writer produces
+    pixel-identical pages (every level 0 page read via PIL; pyramid +
+    thumbnail content via manual SubIFD decode covered below) and the
+    same OME-XML as the in-RAM writer, while never buffering more than
+    a few band strips."""
+    import glob
+    from fixtures import write_synthetic_acquisition
+    from image_stitcher_tpu import EngineOptions, stitch
+    from PIL import Image
+
+    results = {}
+    for mode in ("off", "on"):
+        acq_dir = str(tmp_path / f"acq_{mode}")
+        write_synthetic_acquisition(acq_dir, grid_cols=3, grid_rows=3,
+                                    tile_w=200, tile_h=200, overlap=40,
+                                    channels=["Fluorescence 405 nm Ex",
+                                              "Fluorescence 488 nm Ex"],
+                                    seed=5)
+        stitch(acq_dir, output_format='.ome.tiff',
+               options=EngineOptions(streaming=mode))
+        out = sorted(glob.glob(acq_dir + "_stitched_*"))[-1]
+        results[mode] = os.path.join(out, "0_stitched",
+                                     "A1_stitched.ome.tiff")
+
+    pages_ram, img_ram = _read_all_pages(results["off"])
+    pages_str, img_str = _read_all_pages(results["on"])
+    assert len(pages_ram) == len(pages_str)
+    for a, b in zip(pages_ram, pages_str):
+        np.testing.assert_array_equal(a, b)
+    img_ram.seek(0)
+    img_str.seek(0)
+    assert img_ram.tag_v2[270] == img_str.tag_v2[270]  # identical OME-XML
+
+
+def test_streaming_tiff_writer_bounded_and_out_of_order(tmp_path):
+    """Feed bands out of order; close() must still assemble every page,
+    and the peak buffered bytes stay far below one canvas plane."""
+    from image_stitcher_tpu.io.tiffwriter import StreamingTiffWriter
+    from image_stitcher_tpu.ops.host_fuse import host_downsample
+
+    rng = np.random.default_rng(7)
+    h, w, band = 1024, 700, 256
+    data = rng.integers(0, 65535, (1, 1, h, w), dtype=np.uint16)
+    path = str(tmp_path / "s.ome.tiff")
+    wr = StreamingTiffWriter(path, (1, 1, 1, h, w), 2, np.uint16,
+                             "img", 1.0, 0.5, ["c0"], [0xFFFFFF])
+    order = [2, 0, 3, 1]  # out-of-order band arrival
+    for b in order:
+        band0 = b * band
+        buf = data[0, 0, band0:band0 + band]
+        wr.write_level(0, buf[None, None, None],
+                       sel=(slice(0, 1), slice(0, 1), slice(0, 1),
+                            slice(band0, band0 + band), slice(0, w)))
+        lv1 = host_downsample(buf, 'nearest')
+        wr.write_level(1, lv1[None, None, None],
+                       sel=(slice(0, 1), slice(0, 1), slice(0, 1),
+                            slice(band0 >> 1, (band0 >> 1) + lv1.shape[0]),
+                            slice(0, lv1.shape[1])))
+    peak = wr.peak_buffer_bytes
+    wr.close()
+    # out-of-order parking holds at most ~2 bands per level
+    assert peak < 3 * band * w * 2 * 2
+    assert peak < h * w * 2  # far below one canvas plane
+
+    pages, img = _read_all_pages(path)
+    np.testing.assert_array_equal(pages[0], data[0, 0])
+    # thumbnail page (last chained IFD, reduced-resolution)
+    img.seek(1)
+    assert np.asarray(img).shape[0] <= 512
+
+    # SubIFD pyramid content: decode level 1 manually (PIL skips SubIFDs)
+    import struct
+    import zlib
+    raw = open(path, 'rb').read()
+    first_ifd = struct.unpack('<Q', raw[8:16])[0]
+    ntags = struct.unpack('<Q', raw[first_ifd:first_ifd + 8])[0]
+    tags = {}
+    for i in range(ntags):
+        off = first_ifd + 8 + 20 * i
+        tag, ty, cnt = struct.unpack('<HHQ', raw[off:off + 12])
+        tags[tag] = (ty, cnt, raw[off + 12:off + 20])
+    sub_off = struct.unpack('<Q', tags[330][2])[0]
+    nsub = struct.unpack('<Q', raw[sub_off:sub_off + 8])[0]
+    sub = {}
+    for i in range(nsub):
+        off = sub_off + 8 + 20 * i
+        tag, ty, cnt = struct.unpack('<HHQ', raw[off:off + 12])
+        sub[tag] = (ty, cnt, raw[off + 12:off + 20])
+    lv1_full = host_downsample(data[0, 0], 'nearest')
+    h1, w1 = lv1_full.shape
+    assert struct.unpack('<Q', sub[256][2])[0] == w1
+    assert struct.unpack('<Q', sub[257][2])[0] == h1
+    # tile offsets/counts arrays (out of line: count > 1)
+    n_tiles = (-(-h1 // 256)) * (-(-w1 // 256))
+    toff_ptr = struct.unpack('<Q', sub[324][2])[0]
+    tcnt_ptr = struct.unpack('<Q', sub[325][2])[0]
+    offs = struct.unpack(f'<{n_tiles}Q', raw[toff_ptr:toff_ptr + 8 * n_tiles])
+    cnts = struct.unpack(f'<{n_tiles}Q', raw[tcnt_ptr:tcnt_ptr + 8 * n_tiles])
+    tiles_x = -(-w1 // 256)
+    recon = np.zeros((tiles_x * 0 + (-(-h1 // 256)) * 256,
+                      tiles_x * 256), np.uint16)
+    for ti, (o, c) in enumerate(zip(offs, cnts)):
+        ty_, tx_ = divmod(ti, tiles_x)
+        tile = np.frombuffer(zlib.decompress(raw[o:o + c]),
+                             np.uint16).reshape(256, 256)
+        recon[ty_ * 256:(ty_ + 1) * 256, tx_ * 256:(tx_ + 1) * 256] = tile
+    np.testing.assert_array_equal(recon[:h1, :w1], lv1_full)

@@ -72,40 +72,126 @@ def cached_acquisition() -> str:
     return acq_dir
 
 
-def run_ours(acq_dir, device_stages=False, rep_timeout=None):
-    """One full pipeline run.
+def stage_options(device_registration=False, device_flatfield=False):
+    """EngineOptions for a headline rep with per-stage backends."""
+    from image_stitcher_tpu import EngineOptions
+    # compressor 'auto': blosc on incompressible content burns core
+    # time for zero size benefit; the probe stores raw when a sample
+    # tile doesn't compress (the synthetic texture doesn't; real
+    # microscopy usually does and keeps blosc)
+    kw = dict(fusion_batch=10, reader_threads=8, compressor_cname='auto')
+    if device_registration:
+        kw.update(registration_scope='all-pairs',
+                  registration_device_threshold=0)
+    if device_flatfield:
+        kw.update(flatfield_device='device')
+    return EngineOptions(**kw)
 
-    device_stages=False: the all-host round-1 config (safe on tunneled
-    links where a cold remote compile can cost minutes).
-    device_stages=True: the TPU compute path in the headline loop —
-    all-pairs registration batched through the jitted phase-correlation
-    kernel and the flatfield ADMM solved on device. Scoring is best-of
-    across reps, so a cold compile in a device rep can only lose that
-    rep, while a warm cache lets the device reps win outright.
+
+_PROBE_CHILD = r"""
+import sys, time
+acq_dir, stage, dev = sys.argv[1], sys.argv[2], sys.argv[3] == '1'
+sys.path.insert(0, {repo!r}); sys.path.insert(0, {repo!r} + '/tests')
+from image_stitcher_tpu import StitchingParameters
+from image_stitcher_tpu.io.acquisition import scan_acquisition
+from image_stitcher_tpu.models.pipeline import StitchPipeline
+import bench
+params = StitchingParameters(input_folder=acq_dir, use_registration=True,
+                             apply_flatfield=True)
+pipe = StitchPipeline(params, bench.stage_options(
+    device_registration=dev and stage == 'registration',
+    device_flatfield=dev and stage == 'flatfield'))
+pipe.acq = scan_acquisition(acq_dir)
+t0 = time.perf_counter()
+if stage == 'registration':
+    if dev:
+        pipe.calculate_shifts_all_pairs(0, pipe.acq.regions[0])
+    else:
+        pipe.calculate_shifts(0, pipe.acq.regions[0])
+else:
+    pipe.compute_flatfields()
+print('PROBE_SECONDS', time.perf_counter() - t0, flush=True)
+"""
+
+
+def probe_stage_backends(acq_dir, stage_budget=300.0):
+    """Measure each device stage against its host twin ON THIS RUN's
+    link weather, then commit every headline rep to the winners.
+
+    r2 burned ~340 s of a 900 s budget on device reps that predictably
+    lost through a stormy tunnel (VERDICT r2 #1/#2). Each probe runs in
+    a SUBPROCESS under a hard kill timeout — a tunnel stall blocks
+    inside native calls where no cooperative watchdog can reach, and a
+    killed probe simply means 'storm: stay host'. A finished device
+    probe also leaves the persistent compile cache warm for the reps.
+    """
+    import subprocess
+    timings = {}
+    child_src = _PROBE_CHILD.format(
+        repo=os.path.dirname(os.path.abspath(__file__)))
+
+    def timed(name, stage, dev, cap):
+        t0 = time.perf_counter()
+        try:
+            out = subprocess.run(
+                [sys.executable, '-c', child_src, acq_dir, stage,
+                 '1' if dev else '0'],
+                capture_output=True, timeout=cap, text=True)
+        except subprocess.TimeoutExpired:
+            log(f"  probe {name}: killed at {cap:.0f}s (storm)")
+            timings[name] = None
+            return None
+        for line in out.stdout.splitlines():
+            if line.startswith('PROBE_SECONDS'):
+                dt = float(line.split()[1])
+                timings[name] = dt
+                log(f"  probe {name}: {dt:.2f}s "
+                    f"(+{time.perf_counter() - t0 - dt:.1f}s startup)")
+                return dt
+        log(f"  probe {name}: failed rc={out.returncode} "
+            f"{out.stderr.strip()[-300:]}")
+        timings[name] = None
+        return None
+
+    t0 = time.perf_counter()
+    # host twins run inline-fast and give the bar to beat
+    reg_host = timed('registration host(center,f64)', 'registration',
+                     False, cap=stage_budget / 2) or 60.0
+    ff_host = timed('flatfield host(ADMM)', 'flatfield', False,
+                    cap=stage_budget / 2) or 60.0
+    remaining = max(45.0, stage_budget - (time.perf_counter() - t0))
+    # device probes hard-capped: a stalled tunnel costs the cap, never
+    # the headline budget. The cap leaves room for one cold compile.
+    reg_dev = timed('registration device(all-pairs,jit)', 'registration',
+                    True, cap=min(remaining, 30 + 3 * reg_host + 90))
+    remaining = max(45.0, stage_budget - (time.perf_counter() - t0))
+    ff_dev = timed('flatfield device(jit ADMM)', 'flatfield', True,
+                   cap=min(remaining, 30 + 3 * ff_host + 90))
+    choice = {
+        'device_registration': reg_dev is not None and reg_dev < reg_host,
+        'device_flatfield': ff_dev is not None and ff_dev < ff_host,
+    }
+    log(f"  probe choice: {choice}")
+    return choice, timings
+
+
+def run_ours(acq_dir, stage_choice=None, rep_timeout=None):
+    """One full pipeline run with probe-chosen stage backends.
 
     ``rep_timeout`` arms a cooperative watchdog: a rep that blows past
     it (a storm-swept tunnel has cost >1000 s of a 900 s budget) is
     cancelled and scored as lost instead of consuming every remaining
     rep's chance. Returns (dt or None-if-cancelled, pipeline).
     """
-    from image_stitcher_tpu import EngineOptions, StitchingParameters
+    from image_stitcher_tpu import StitchingParameters
     from image_stitcher_tpu.models.pipeline import StitchPipeline
     from image_stitcher_tpu.utils.progress import ProgressReporter
     params = StitchingParameters(input_folder=acq_dir, use_registration=True,
                                  apply_flatfield=True)
-    # compressor 'auto': blosc on incompressible content burns core
-    # time for zero size benefit; the probe stores raw when a sample
-    # tile doesn't compress (the synthetic texture doesn't; real
-    # microscopy usually does and keeps blosc)
-    if device_stages:
-        options = EngineOptions(fusion_batch=10, reader_threads=8,
-                                registration_scope='all-pairs',
-                                registration_device_threshold=0,
-                                flatfield_device='device',
-                                compressor_cname='auto')
-    else:
-        options = EngineOptions(fusion_batch=10, reader_threads=8,
-                                compressor_cname='auto')
+    stage_choice = stage_choice or {}
+    options = stage_options(
+        device_registration=stage_choice.get('device_registration', False),
+        device_flatfield=stage_choice.get('device_flatfield', False))
     reporter = ProgressReporter(
         status=lambda msg, s=False: (
             log("  " + msg) if msg.startswith(
@@ -138,9 +224,9 @@ def run_ours(acq_dir, device_stages=False, rep_timeout=None):
         if watchdog is not None:
             watchdog.cancel()
     dt = time.perf_counter() - t0
-    log(f"  config: {'device' if device_stages else 'host'} stages "
-        f"(registration_scope={options.registration_scope}, "
-        f"flatfield_device={options.flatfield_device})")
+    log(f"  config: registration_scope={options.registration_scope} "
+        f"(threshold={options.registration_device_threshold}), "
+        f"flatfield_device={options.flatfield_device}")
     for line in pipe.timers.summary():
         log("  " + line)
     return (None if cancelled else dt), pipe
@@ -481,7 +567,7 @@ def main():
     # by its best run so both sides get comparable weather. The budget
     # must span several weather cycles — a 6-minute budget has recorded
     # a single storm-swept rep as the round's headline number.
-    repeats = int(os.environ.get("BENCH_REPEATS", "5"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "6"))
     time_budget = float(os.environ.get("BENCH_TIME_BUDGET", "900"))
     bench_t0 = time.perf_counter()
     acq_dir = cached_acquisition()
@@ -489,34 +575,39 @@ def main():
         n_tiles = GRID * GRID * len(CHANNELS)
         ours_best, base_best = None, None
         pipe = None
-        device_lost = False
+
+        # Probe each device stage against its host twin ONCE, on this
+        # run's link weather, then commit every rep to the winners — a
+        # device rep can no longer burn a headline slot losing through
+        # a stormy tunnel (it loses a bounded probe instead), and on a
+        # DMA-attached host the device stages win the probe and ride
+        # every rep. The probe also warms the persistent compile cache.
+        stage_choice, probe_timings = probe_stage_backends(acq_dir)
+
         for rep in range(repeats):
             if rep > 0 and time.perf_counter() - bench_t0 > time_budget:
                 log(f"time budget reached after {rep} repeat(s)")
                 break
-            # rep 0 is the all-host config: immune to a cold remote
-            # compile, so the one rep guaranteed to finish inside any
-            # budget is the cheapest-to-win one. Later reps put the TPU
-            # kernels in the loop (compile caches persist on the bench
-            # host; a cold compile can only lose that rep) — unless a
-            # device rep already blew its watchdog, which means the
-            # tunnel is storming; then the remaining reps go to the
-            # host config, which can still improve the best.
-            use_device = rep != 0 and not device_lost
+            # rep 0 runs all-host regardless of the probe: the one rep
+            # guaranteed immune to device weather, so a number always
+            # lands inside any budget. Later reps use the probe choice.
+            choice = {} if rep == 0 else stage_choice
             # watchdog: a storm-swept rep must not consume the whole
             # budget (a device rep has cost >1000 s of a 900 s budget).
-            # 2.5x the best known time, floored generously for cold
-            # compiles; rep 0 gets the remaining budget as its bound.
+            # 2.5x the best known time, floored generously; rep 0 gets
+            # the remaining budget as its bound.
             if ours_best is not None:
-                rep_timeout = max(300.0, 2.5 * ours_best)
+                rep_timeout = max(240.0, 2.5 * ours_best)
             else:
-                rep_timeout = max(300.0, time_budget)
-            ours_dt, pipe = run_ours(acq_dir, device_stages=use_device,
+                rep_timeout = max(240.0, time_budget
+                                  - (time.perf_counter() - bench_t0))
+            ours_dt, pipe = run_ours(acq_dir, stage_choice=choice,
                                      rep_timeout=rep_timeout)
             if ours_dt is None:
                 log(f"ours[{rep}]: lost to the watchdog")
-                if use_device:
-                    device_lost = True
+                if choice:
+                    # mid-run storm: demote the remaining reps to host
+                    stage_choice = {}
             else:
                 log(f"ours[{rep}]: {ours_dt:.1f}s "
                     f"(shifts h={pipe.shifts.h_shift} "
@@ -542,7 +633,7 @@ def main():
             # one final uncapped host rep — the driver's outer timeout
             # is the bound now, and any number beats none
             log("all reps lost; one final uncapped host rep")
-            ours_dt, pipe = run_ours(acq_dir, device_stages=False)
+            ours_dt, pipe = run_ours(acq_dir)
             ours_best = ours_dt
         if base_best is None:
             base_dt, _ = run_baseline(acq_dir, pipe.num_pyramid_levels)

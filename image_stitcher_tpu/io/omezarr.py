@@ -182,6 +182,18 @@ class MultiscaleWriter:
                                   cname=cname, clevel=clevel, shuffle=shuffle)
                 for level in range(num_levels)
             ]
+            if cname is None:
+                # raw chunks: band slabs go straight to chunk files via
+                # pwritev (io/raw_zarr.py) — ~4-6x less write-stage CPU
+                # than tensorstore's assemble-and-write on this path
+                from .raw_zarr import RawV2SlabWriter
+                self._raw = [
+                    RawV2SlabWriter(os.path.join(path, str(level)),
+                                    self.shapes[level], chunks, dtype)
+                    for level in range(num_levels)
+                ]
+        if not hasattr(self, '_raw'):
+            self._raw = None
         self._pending = []          # (future, nbytes) in issue order
         self._pending_bytes = 0
         self._max_pending_bytes = max_pending_bytes
@@ -197,6 +209,8 @@ class MultiscaleWriter:
         of slabs are in flight, the oldest futures are drained first so
         bounded-memory streaming stays bounded end to end.
         """
+        if self._raw is not None and self._raw[level].try_write(sel, data):
+            return
         target = self.arrays[level] if sel is None else self.arrays[level][sel]
         fut = target.write(data)
         if block:

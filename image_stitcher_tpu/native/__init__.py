@@ -97,6 +97,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
             for f in (lib.place_u16, lib.place_u8, lib.feather_u16,
                       lib.feather_u8):
                 f.restype = None
+            c64 = ctypes.c_longlong
+            lib.write_rows_contig.argtypes = [ci, vp, c64, c64, c64,
+                                              vp, c64, c64]
+            lib.write_rows_contig.restype = c64
             _LIB = lib
         except Exception:
             _LIB = None

@@ -22,6 +22,9 @@
 
 #include <stdint.h>
 #include <stddef.h>
+#include <errno.h>
+#include <sys/uio.h>
+#include <unistd.h>
 
 /* Place tile[y0:y1, x0:x1] into canvas at (cy, cx), correcting by ff. */
 void place_u16(
@@ -75,6 +78,74 @@ void place_u8(
             }
         }
     }
+}
+
+/* ---- raw zarr chunk writer -------------------------------------- */
+
+/* Drain a fully-populated iovec array at a file offset, restarting on
+ * partial writes and EINTR. Returns 0 or -errno. */
+static int pwritev_full(int fd, struct iovec *iov, int n, long long off)
+{
+    while (n > 0) {
+        ssize_t k = pwritev(fd, iov, n, (off_t)off);
+        if (k < 0) {
+            if (errno == EINTR)
+                continue;
+            return -errno;
+        }
+        off += k;
+        while (n > 0 && (size_t)k >= iov[0].iov_len) {
+            k -= (ssize_t)iov[0].iov_len;
+            ++iov;
+            --n;
+        }
+        if (n > 0 && k > 0) {
+            iov[0].iov_base = (char *)iov[0].iov_base + k;
+            iov[0].iov_len -= (size_t)k;
+        }
+    }
+    return 0;
+}
+
+/* Stream nrows strided source rows into a CONTIGUOUS file region at
+ * off0: each file record is row_bytes from src (advancing src_stride
+ * per row) followed by pad_bytes of zero padding (pad may be NULL when
+ * pad_bytes is 0). This writes zarr v2 raw chunk bodies straight from
+ * a band buffer — no per-chunk assembly copy, which is the single
+ * largest CPU cost of the uncompressed write path on one-core hosts
+ * (tensorstore's machinery measures ~0.4 GB/s here; this ~1.5-2.5).
+ * Returns 0 or -errno. */
+long long write_rows_contig(int fd, const char *src, long long src_stride,
+                            long long nrows, long long row_bytes,
+                            const char *pad, long long pad_bytes,
+                            long long off0)
+{
+    enum { MAXIOV = 1024 };
+    struct iovec iov[MAXIOV];
+    int per = pad_bytes > 0 ? 2 : 1;
+    long long rec = row_bytes + pad_bytes;
+    long long r = 0;
+    while (r < nrows) {
+        long long batch = (MAXIOV / per);
+        if (batch > nrows - r)
+            batch = nrows - r;
+        int n = 0;
+        for (long long i = 0; i < batch; ++i) {
+            iov[n].iov_base = (void *)(src + (r + i) * src_stride);
+            iov[n].iov_len = (size_t)row_bytes;
+            ++n;
+            if (pad_bytes > 0) {
+                iov[n].iov_base = (void *)pad;
+                iov[n].iov_len = (size_t)pad_bytes;
+                ++n;
+            }
+        }
+        int rc = pwritev_full(fd, iov, n, off0 + r * rec);
+        if (rc < 0)
+            return rc;
+        r += batch;
+    }
+    return 0;
 }
 
 /* Feathered accumulate: acc += w*corrected, wsum += w. Ramp distances

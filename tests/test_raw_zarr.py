@@ -1,0 +1,143 @@
+"""Byte-parity of the direct raw-chunk writer against tensorstore.
+
+The raw writer (io/raw_zarr.py) must produce chunk files whose CONTENT
+is identical to tensorstore writing the same data — full-size bodies,
+zero-padded edges, nested keys — because downstream readers (tensorstore
+itself, napari, ome-zarr consumers) see only the files.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from image_stitcher_tpu.io.raw_zarr import RawV2SlabWriter
+from image_stitcher_tpu.io.zarr_store import create_zarr_array
+from image_stitcher_tpu.native import get_lib
+
+pytestmark = pytest.mark.skipif(
+    get_lib() is None or not hasattr(get_lib(), 'write_rows_contig'),
+    reason="native hostops unavailable")
+
+
+def _all_chunk_files(root):
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.startswith('.'):
+                continue
+            p = os.path.join(dirpath, f)
+            out[os.path.relpath(p, root)] = p
+    return out
+
+
+def _write_both(tmp_path, shape, chunks, dtype, slabs):
+    """slabs: list of (sel, data). Returns (ts_dir, raw_dir)."""
+    ts_dir = str(tmp_path / 'ts')
+    raw_dir = str(tmp_path / 'raw')
+    arr = create_zarr_array(ts_dir, shape, chunks, dtype, cname=None)
+    create_zarr_array(raw_dir, shape, chunks, dtype, cname=None)
+    raw = RawV2SlabWriter(raw_dir, shape, chunks, dtype)
+    assert raw.ok
+    for sel, data in slabs:
+        arr[sel].write(data).result() if sel is not None \
+            else arr.write(data).result()
+        assert raw.try_write(sel, data)
+    return ts_dir, raw_dir
+
+
+def _assert_file_parity(ts_dir, raw_dir):
+    ts_files = _all_chunk_files(ts_dir)
+    raw_files = _all_chunk_files(raw_dir)
+    assert set(ts_files) == set(raw_files)
+    for rel in ts_files:
+        a = open(ts_files[rel], 'rb').read()
+        b = open(raw_files[rel], 'rb').read()
+        assert a == b, f"chunk {rel} differs"
+
+
+@pytest.mark.parametrize("dtype", [np.uint16, np.uint8])
+def test_band_slabs_match_tensorstore(tmp_path, dtype):
+    rng = np.random.default_rng(0)
+    shape = (1, 2, 1, 300, 500)          # edge chunks in y and x
+    chunks = (1, 1, 1, 128, 128)
+    slabs = []
+    for c in range(2):
+        for y0 in (0, 128, 256):         # bands aligned to the chunk grid
+            h = min(128, 300 - y0)
+            data = rng.integers(0, np.iinfo(dtype).max, (h, 500), dtype)
+            sel = (slice(0, 1), slice(c, c + 1), slice(0, 1),
+                   slice(y0, y0 + h), slice(0, 500))
+            slabs.append((sel, data[None, None, None]))
+    _assert_file_parity(*_write_both(tmp_path, shape, chunks, dtype, slabs))
+
+
+def test_partial_chunk_rows_match(tmp_path):
+    """Pyramid-style writes: bands cover a fraction of a chunk's rows,
+    two bands land in the same chunk file."""
+    rng = np.random.default_rng(1)
+    shape = (1, 1, 1, 200, 130)
+    chunks = (1, 1, 1, 128, 64)
+    slabs = []
+    for y0, h in ((0, 50), (50, 78), (128, 72)):
+        data = rng.integers(0, 65535, (h, 130), np.uint16)
+        sel = (slice(0, 1), slice(0, 1), slice(0, 1),
+               slice(y0, y0 + h), slice(0, 130))
+        slabs.append((sel, data[None, None, None]))
+    _assert_file_parity(*_write_both(tmp_path, shape, chunks,
+                                     np.uint16, slabs))
+
+
+def test_narrow_level_width_leaves_tail_chunks_missing(tmp_path):
+    """A write narrower than the array (pyramid w_lv < shape) pads the
+    touched chunk and leaves wholly-uncovered chunks as fill."""
+    shape = (1, 1, 1, 64, 300)
+    chunks = (1, 1, 1, 64, 64)
+    raw_dir = str(tmp_path / 'raw')
+    create_zarr_array(raw_dir, shape, chunks, np.uint16, cname=None)
+    raw = RawV2SlabWriter(raw_dir, shape, chunks, np.uint16)
+    data = np.full((1, 1, 1, 64, 100), 7, np.uint16)
+    sel = (slice(0, 1), slice(0, 1), slice(0, 1), slice(0, 64),
+           slice(0, 100))
+    assert raw.try_write(sel, data)
+    files = _all_chunk_files(raw_dir)
+    assert set(files) == {os.path.join('0', '0', '0', '0', '0'),
+                          os.path.join('0', '0', '0', '0', '1')}
+    import tensorstore as ts
+    a = ts.open({"driver": "zarr",
+                 "kvstore": {"driver": "file", "path": raw_dir}}).result()
+    back = a.read().result()
+    assert (back[0, 0, 0, :, :100] == 7).all()
+    assert (back[0, 0, 0, :, 100:] == 0).all()
+
+
+def test_unsupported_patterns_fall_back(tmp_path):
+    raw_dir = str(tmp_path / 'raw')
+    shape = (1, 1, 1, 128, 128)
+    chunks = (1, 1, 1, 64, 64)
+    create_zarr_array(raw_dir, shape, chunks, np.uint16, cname=None)
+    raw = RawV2SlabWriter(raw_dir, shape, chunks, np.uint16)
+    data = np.zeros((1, 1, 1, 64, 64), np.uint16)
+    # x not starting at 0
+    sel = (slice(0, 1), slice(0, 1), slice(0, 1), slice(0, 64),
+           slice(64, 128))
+    assert not raw.try_write(sel, data)
+    # dtype mismatch
+    sel0 = (slice(0, 1), slice(0, 1), slice(0, 1), slice(0, 64),
+            slice(0, 64))
+    assert not raw.try_write(sel0, data.astype(np.uint8))
+    # shape mismatch vs sel
+    assert not raw.try_write(sel0, np.zeros((1, 1, 1, 32, 64), np.uint16))
+    # non-zero fill refuses at construction
+    assert not RawV2SlabWriter(raw_dir, shape, chunks, np.uint16,
+                               fill_value=3).ok
+
+
+def test_full_level_write_matches(tmp_path):
+    """sel=None whole-array writes (in-RAM save path) round-trip."""
+    rng = np.random.default_rng(2)
+    shape = (1, 2, 2, 100, 90)
+    chunks = (1, 1, 1, 64, 64)
+    data = rng.integers(0, 65535, shape, np.uint16)
+    _assert_file_parity(*_write_both(tmp_path, shape, chunks, np.uint16,
+                                     [(None, data)]))

@@ -29,41 +29,44 @@ def _probe_cache_path() -> str:
     return os.path.expanduser("~/.cache/image_stitcher_tpu/linkprobe.json")
 
 
-def probe_link_bandwidth(size_mb: int = 16, force: bool = False) -> Dict[str, float]:
-    """Measure H2D and D2H throughput (MB/s) with pure transfers.
+#: a stalled remote runtime (tunnel storms) blocks jax initialization
+#: indefinitely; the probe must never hang the all-host pipeline with it
+_PROBE_DEADLINE_S = 30.0
 
-    No device computation is involved — on remote backends a single
-    stray jit can cost minutes of compile. The result is cached
-    in-process and on disk (per boot day) since link bandwidth is a
-    property of the machine, not the run.
-    """
-    global _PROBE_CACHE
-    if _PROBE_CACHE is not None and not force:
-        return _PROBE_CACHE
+#: what a dead/stalled link probes as — forces the host backend
+DEAD_LINK = {'h2d_mbps': 1e-3, 'd2h_mbps': 1e-3}
 
-    import json
+
+def _expected_backend():
+    """The backend this process WOULD initialize, without initializing
+    it. Initializing a stalled remote runtime just to learn its name can
+    hang forever; a fresh cache entry for the expected backend must be
+    usable with zero jax contact. Returns None when unknowable."""
     import os
-
-    import jax
-    backend = jax.default_backend()
-    path = _PROBE_FILE or _probe_cache_path()
-    if not force:
+    import sys
+    mod = sys.modules.get('jax')
+    if mod is not None:
         try:
-            with open(path) as f:
-                saved = json.load(f)
-            # bandwidth is a property of (machine, backend): a CPU-run
-            # probe must never drive a TPU run's placement decision
-            if (saved.get('backend') == backend
-                    and time.time() - saved.get('ts', 0) < _PROBE_TTL_S):
-                _PROBE_CACHE = {'h2d_mbps': saved['h2d_mbps'],
-                                'd2h_mbps': saved['d2h_mbps']}
-                return _PROBE_CACHE
+            from jax._src import xla_bridge
+            if getattr(xla_bridge, '_backends', None):
+                return mod.default_backend()   # already live: cheap
         except Exception:
             pass
+    env = os.environ.get('JAX_PLATFORMS', '')
+    if env:
+        return env.split(',')[0].strip().lower() or None
+    return None
+
+
+def _probe_transfers(size_mb: int):
+    """The jax-touching part: init + two pure transfers. Runs on a
+    worker thread under a deadline."""
+    import jax
     n = size_mb * 1024 * 1024 // 2
     rng = np.random.default_rng(0)
     host_a = rng.integers(0, 60000, (n,), dtype=np.uint16)
     host_b = rng.integers(0, 60000, (n,), dtype=np.uint16)
+    backend = jax.default_backend()
     # warm the dispatch path
     jax.device_put(host_a[:128]).block_until_ready()
 
@@ -79,13 +82,109 @@ def probe_link_bandwidth(size_mb: int = 16, force: bool = False) -> Dict[str, fl
     t0 = time.perf_counter()
     np.asarray(dev_b)
     d2h = size_mb / max(time.perf_counter() - t0, 1e-9)
+    return backend, {'h2d_mbps': h2d, 'd2h_mbps': d2h}
 
-    _PROBE_CACHE = {'h2d_mbps': h2d, 'd2h_mbps': d2h}
+
+def _run_probe(size_mb: int, deadline_s: float, platform=None):
+    """Run ``_probe_transfers`` in a SUBPROCESS under a hard kill
+    deadline. Returns (backend, rates) or None on timeout/failure.
+
+    A subprocess, not a thread: a stalled remote runtime blocks jax
+    initialization itself (the axon-style plugins initialize their
+    client even when another platform is selected), and a thread stuck
+    inside that init can't be killed — it leaks and aborts the
+    interpreter at exit. ``platform``, when known, pins the child via
+    the config API (the env var is overridden by such plugins).
+    """
+    import json as _json
+    import subprocess
+    import sys
+    code = (
+        "import json, sys\n"
+        "if sys.argv[2] != 'none':\n"
+        "    import jax\n"
+        "    jax.config.update('jax_platforms', sys.argv[2])\n"
+        "from image_stitcher_tpu.parallel.autotune import _probe_transfers\n"
+        "b, r = _probe_transfers(int(sys.argv[1]))\n"
+        "print('PROBE_JSON ' + json.dumps([b, r]), flush=True)\n")
     try:
+        out = subprocess.run(
+            [sys.executable, '-c', code, str(size_mb), platform or 'none'],
+            capture_output=True, timeout=deadline_s, text=True)
+    except Exception:
+        return None
+    for line in out.stdout.splitlines():
+        if line.startswith('PROBE_JSON '):
+            try:
+                backend, rates = _json.loads(line[len('PROBE_JSON '):])
+                return backend, rates
+            except Exception:
+                return None
+    return None
+
+
+def probe_link_bandwidth(size_mb: int = 16, force: bool = False) -> Dict[str, float]:
+    """Measure H2D and D2H throughput (MB/s) with pure transfers.
+
+    No device computation is involved — on remote backends a single
+    stray jit can cost minutes of compile. Results are cached in-process
+    and on disk per backend (link bandwidth is a property of the
+    machine+backend, not the run); a fresh disk entry is served WITHOUT
+    touching jax, and a cache-miss probe runs under a deadline — a
+    stalled tunnel yields DEAD_LINK (host fusion) instead of hanging
+    the pipeline inside backend initialization.
+    """
+    global _PROBE_CACHE
+    if _PROBE_CACHE is not None and not force:
+        return _PROBE_CACHE
+
+    import json
+    import os
+
+    path = _PROBE_FILE or _probe_cache_path()
+    expected = _expected_backend()
+    if not force:
+        try:
+            with open(path) as f:
+                saved = json.load(f)
+            if expected is None:
+                # env-less: what a default init resolved to on this
+                # machine last time (a machine property, recorded below)
+                expected = saved.get('default_backend')
+            # per-backend sections: a CPU-run probe must never drive a
+            # TPU run's placement decision (and vice versa)
+            entry = saved.get('links', {}).get(expected)
+            if (entry
+                    and time.time() - entry.get('ts', 0) < _PROBE_TTL_S):
+                _PROBE_CACHE = {'h2d_mbps': entry['h2d_mbps'],
+                                'd2h_mbps': entry['d2h_mbps']}
+                return _PROBE_CACHE
+        except Exception:
+            pass
+
+    probed = _run_probe(size_mb, _PROBE_DEADLINE_S, expected)
+    if probed is None:
+        # stalled or failed: treat the link as dead for this run, but
+        # do NOT poison the disk cache with a transient storm
+        _PROBE_CACHE = dict(DEAD_LINK)
+        return _PROBE_CACHE
+
+    backend, rates = probed
+    _PROBE_CACHE = rates
+    try:
+        saved = {}
+        try:
+            with open(path) as f:
+                saved = json.load(f)
+        except Exception:
+            pass
+        saved.setdefault('links', {})[backend] = {
+            **rates, 'ts': time.time()}
+        if os.environ.get('JAX_PLATFORMS', '') == '':
+            saved['default_backend'] = backend
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, 'w') as f:
-            json.dump({**_PROBE_CACHE, 'ts': time.time(),
-                       'backend': backend}, f)
+            json.dump(saved, f)
     except Exception:
         pass
     return _PROBE_CACHE

@@ -125,6 +125,77 @@ def test_probe_host_bandwidth_measures_and_caches(tmp_path, monkeypatch):
     assert autotune.probe_host_bandwidth(size_mb=4) == 123.0
 
 
+def test_link_probe_cache_hit_needs_no_jax(tmp_path, monkeypatch):
+    """A fresh per-backend cache entry is served without running the
+    jax probe — initializing a stalled remote runtime just to re-learn
+    the backend name has hung the all-host pipeline forever."""
+    import json
+    import time
+    from image_stitcher_tpu.parallel import autotune
+    path = tmp_path / 'linkprobe.json'
+    backend = autotune._expected_backend()
+    assert backend is not None  # conftest initializes jax on cpu
+    path.write_text(json.dumps({'links': {backend: {
+        'h2d_mbps': 111.0, 'd2h_mbps': 222.0, 'ts': time.time()}}}))
+    monkeypatch.setattr(autotune, '_PROBE_FILE', str(path))
+    monkeypatch.setattr(autotune, '_PROBE_CACHE', None)
+    monkeypatch.setattr(autotune, '_run_probe',
+                        lambda *a, **k: (_ for _ in ()).throw(
+                            AssertionError("probe must not run")))
+    assert autotune.probe_link_bandwidth() == {'h2d_mbps': 111.0,
+                                               'd2h_mbps': 222.0}
+
+
+def test_link_probe_other_backend_entry_is_ignored(tmp_path, monkeypatch):
+    """A CPU-run probe must never drive a TPU run's placement decision:
+    an entry for a different backend misses the cache."""
+    import json
+    import time
+    from image_stitcher_tpu.parallel import autotune
+    path = tmp_path / 'linkprobe.json'
+    path.write_text(json.dumps({'links': {'somewhere-else': {
+        'h2d_mbps': 1.0, 'd2h_mbps': 1.0, 'ts': time.time()}}}))
+    monkeypatch.setattr(autotune, '_PROBE_FILE', str(path))
+    monkeypatch.setattr(autotune, '_PROBE_CACHE', None)
+    monkeypatch.setattr(autotune, '_run_probe',
+                        lambda *a, **k: ('cpu', {'h2d_mbps': 9.0,
+                                                 'd2h_mbps': 9.0}))
+    assert autotune.probe_link_bandwidth()['h2d_mbps'] == 9.0
+
+
+def test_link_probe_deadline_returns_dead_link(tmp_path, monkeypatch):
+    """A probe that stalls past the deadline (storm-stalled tunnel — the
+    subprocess is killed and _run_probe returns None) yields DEAD_LINK —
+    forcing host fusion — instead of hanging, and does not poison the
+    disk cache with the transient failure."""
+    import json
+    from image_stitcher_tpu.parallel import autotune
+    path = tmp_path / 'linkprobe.json'
+    before = json.dumps({'links': {}})
+    path.write_text(before)
+    monkeypatch.setattr(autotune, '_PROBE_FILE', str(path))
+    monkeypatch.setattr(autotune, '_PROBE_CACHE', None)
+    monkeypatch.setattr(autotune, '_run_probe', lambda *a, **k: None)
+    assert autotune.probe_link_bandwidth() == autotune.DEAD_LINK
+    assert path.read_text() == before
+    # DEAD_LINK routes fusion to the host
+    from image_stitcher_tpu.parallel.autotune import choose_fusion_backend
+    assert choose_fusion_backend(1 << 30, 1 << 30, autotune.DEAD_LINK,
+                                 host_bps=1e9) == 'host'
+
+
+def test_link_probe_subprocess_kill_deadline():
+    """The real _run_probe enforces its deadline with a subprocess kill:
+    a child that never answers is reaped within the deadline (plus
+    startup slack), not waited on forever."""
+    import time as _time
+    from image_stitcher_tpu.parallel import autotune
+    t0 = _time.perf_counter()
+    # a deadline shorter than interpreter startup guarantees the kill
+    assert autotune._run_probe(1, 0.01) is None
+    assert _time.perf_counter() - t0 < 10.0
+
+
 def test_correct_tile_undersized_numpy_fallback():
     """The NumPy twin must correct an undersized edge tile by the
     matching window of the nominal-size reciprocal field (it used to

@@ -584,6 +584,16 @@ def main():
         # every rep. The probe also warms the persistent compile cache.
         stage_choice, probe_timings = probe_stage_backends(acq_dir)
 
+        # warm the fusion link-probe cache before any timed rep: on a
+        # storm-stalled tunnel the probe costs its 30 s kill deadline
+        # exactly once here (cached in-process for every rep) instead
+        # of inside rep 0's headline time
+        from image_stitcher_tpu.parallel.autotune import probe_link_bandwidth
+        t_probe = time.perf_counter()
+        lp = probe_link_bandwidth()
+        log(f"link probe: h2d={lp['h2d_mbps']:.0f} d2h={lp['d2h_mbps']:.0f} "
+            f"MiB/s ({time.perf_counter() - t_probe:.1f}s)")
+
         for rep in range(repeats):
             if rep > 0 and time.perf_counter() - bench_t0 > time_budget:
                 log(f"time budget reached after {rep} repeat(s)")

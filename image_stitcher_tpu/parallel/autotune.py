@@ -37,12 +37,25 @@ _PROBE_DEADLINE_S = 30.0
 DEAD_LINK = {'h2d_mbps': 1e-3, 'd2h_mbps': 1e-3}
 
 
-def _expected_backend():
-    """The backend this process WOULD initialize, without initializing
-    it. Initializing a stalled remote runtime just to learn its name can
-    hang forever; a fresh cache entry for the expected backend must be
-    usable with zero jax contact. Returns None when unknowable."""
-    import os
+def _canonical(name):
+    """Canonical platform name (plugin aliases like 'axon' map to
+    'tpu'). Importing jax does NOT initialize backends — verified: the
+    alias table is consulted without touching any runtime — so this is
+    safe under a stalled tunnel. Cache keys MUST be canonical: probes
+    record ``jax.default_backend()`` (canonical), so an alias-keyed
+    lookup would never hit."""
+    if not name:
+        return None
+    try:
+        from jax._src import xla_bridge
+        return xla_bridge.canonicalize_platform(name)
+    except Exception:
+        return name
+
+
+def _live_backend():
+    """Canonical name of an ALREADY-initialized backend, else None.
+    Never initializes anything."""
     import sys
     mod = sys.modules.get('jax')
     if mod is not None:
@@ -52,15 +65,36 @@ def _expected_backend():
                 return mod.default_backend()   # already live: cheap
         except Exception:
             pass
-    env = os.environ.get('JAX_PLATFORMS', '')
+    return None
+
+
+def _env_platforms() -> str:
+    import os
+    return os.environ.get('JAX_PLATFORMS', '').strip()
+
+
+def _expected_backend():
+    """The canonical backend name this process WOULD use, without
+    initializing it. Initializing a stalled remote runtime just to
+    learn its name can hang forever; a fresh cache entry for the
+    expected backend must be usable with zero jax contact. Returns
+    None when unknowable (env-less, jax not yet live)."""
+    live = _live_backend()
+    if live:
+        return live
+    env = _env_platforms()
     if env:
-        return env.split(',')[0].strip().lower() or None
+        # first entry of the priority list — a fallback-initialized
+        # parent may actually run a later entry; that only costs a
+        # cache miss, and the probe child gets the FULL list
+        return _canonical(env.split(',')[0].strip().lower() or None)
     return None
 
 
 def _probe_transfers(size_mb: int):
-    """The jax-touching part: init + two pure transfers. Runs on a
-    worker thread under a deadline."""
+    """The jax-touching part: init + two pure transfers. Runs inside
+    the ``_run_probe`` subprocess (killable; see its docstring for why
+    not a thread)."""
     import jax
     n = size_mb * 1024 * 1024 // 2
     rng = np.random.default_rng(0)
@@ -93,14 +127,35 @@ def _run_probe(size_mb: int, deadline_s: float, platform=None):
     initialization itself (the axon-style plugins initialize their
     client even when another platform is selected), and a thread stuck
     inside that init can't be killed — it leaks and aborts the
-    interpreter at exit. ``platform``, when known, pins the child via
-    the config API (the env var is overridden by such plugins).
+    interpreter at exit (observed). A healthy-link probe costs one
+    interpreter+jax startup per disk-cache TTL; accepting that beats
+    any in-process fast path that can hang the pipeline.
+
+    ``platform`` pins the child via the config API (the env var is
+    overridden by such plugins) and may be a comma-separated priority
+    list, so a parent that would fall back (e.g. 'tpu,cpu') probes the
+    same fallback chain. Pass only user intent (env) or a live parent
+    backend — never a cached guess, which could pin the child to a
+    platform that no longer exists and lock every future probe into
+    failure.
+
+    Timeouts AND child errors both return None (the caller treats the
+    link as dead), but child errors are logged with stderr so a
+    persistent misconfiguration is visible instead of silently forcing
+    host fusion forever.
     """
     import json as _json
+    import os
     import subprocess
     import sys
+    # the child must import image_stitcher_tpu from wherever the
+    # parent did (source checkouts without install); sys.path injection
+    # — NOT PYTHONPATH, which breaks plugin entry-point registration
+    pkg_root = os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
     code = (
         "import json, sys\n"
+        "sys.path.insert(0, sys.argv[3])\n"
         "if sys.argv[2] != 'none':\n"
         "    import jax\n"
         "    jax.config.update('jax_platforms', sys.argv[2])\n"
@@ -109,9 +164,13 @@ def _run_probe(size_mb: int, deadline_s: float, platform=None):
         "print('PROBE_JSON ' + json.dumps([b, r]), flush=True)\n")
     try:
         out = subprocess.run(
-            [sys.executable, '-c', code, str(size_mb), platform or 'none'],
+            [sys.executable, '-c', code, str(size_mb), platform or 'none',
+             pkg_root],
             capture_output=True, timeout=deadline_s, text=True)
-    except Exception:
+    except subprocess.TimeoutExpired:
+        return None
+    except Exception as e:
+        _log_probe_failure(f"probe subprocess failed to launch: {e!r}")
         return None
     for line in out.stdout.splitlines():
         if line.startswith('PROBE_JSON '):
@@ -119,8 +178,18 @@ def _run_probe(size_mb: int, deadline_s: float, platform=None):
                 backend, rates = _json.loads(line[len('PROBE_JSON '):])
                 return backend, rates
             except Exception:
-                return None
+                break
+    _log_probe_failure(
+        f"probe child rc={out.returncode}; stderr tail: "
+        f"{out.stderr.strip()[-400:]!r}")
     return None
+
+
+def _log_probe_failure(msg: str) -> None:
+    import logging
+    logging.getLogger('image_stitcher_tpu.autotune').warning(
+        "link probe failed (treating link as dead -> host fusion): %s",
+        msg)
 
 
 def probe_link_bandwidth(size_mb: int = 16, force: bool = False) -> Dict[str, float]:
@@ -145,15 +214,17 @@ def probe_link_bandwidth(size_mb: int = 16, force: bool = False) -> Dict[str, fl
     expected = _expected_backend()
     if not force:
         try:
-            with open(path) as f:
-                saved = json.load(f)
-            if expected is None:
+            saved = _load_cache_file(path)
+            lookup = expected
+            if lookup is None:
                 # env-less: what a default init resolved to on this
-                # machine last time (a machine property, recorded below)
-                expected = saved.get('default_backend')
+                # machine last time (a machine property, recorded
+                # below). A cache-lookup hint ONLY — never a probe pin,
+                # so a stale name costs a re-probe, not a lockout.
+                lookup = saved.get('default_backend')
             # per-backend sections: a CPU-run probe must never drive a
             # TPU run's placement decision (and vice versa)
-            entry = saved.get('links', {}).get(expected)
+            entry = saved.get('links', {}).get(lookup)
             if (entry
                     and time.time() - entry.get('ts', 0) < _PROBE_TTL_S):
                 _PROBE_CACHE = {'h2d_mbps': entry['h2d_mbps'],
@@ -162,7 +233,11 @@ def probe_link_bandwidth(size_mb: int = 16, force: bool = False) -> Dict[str, fl
         except Exception:
             pass
 
-    probed = _run_probe(size_mb, _PROBE_DEADLINE_S, expected)
+    # pin the child only from user intent (full env priority list) or
+    # a live parent backend — a cached guess could pin it to a platform
+    # that no longer exists and lock every future probe into failure
+    pin = _live_backend() or _env_platforms() or None
+    probed = _run_probe(size_mb, _PROBE_DEADLINE_S, pin)
     if probed is None:
         # stalled or failed: treat the link as dead for this run, but
         # do NOT poison the disk cache with a transient storm
@@ -172,15 +247,13 @@ def probe_link_bandwidth(size_mb: int = 16, force: bool = False) -> Dict[str, fl
     backend, rates = probed
     _PROBE_CACHE = rates
     try:
-        saved = {}
         try:
-            with open(path) as f:
-                saved = json.load(f)
+            saved = _load_cache_file(path)
         except Exception:
-            pass
+            saved = {}
         saved.setdefault('links', {})[backend] = {
             **rates, 'ts': time.time()}
-        if os.environ.get('JAX_PLATFORMS', '') == '':
+        if not _env_platforms():
             saved['default_backend'] = backend
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, 'w') as f:
@@ -188,6 +261,29 @@ def probe_link_bandwidth(size_mb: int = 16, force: bool = False) -> Dict[str, fl
     except Exception:
         pass
     return _PROBE_CACHE
+
+
+def _load_cache_file(path: str) -> Dict:
+    """Read the probe cache, migrating the legacy flat layout
+    ({'h2d_mbps', 'd2h_mbps', 'ts', 'backend', 'host_bps', ...}) into
+    the per-backend 'links' layout; stale flat keys are dropped on the
+    next rewrite because only the migrated dict is ever re-saved."""
+    import json
+    with open(path) as f:
+        saved = json.load(f)
+    if 'links' not in saved and 'h2d_mbps' in saved:
+        migrated: Dict = {'links': {}}
+        backend = _canonical(saved.get('backend'))
+        if backend:
+            migrated['links'][backend] = {
+                'h2d_mbps': saved['h2d_mbps'],
+                'd2h_mbps': saved['d2h_mbps'],
+                'ts': saved.get('ts', 0)}
+        for key in ('host_bps', 'host_ts'):
+            if key in saved:
+                migrated[key] = saved[key]
+        return migrated
+    return saved
 
 
 def probe_host_bandwidth(size_mb: int = 16, force: bool = False) -> float:
@@ -210,8 +306,7 @@ def probe_host_bandwidth(size_mb: int = 16, force: bool = False) -> float:
     path = _PROBE_FILE or _probe_cache_path()
     if not force:
         try:
-            with open(path) as f:
-                saved = json.load(f)
+            saved = _load_cache_file(path)
             if (saved.get('host_bps')
                     and time.time() - saved.get('host_ts', 0) < _PROBE_TTL_S):
                 _HOST_PROBE_CACHE = float(saved['host_bps'])
@@ -239,12 +334,10 @@ def probe_host_bandwidth(size_mb: int = 16, force: bool = False) -> float:
     rate = n_tiles * tile_bytes / elapsed
     _HOST_PROBE_CACHE = rate
     try:
-        saved = {}
         try:
-            with open(path) as f:
-                saved = json.load(f)
+            saved = _load_cache_file(path)
         except Exception:
-            pass
+            saved = {}
         saved.update({'host_bps': rate, 'host_ts': time.time()})
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, 'w') as f:

@@ -184,6 +184,122 @@ def test_link_probe_deadline_returns_dead_link(tmp_path, monkeypatch):
                                  host_bps=1e9) == 'host'
 
 
+def test_link_probe_alias_canonicalization(tmp_path, monkeypatch):
+    """Cache keys are canonical platform names: an env alias (axon ->
+    tpu) must hit an entry recorded by jax.default_backend(), which
+    always reports the canonical name (r3 review finding: the alias
+    mismatch made the cache permanently miss on exactly the tunneled
+    deployment it exists for)."""
+    import json
+    import time
+    from image_stitcher_tpu.parallel import autotune
+    assert autotune._canonical('axon') == 'tpu'
+    path = tmp_path / 'linkprobe.json'
+    path.write_text(json.dumps({'links': {'tpu': {
+        'h2d_mbps': 5.0, 'd2h_mbps': 6.0, 'ts': time.time()}}}))
+    monkeypatch.setattr(autotune, '_PROBE_FILE', str(path))
+    monkeypatch.setattr(autotune, '_PROBE_CACHE', None)
+    monkeypatch.setattr(autotune, '_live_backend', lambda: None)
+    monkeypatch.setenv('JAX_PLATFORMS', 'axon')
+    monkeypatch.setattr(autotune, '_run_probe',
+                        lambda *a, **k: (_ for _ in ()).throw(
+                            AssertionError("probe must not run")))
+    assert autotune.probe_link_bandwidth() == {'h2d_mbps': 5.0,
+                                               'd2h_mbps': 6.0}
+
+
+def test_link_probe_legacy_flat_format_migrates(tmp_path, monkeypatch):
+    """A pre-r3 flat cache file still serves its entry (migrated into
+    the per-backend layout) and the stale flat keys are dropped on the
+    next rewrite."""
+    import json
+    import time
+    from image_stitcher_tpu.parallel import autotune
+    path = tmp_path / 'linkprobe.json'
+    path.write_text(json.dumps({
+        'h2d_mbps': 3.0, 'd2h_mbps': 4.0, 'ts': time.time(),
+        'backend': 'axon', 'host_bps': 7e8, 'host_ts': time.time()}))
+    monkeypatch.setattr(autotune, '_PROBE_FILE', str(path))
+    monkeypatch.setattr(autotune, '_PROBE_CACHE', None)
+    monkeypatch.setattr(autotune, '_HOST_PROBE_CACHE', None)
+    monkeypatch.setattr(autotune, '_live_backend', lambda: None)
+    monkeypatch.setenv('JAX_PLATFORMS', 'axon')
+    monkeypatch.setattr(autotune, '_run_probe',
+                        lambda *a, **k: (_ for _ in ()).throw(
+                            AssertionError("probe must not run")))
+    assert autotune.probe_link_bandwidth() == {'h2d_mbps': 3.0,
+                                               'd2h_mbps': 4.0}
+    assert autotune.probe_host_bandwidth() == 7e8
+    # a rewrite (e.g. a fresh host probe) drops the flat link keys
+    autotune._HOST_PROBE_CACHE = None
+    autotune.probe_host_bandwidth(size_mb=2, force=True)
+    saved = json.loads(path.read_text())
+    assert 'links' in saved and 'tpu' in saved['links']
+    assert 'backend' not in saved and 'h2d_mbps' not in saved
+
+
+def test_link_probe_stale_default_backend_never_pins(tmp_path, monkeypatch):
+    """The cached default_backend is a lookup hint only: when its entry
+    is expired, the probe child must run UNPINNED (a stale pin to a
+    platform that no longer exists would fail every probe forever and
+    lock the machine into host fusion)."""
+    import json
+    from image_stitcher_tpu.parallel import autotune
+    path = tmp_path / 'linkprobe.json'
+    path.write_text(json.dumps({
+        'default_backend': 'ghost',
+        'links': {'ghost': {'h2d_mbps': 1.0, 'd2h_mbps': 1.0, 'ts': 0}}}))
+    monkeypatch.setattr(autotune, '_PROBE_FILE', str(path))
+    monkeypatch.setattr(autotune, '_PROBE_CACHE', None)
+    monkeypatch.setattr(autotune, '_live_backend', lambda: None)
+    monkeypatch.delenv('JAX_PLATFORMS', raising=False)
+    pins = []
+
+    def fake_probe(size_mb, deadline, platform=None):
+        pins.append(platform)
+        return ('cpu', {'h2d_mbps': 8.0, 'd2h_mbps': 8.0})
+
+    monkeypatch.setattr(autotune, '_run_probe', fake_probe)
+    assert autotune.probe_link_bandwidth()['h2d_mbps'] == 8.0
+    assert pins == [None]
+    # the successful env-less probe rewrites the default hint
+    assert json.loads(path.read_text())['default_backend'] == 'cpu'
+
+
+def test_link_probe_env_list_passes_whole_list(monkeypatch, tmp_path):
+    """JAX_PLATFORMS='tpu,cpu' pins the child to the full fallback
+    chain, not just the first entry — the parent may be running the
+    fallback."""
+    from image_stitcher_tpu.parallel import autotune
+    monkeypatch.setattr(autotune, '_PROBE_FILE',
+                        str(tmp_path / 'linkprobe.json'))
+    monkeypatch.setattr(autotune, '_PROBE_CACHE', None)
+    monkeypatch.setattr(autotune, '_live_backend', lambda: None)
+    monkeypatch.setenv('JAX_PLATFORMS', 'tpu,cpu')
+    pins = []
+
+    def fake_probe(size_mb, deadline, platform=None):
+        pins.append(platform)
+        return ('cpu', {'h2d_mbps': 8.0, 'd2h_mbps': 8.0})
+
+    monkeypatch.setattr(autotune, '_run_probe', fake_probe)
+    autotune.probe_link_bandwidth()
+    assert pins == ['tpu,cpu']
+
+
+def test_link_probe_child_failure_is_logged(caplog):
+    """A failing probe child (not a timeout) logs its stderr instead of
+    silently reading as a dead link."""
+    import logging
+    from image_stitcher_tpu.parallel import autotune
+    with caplog.at_level(logging.WARNING,
+                         logger='image_stitcher_tpu.autotune'):
+        out = autotune._run_probe(1, 120.0,
+                                  platform='no-such-platform-xyz')
+    assert out is None
+    assert any('link probe failed' in r.message for r in caplog.records)
+
+
 def test_link_probe_subprocess_kill_deadline():
     """The real _run_probe enforces its deadline with a subprocess kill:
     a child that never answers is reaped within the deadline (plus

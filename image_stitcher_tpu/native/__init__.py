@@ -101,6 +101,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
             lib.write_rows_contig.argtypes = [ci, vp, c64, c64, c64,
                                               vp, c64, c64]
             lib.write_rows_contig.restype = c64
+            lib.downsample2x_u16.argtypes = [vp, pd, vp, pd, pd, pd]
+            lib.downsample2x_u8.argtypes = list(lib.downsample2x_u16.argtypes)
+            for f in (lib.downsample2x_u16, lib.downsample2x_u8):
+                f.restype = None
             _LIB = lib
         except Exception:
             _LIB = None

@@ -80,6 +80,33 @@ void place_u8(
     }
 }
 
+/* Nearest 2x downsample: dst[y, x] = src[2y, 2x]. The NumPy twin
+ * (x[::2, ::2] copy) runs at ~0.5-1 GB/s because stride-2 gathers
+ * defeat memcpy; this loop auto-vectorizes to pack/shuffle ops. */
+void downsample2x_u16(const uint16_t *src, ptrdiff_t src_stride,
+                      uint16_t *dst, ptrdiff_t dst_stride,
+                      ptrdiff_t out_h, ptrdiff_t out_w)
+{
+    for (ptrdiff_t y = 0; y < out_h; ++y) {
+        const uint16_t *s = src + 2 * y * src_stride;
+        uint16_t *d = dst + y * dst_stride;
+        for (ptrdiff_t x = 0; x < out_w; ++x)
+            d[x] = s[2 * x];
+    }
+}
+
+void downsample2x_u8(const uint8_t *src, ptrdiff_t src_stride,
+                     uint8_t *dst, ptrdiff_t dst_stride,
+                     ptrdiff_t out_h, ptrdiff_t out_w)
+{
+    for (ptrdiff_t y = 0; y < out_h; ++y) {
+        const uint8_t *s = src + 2 * y * src_stride;
+        uint8_t *d = dst + y * dst_stride;
+        for (ptrdiff_t x = 0; x < out_w; ++x)
+            d[x] = s[2 * x];
+    }
+}
+
 /* ---- raw zarr chunk writer -------------------------------------- */
 
 /* Drain a fully-populated iovec array at a file offset, restarting on

@@ -234,10 +234,41 @@ class HostCanvas:
         return self.canvas
 
 
+def _downsample2x_native(x: np.ndarray, out_h: int, out_w: int):
+    """C stride-2 gather (native/hostops.c); None -> NumPy fallback.
+    Bit-identical to x[::2, ::2] — it copies the same elements."""
+    from ..native import get_lib
+    lib = get_lib()
+    if lib is None or not hasattr(lib, 'downsample2x_u16'):
+        return None
+    if x.dtype == np.uint16:
+        fn = lib.downsample2x_u16
+    elif x.dtype == np.uint8:
+        fn = lib.downsample2x_u8
+    else:
+        return None
+    if out_h <= 0 or out_w <= 0 or x.strides[-1] != x.dtype.itemsize:
+        return None
+    lead = x.shape[:-2]
+    src = x.reshape((-1,) + x.shape[-2:]) if lead else x[None]
+    if src.strides[-1] != x.dtype.itemsize:
+        return None
+    out = np.empty((src.shape[0], out_h, out_w), x.dtype)
+    es = x.dtype.itemsize
+    for i in range(src.shape[0]):
+        plane = src[i]
+        fn(plane.ctypes.data, plane.strides[0] // es,
+           out[i].ctypes.data, out[i].strides[0] // es, out_h, out_w)
+    return out.reshape(lead + (out_h, out_w))
+
+
 def host_downsample(x: np.ndarray, mode: str) -> np.ndarray:
     """NumPy twin of ops/pyramid.downsample (levels from the host canvas)."""
     h2, w2 = (x.shape[-2] // 2) * 2, (x.shape[-1] // 2) * 2
     if mode == 'nearest':
+        out = _downsample2x_native(x, h2 // 2, w2 // 2)
+        if out is not None:
+            return out
         return np.ascontiguousarray(x[..., :h2:2, :w2:2])
     t = x[..., :h2, :w2].astype(np.float32)
     lead = t.shape[:-2]

@@ -81,3 +81,30 @@ def test_native_speedup(lib):
     t_native = bench(True)
     t_numpy = bench(False)
     assert t_native < t_numpy * 1.2, (t_native, t_numpy)
+
+
+@pytest.mark.parametrize("dtype", [np.uint16, np.uint8])
+@pytest.mark.parametrize("shape", [(64, 128), (63, 127), (3, 2, 33, 65),
+                                   (2, 5), (1, 1)])
+def test_downsample2x_native_matches_numpy(lib, rng, dtype, shape):
+    """The C stride-2 gather must copy exactly the elements the NumPy
+    slice copies, across odd shapes, leading dims, and both dtypes."""
+    from image_stitcher_tpu.ops.host_fuse import _downsample2x_native
+    x = rng.integers(0, np.iinfo(dtype).max, shape).astype(dtype)
+    h2, w2 = (shape[-2] // 2) * 2, (shape[-1] // 2) * 2
+    expected = np.ascontiguousarray(x[..., :h2:2, :w2:2])
+    got = _downsample2x_native(x, h2 // 2, w2 // 2)
+    if h2 == 0 or w2 == 0:
+        assert got is None  # NumPy fallback handles empties
+        return
+    assert got is not None
+    assert got.dtype == expected.dtype and got.shape == expected.shape
+    assert (got == expected).all()
+
+
+def test_downsample2x_native_declines_unsupported(lib, rng):
+    from image_stitcher_tpu.ops.host_fuse import _downsample2x_native
+    f = rng.random((16, 16)).astype(np.float32)
+    assert _downsample2x_native(f, 8, 8) is None  # dtype
+    x = rng.integers(0, 99, (16, 16)).astype(np.uint16)
+    assert _downsample2x_native(x[:, ::2], 8, 4) is None  # strided cols

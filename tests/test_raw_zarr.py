@@ -141,3 +141,41 @@ def test_full_level_write_matches(tmp_path):
     data = rng.integers(0, 65535, shape, np.uint16)
     _assert_file_parity(*_write_both(tmp_path, shape, chunks, np.uint16,
                                      [(None, data)]))
+
+
+def test_concurrent_band_writes_share_chunk_files(tmp_path):
+    """Band threads write disjoint row ranges that land in the SAME
+    pyramid chunk files concurrently (each opens its own fd; creation
+    and sparse-extension race by design). The final bytes must equal a
+    serial reference write."""
+    import threading
+    rng = np.random.default_rng(3)
+    shape = (1, 1, 1, 1024, 700)
+    chunks = (1, 1, 1, 256, 256)   # 4 bands of 64 rows per chunk row
+    raw_dir = str(tmp_path / 'raw')
+    create_zarr_array(raw_dir, shape, chunks, np.uint16, cname=None)
+    raw = RawV2SlabWriter(raw_dir, shape, chunks, np.uint16)
+    data = rng.integers(0, 65535, (1024, 700), np.uint16)
+    bands = list(range(0, 1024, 64))
+    errs = []
+
+    def write_band(y0):
+        try:
+            sel = (slice(0, 1), slice(0, 1), slice(0, 1),
+                   slice(y0, y0 + 64), slice(0, 700))
+            assert raw.try_write(sel, data[y0:y0 + 64][None, None, None])
+        except BaseException as e:  # pragma: no cover
+            errs.append(e)
+
+    for _trial in range(3):
+        threads = [threading.Thread(target=write_band, args=(y0,))
+                   for y0 in bands]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    assert not errs
+    import tensorstore as ts
+    a = ts.open({"driver": "zarr",
+                 "kvstore": {"driver": "file", "path": raw_dir}}).result()
+    assert (a.read().result()[0, 0, 0] == data).all()

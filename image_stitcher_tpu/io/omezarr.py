@@ -171,6 +171,18 @@ class MultiscaleWriter:
                     cname=cname, clevel=clevel)
                 for level in range(num_levels)
             ]
+            if cname is None:
+                # raw inner chunks: band slabs go straight into shard
+                # files (bodies at deterministic offsets + fixed index)
+                from .raw_zarr import RawV3ShardWriter
+                from .zarr_store import compute_shard_shape
+                self._raw = []
+                for level in range(num_levels):
+                    cl, sh = compute_shard_shape(self.shapes[level],
+                                                 chunks, shard_multiple)
+                    self._raw.append(RawV3ShardWriter(
+                        os.path.join(path, str(level)),
+                        self.shapes[level], cl, sh, dtype))
         else:
             attrs = multiscales_attrs(name, num_levels, dz_um, pixel_size_um)
             if omero is not None:

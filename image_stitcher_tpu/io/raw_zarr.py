@@ -28,11 +28,32 @@ from __future__ import annotations
 
 import ctypes
 import os
-from typing import Optional, Sequence, Tuple
+import struct
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
 from ..native import get_lib
+
+_CRC32C_TABLE: Optional[List[int]] = None
+
+
+def crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli), as required by the zarr v3 sharding index
+    codec. Table-based — the index is a few hundred bytes per shard."""
+    global _CRC32C_TABLE
+    if _CRC32C_TABLE is None:
+        tbl = []
+        for n in range(256):
+            c = n
+            for _ in range(8):
+                c = (c >> 1) ^ (0x82F63B78 if c & 1 else 0)
+            tbl.append(c)
+        _CRC32C_TABLE = tbl
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = (crc >> 8) ^ _CRC32C_TABLE[(crc ^ b) & 0xFF]
+    return crc ^ 0xFFFFFFFF
 
 
 class RawV2SlabWriter:
@@ -130,6 +151,184 @@ class RawV2SlabWriter:
             return False
         # x must start at column 0 (zero-padding the tail of each
         # touched chunk is only correct when nothing sits to the left)
+        if idx[4][0] != 0 or idx[4][1] > self.shape[4]:
+            return False
+        if data.strides[4] != self.dtype.itemsize:
+            return False
+        for it in range(data.shape[0]):
+            for ic in range(data.shape[1]):
+                for iz in range(data.shape[2]):
+                    plane = data[it, ic, iz]
+                    if plane.shape[0] == 0 or plane.shape[1] == 0:
+                        continue
+                    self._write_plane_slab(
+                        idx[0][0] + it, idx[1][0] + ic, idx[2][0] + iz,
+                        idx[3][0], plane)
+        return True
+
+
+class RawV3ShardWriter:
+    """Writes band slabs into a raw (codecs: bytes-only) zarr v3
+    sharding_indexed array's shard files directly.
+
+    Shard layout (verified against tensorstore's output): concatenated
+    fixed-size inner-chunk bodies in C-order, then a uint64-LE
+    (offset, nbytes) index entry per nominal inner chunk, then the
+    CRC-32C of the index, at the end of the file. With the raw 'bytes'
+    codec every body is exactly chunk_nbytes, so all offsets are known
+    up front: a shard file is created sparse at its full size with the
+    index written once (every in-array chunk marked present; never-
+    written bodies read as fill zeros — semantically identical to
+    tensorstore's missing-chunk encoding, byte-identical whenever the
+    slabs actually cover the shard), and band rows land via the same
+    pwritev kernel as the v2 writer. Fill must be 0.
+
+    Like RawV2SlabWriter, ``try_write`` returns False for any pattern
+    outside the fusers' band-slab shape and the caller falls back to
+    tensorstore.
+    """
+
+    def __init__(self, path: str, shape: Sequence[int],
+                 chunks: Sequence[int], shard: Sequence[int], dtype,
+                 fill_value=0):
+        self.path = path
+        self.shape = tuple(int(s) for s in shape)
+        self.chunks = tuple(int(c) for c in chunks)
+        self.shard = tuple(int(s) for s in shard)
+        self.dtype = np.dtype(dtype)
+        es = self.dtype.itemsize
+        self.ok = (fill_value == 0 and len(self.shape) == 5
+                   and get_lib() is not None
+                   and hasattr(get_lib(), 'write_rows_contig')
+                   # leading axes: one chunk per shard (creator layout)
+                   and self.shard[:3] == self.chunks[:3])
+        cy, cx = self.chunks[3], self.chunks[4]
+        self.pitch = cx * es
+        self.chunk_nbytes = cy * self.pitch
+        # nominal inner grid per shard (ceil), C-order linearized
+        self.inner = tuple(-(-self.shard[i] // self.chunks[i])
+                           for i in range(5))
+        self.n_inner = int(np.prod(self.inner))
+        self._pad = ctypes.create_string_buffer(self.pitch)
+        self._made_dirs = set()
+
+    # ------------------------------------------------------------------
+
+    def _present_ordinals(self, sy: int, sx: int):
+        """lin -> body ordinal for inner chunks whose origin lies inside
+        the array; bodies are packed compactly in C-order (matching
+        tensorstore's layout for fully-covered shards — out-of-array
+        chunks occupy no body space)."""
+        ordinals = {}
+        lin = 0
+        for iy in range(self.inner[3]):
+            for ix in range(self.inner[4]):
+                # leading inner axes are always singleton (checked)
+                y0 = sy * self.shard[3] + iy * self.chunks[3]
+                x0 = sx * self.shard[4] + ix * self.chunks[4]
+                if y0 < self.shape[3] and x0 < self.shape[4]:
+                    ordinals[lin] = len(ordinals)
+                lin += 1
+        return ordinals
+
+    def _shard_sizes(self, ordinals):
+        index_offset = len(ordinals) * self.chunk_nbytes
+        return index_offset, index_offset + 16 * self.n_inner + 4
+
+    def _shard_index_bytes(self, ordinals) -> bytes:
+        entries = []
+        for lin in range(self.n_inner):
+            if lin in ordinals:
+                entries.append((ordinals[lin] * self.chunk_nbytes,
+                                self.chunk_nbytes))
+            else:
+                entries.append((0xFFFFFFFFFFFFFFFF, 0xFFFFFFFFFFFFFFFF))
+        raw = b''.join(struct.pack('<QQ', off, n) for off, n in entries)
+        return raw + struct.pack('<I', crc32c(raw))
+
+    def _shard_file(self, t: int, c: int, z: int, sy: int, sx: int) -> str:
+        d = os.path.join(self.path, 'c', str(t), str(c), str(z), str(sy))
+        if d not in self._made_dirs:
+            os.makedirs(d, exist_ok=True)
+            self._made_dirs.add(d)
+        return os.path.join(d, str(sx))
+
+    def _ensure_shard(self, fd: int, ordinals) -> None:
+        index_offset, total_size = self._shard_sizes(ordinals)
+        if os.fstat(fd).st_size >= total_size:
+            return
+        os.ftruncate(fd, total_size)
+        # idempotent: concurrent creators write identical bytes
+        os.pwrite(fd, self._shard_index_bytes(ordinals), index_offset)
+
+    def _write_plane_slab(self, t: int, c: int, z: int, y0: int,
+                          plane: np.ndarray) -> None:
+        lib = get_lib()
+        cy, cx = self.chunks[3], self.chunks[4]
+        sy_rows, sx_cols = self.shard[3], self.shard[4]
+        es = self.dtype.itemsize
+        h, w = plane.shape
+        y1 = y0 + h
+        row_stride = plane.strides[0]
+        base = plane.ctypes.data
+        for syi in range(y0 // sy_rows, (y1 - 1) // sy_rows + 1):
+            for sxi in range((w - 1) // sx_cols + 1):
+                fpath = self._shard_file(t, c, z, syi, sxi)
+                ordinals = self._present_ordinals(syi, sxi)
+                fd = os.open(fpath, os.O_WRONLY | os.O_CREAT, 0o644)
+                try:
+                    self._ensure_shard(fd, ordinals)
+                    # inner chunks of this shard intersecting the slab
+                    cy0_base = syi * sy_rows
+                    cx0_base = sxi * sx_cols
+                    for iy in range(self.inner[3]):
+                        gy0 = cy0_base + iy * cy
+                        ry0, ry1 = max(y0, gy0), min(y1, gy0 + cy)
+                        if ry1 <= ry0:
+                            continue
+                        for ix in range(self.inner[4]):
+                            gx0 = cx0_base + ix * cx
+                            rx1 = min(w, gx0 + cx)
+                            if rx1 <= gx0:
+                                continue
+                            lin = iy * self.inner[4] + ix
+                            row_bytes = (rx1 - gx0) * es
+                            pad_bytes = self.pitch - row_bytes
+                            off0 = (ordinals[lin] * self.chunk_nbytes
+                                    + (ry0 - gy0) * self.pitch)
+                            rc = lib.write_rows_contig(
+                                fd,
+                                ctypes.c_void_p(base
+                                                + (ry0 - y0) * row_stride
+                                                + gx0 * es),
+                                row_stride, ry1 - ry0, row_bytes,
+                                ctypes.cast(self._pad, ctypes.c_void_p)
+                                if pad_bytes else None,
+                                pad_bytes, off0)
+                            if rc < 0:
+                                raise OSError(int(-rc),
+                                              os.strerror(int(-rc)), fpath)
+                finally:
+                    os.close(fd)
+
+    # ------------------------------------------------------------------
+
+    def try_write(self, sel: Optional[Tuple], data: np.ndarray) -> bool:
+        """Write a 5D slab if supported; False -> caller uses
+        tensorstore (never a partial write)."""
+        if not self.ok:
+            return False
+        data = np.asarray(data)
+        if data.dtype != self.dtype or data.ndim != 5:
+            return False
+        if sel is None:
+            sel = tuple(slice(0, s) for s in self.shape)
+        try:
+            idx = [(int(s.start or 0), int(s.stop)) for s in sel]
+        except (AttributeError, TypeError):
+            return False
+        if any((b - a) != n for (a, b), n in zip(idx, data.shape)):
+            return False
         if idx[4][0] != 0 or idx[4][1] > self.shape[4]:
             return False
         if data.strides[4] != self.dtype.itemsize:

@@ -83,6 +83,25 @@ def create_zarr_array(
     return ts.open(spec).result()
 
 
+def compute_shard_shape(shape: Sequence[int], chunks: Sequence[int],
+                        shard_multiple: int = 16,
+                        shard_multiple_y: int = 1):
+    """(clamped read-chunk shape, shard shape) for a sharded v3 array.
+
+    Shard (write) chunks are a multiple of the read chunk on the two
+    trailing spatial axes, the read chunk elsewhere; extents divisible
+    by the read chunk. Shared by the tensorstore creator and the raw
+    shard writer so both agree on the on-disk grid."""
+    chunks = [min(int(c), int(s)) if s > 0 else int(c)
+              for c, s in zip(chunks, shape)]
+    shard = list(chunks)
+    for ax, mult in ((-2, shard_multiple_y), (-1, shard_multiple)):
+        shard[ax] = min(int(shape[ax]), chunks[ax] * mult)
+        shard[ax] -= shard[ax] % chunks[ax]
+        shard[ax] = max(shard[ax], chunks[ax])
+    return chunks, shard
+
+
 def create_zarr3_sharded_array(
     path: str,
     shape: Sequence[int],
@@ -108,16 +127,8 @@ def create_zarr3_sharded_array(
     read-modify-write at level 0 (a 4x4 shard would rewrite each level-0
     shard 4x under band streaming).
     """
-    chunks = [min(int(c), int(s)) if s > 0 else int(c)
-              for c, s in zip(chunks, shape)]
-    # shard (write) chunks: a multiple of the read chunk on the two
-    # trailing spatial axes, the read chunk elsewhere
-    shard = list(chunks)
-    for ax, mult in ((-2, shard_multiple_y), (-1, shard_multiple)):
-        shard[ax] = min(int(shape[ax]), chunks[ax] * mult)
-        # shard extents must be divisible by the read chunk
-        shard[ax] -= shard[ax] % chunks[ax]
-        shard[ax] = max(shard[ax], chunks[ax])
+    chunks, shard = compute_shard_shape(shape, chunks, shard_multiple,
+                                        shard_multiple_y)
     spec = {
         'driver': 'zarr3',
         'kvstore': {'driver': 'file', 'path': path},

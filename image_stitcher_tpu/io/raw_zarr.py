@@ -4,11 +4,13 @@ The streaming fusers emit full-width band slabs. For compressor-null
 arrays a chunk body is just a C-order byte slab, so each chunk file can
 be written straight from the band buffer with ``pwritev`` — one strided
 iovec per row — skipping tensorstore's per-chunk assembly copy and
-write machinery, which measures ~0.4 GB/s of single-core CPU on this
-path versus ~1.5-2.5 GB/s for the direct write. On the one-core hosts
-this framework targets (reference context: save dominates, see
-/root/reference/save_region_test.py:126-179) that is the difference
-between the writer being the wall and the writer keeping up.
+write machinery. Controlled interleaved measurement (production band
+pattern, 2048 chunks): direct ~3.1-3.2 GB/s vs tensorstore
+~1.2-1.7 GB/s of single-core write CPU, and the gap widens on starved
+cores (tensorstore has measured ~0.4 GB/s in a storm window). On the
+one-core hosts this framework targets (reference context: save
+dominates, see /root/reference/save_region_test.py:126-179) that is
+the difference between the writer being the wall and keeping up.
 
 Parity contract (tested in tests/test_raw_zarr.py): chunk files are
 byte-identical to what tensorstore writes for the same data — full-size

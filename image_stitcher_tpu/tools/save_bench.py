@@ -35,15 +35,33 @@ def du_mb(path: str) -> float:
     return total / 1e6
 
 
-def write_ome_zarr(volume: np.ndarray, out: str, chunk: int) -> None:
+def _write_ome_zarr_impl(volume: np.ndarray, out: str, chunk: int,
+                         cname='zstd', zarr_format: int = 2,
+                         native: bool = True) -> None:
+    """MultiscaleWriter with selectable compressor/format, and the
+    native raw-chunk writer optionally disabled to isolate its effect
+    (cname=None + native=False forces the tensorstore raw path)."""
+    from .. import native as nat
     from ..io.omezarr import MultiscaleWriter
-    t, c, z, h, w = volume.shape
-    writer = MultiscaleWriter(out, volume.shape, 1, volume.dtype,
-                              (1, 1, 1, chunk, chunk), "bench", 1.0, 1.0,
-                              [f"ch{i}" for i in range(c)],
-                              [0xFFFFFF] * c)
-    writer.write_level(0, volume)
-    writer.close()
+    saved = (nat._LIB, nat._TRIED)
+    if not native:
+        nat._LIB, nat._TRIED = None, True
+    try:
+        t, c, z, h, w = volume.shape
+        writer = MultiscaleWriter(out, volume.shape, 1, volume.dtype,
+                                  (1, 1, 1, chunk, chunk), "bench",
+                                  1.0, 1.0,
+                                  [f"ch{i}" for i in range(c)],
+                                  [0xFFFFFF] * c, cname=cname,
+                                  zarr_format=zarr_format)
+        writer.write_level(0, volume)
+        writer.close()
+    finally:
+        nat._LIB, nat._TRIED = saved
+
+
+def write_ome_zarr(volume: np.ndarray, out: str, chunk: int) -> None:
+    _write_ome_zarr_impl(volume, out, chunk)
 
 
 def write_ome_tiff(volume: np.ndarray, out: str, chunk: int) -> None:
@@ -82,6 +100,23 @@ WRITERS = {
     "zarr3_sharded": (write_zarr3_sharded, ".zarr"),
     "ome_tiff_pyramidal": (write_ome_tiff, ".ome.tiff"),
     "zlib_chunks": (write_raw_chunks, ".chunks"),
+    # raw (compressor-null) rows: direct pwritev writer vs the same
+    # store written through tensorstore — isolates io/raw_zarr.py
+    "v2_raw_direct": (
+        lambda v, o, c: _write_ome_zarr_impl(v, o, c, cname=None),
+        ".ome.zarr"),
+    "v2_raw_tensorstore": (
+        lambda v, o, c: _write_ome_zarr_impl(v, o, c, cname=None,
+                                             native=False),
+        ".ome.zarr"),
+    "v3_raw_direct": (
+        lambda v, o, c: _write_ome_zarr_impl(v, o, c, cname=None,
+                                             zarr_format=3),
+        ".zarr"),
+    "v3_raw_tensorstore": (
+        lambda v, o, c: _write_ome_zarr_impl(v, o, c, cname=None,
+                                             zarr_format=3, native=False),
+        ".zarr"),
 }
 
 
@@ -90,6 +125,17 @@ def measure(size: int, z: int, c: int, chunks: List[int],
     rng = np.random.default_rng(0)
     print(f"generating ({1},{c},{z},{size},{size}) uint16...", file=sys.stderr)
     volume = rng.integers(0, 65535, (1, c, z, size, size), dtype=np.uint16)
+    # untimed warmup: the first timed cell otherwise runs 3-8x slow on
+    # this host (cold allocator/page state after the generation above),
+    # which systematically penalizes whichever writer is listed first
+    warm = os.path.join(tempfile.mkdtemp(prefix="save_bench_"), "warm")
+    try:
+        _write_ome_zarr_impl(volume[:, :1, :1, :2048, :2048], warm, 1024,
+                             cname=None)
+    except Exception:
+        pass
+    finally:
+        shutil.rmtree(os.path.dirname(warm), ignore_errors=True)
     results = []
     for wname in writers:
         fn, suffix = WRITERS[wname]

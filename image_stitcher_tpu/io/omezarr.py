@@ -221,8 +221,21 @@ class MultiscaleWriter:
         of slabs are in flight, the oldest futures are drained first so
         bounded-memory streaming stays bounded end to end.
         """
-        if self._raw is not None and self._raw[level].try_write(sel, data):
-            return
+        if self._raw is not None:
+            raw = self._raw[level]
+            if raw.try_write(sel, data):
+                return
+            # v3 mixing gate: a tensorstore fallback write repacks a
+            # shard's bodies in its own write-order subset layout; a
+            # later raw write would install its full-present compact
+            # index over those bodies and corrupt the shard. One
+            # fallback therefore disables raw for this level for good.
+            # (v2 chunks are standalone full-size files — the raw and
+            # tensorstore writers interleave safely there, in either
+            # order.)
+            from .raw_zarr import RawV3ShardWriter
+            if isinstance(raw, RawV3ShardWriter):
+                raw.ok = False
         target = self.arrays[level] if sel is None else self.arrays[level][sel]
         fut = target.write(data)
         if block:

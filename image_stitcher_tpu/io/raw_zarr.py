@@ -58,7 +58,60 @@ def crc32c(data: bytes) -> int:
     return crc ^ 0xFFFFFFFF
 
 
-class RawV2SlabWriter:
+class _RawSlabWriterBase:
+    """Shared slab validation + per-plane dispatch for the raw chunk
+    (v2) and shard (v3) writers. Subclasses implement
+    ``_write_plane_slab(t, c, z, y0, plane)``."""
+
+    # set by subclass __init__
+    ok: bool
+    shape: Tuple[int, ...]
+    dtype: np.dtype
+
+    def try_write(self, sel: Optional[Tuple], data: np.ndarray) -> bool:
+        """Write a 5D slab if this writer supports its layout.
+
+        Returns True when handled; False means the caller must route the
+        write through tensorstore instead (unsupported pattern — never a
+        partial write).
+        """
+        if not self.ok:
+            return False
+        data = np.asarray(data)
+        if data.dtype != self.dtype or data.ndim != 5:
+            return False
+        if sel is None:
+            sel = tuple(slice(0, s) for s in self.shape)
+        try:
+            idx = [(int(s.start or 0), int(s.stop)) for s in sel]
+        except (AttributeError, TypeError):
+            return False
+        if any((b - a) != n for (a, b), n in zip(idx, data.shape)):
+            return False
+        # every axis must stay inside the array — a slab past the grid
+        # would write stray files (v2) or hit absent index slots (v3)
+        if any(a < 0 or b > s for (a, b), s in zip(idx, self.shape)):
+            return False
+        # x must additionally start at column 0 (zero-padding the tail
+        # of each touched chunk is only correct when nothing sits to
+        # the left)
+        if idx[4][0] != 0:
+            return False
+        if data.strides[4] != self.dtype.itemsize:
+            return False
+        for it in range(data.shape[0]):
+            for ic in range(data.shape[1]):
+                for iz in range(data.shape[2]):
+                    plane = data[it, ic, iz]
+                    if plane.shape[0] == 0 or plane.shape[1] == 0:
+                        continue
+                    self._write_plane_slab(
+                        idx[0][0] + it, idx[1][0] + ic, idx[2][0] + iz,
+                        idx[3][0], plane)
+        return True
+
+
+class RawV2SlabWriter(_RawSlabWriterBase):
     """Writes band slabs into one raw zarr v2 array's chunk files."""
 
     def __init__(self, path: str, shape: Sequence[int],
@@ -129,47 +182,8 @@ class RawV2SlabWriter:
                 finally:
                     os.close(fd)
 
-    # ------------------------------------------------------------------
 
-    def try_write(self, sel: Optional[Tuple], data: np.ndarray) -> bool:
-        """Write a 5D slab if this writer supports its layout.
-
-        Returns True when handled; False means the caller must route the
-        write through tensorstore instead (unsupported pattern — never a
-        partial write).
-        """
-        if not self.ok:
-            return False
-        data = np.asarray(data)
-        if data.dtype != self.dtype or data.ndim != 5:
-            return False
-        if sel is None:
-            sel = tuple(slice(0, s) for s in self.shape)
-        try:
-            idx = [(int(s.start or 0), int(s.stop)) for s in sel]
-        except (AttributeError, TypeError):
-            return False
-        if any((b - a) != n for (a, b), n in zip(idx, data.shape)):
-            return False
-        # x must start at column 0 (zero-padding the tail of each
-        # touched chunk is only correct when nothing sits to the left)
-        if idx[4][0] != 0 or idx[4][1] > self.shape[4]:
-            return False
-        if data.strides[4] != self.dtype.itemsize:
-            return False
-        for it in range(data.shape[0]):
-            for ic in range(data.shape[1]):
-                for iz in range(data.shape[2]):
-                    plane = data[it, ic, iz]
-                    if plane.shape[0] == 0 or plane.shape[1] == 0:
-                        continue
-                    self._write_plane_slab(
-                        idx[0][0] + it, idx[1][0] + ic, idx[2][0] + iz,
-                        idx[3][0], plane)
-        return True
-
-
-class RawV3ShardWriter:
+class RawV3ShardWriter(_RawSlabWriterBase):
     """Writes band slabs into a raw (codecs: bytes-only) zarr v3
     sharding_indexed array's shard files directly.
 
@@ -187,7 +201,11 @@ class RawV3ShardWriter:
 
     Like RawV2SlabWriter, ``try_write`` returns False for any pattern
     outside the fusers' band-slab shape and the caller falls back to
-    tensorstore.
+    tensorstore. Unlike v2 (standalone full-size chunk files, safe to
+    interleave with tensorstore writes in either order), a tensorstore
+    write to a v3 array repacks shard bodies in its own layout, so the
+    owning MultiscaleWriter disables this writer for a level after its
+    first fallback (the mixing gate in omezarr.write_level).
     """
 
     def __init__(self, path: str, shape: Sequence[int],
@@ -260,8 +278,13 @@ class RawV3ShardWriter:
         if os.fstat(fd).st_size >= total_size:
             return
         os.ftruncate(fd, total_size)
-        # idempotent: concurrent creators write identical bytes
-        os.pwrite(fd, self._shard_index_bytes(ordinals), index_offset)
+        # idempotent: concurrent creators write identical bytes.
+        # A short pwrite would leave a truncated index with a bad CRC —
+        # retry the remainder like the C side does.
+        idx = self._shard_index_bytes(ordinals)
+        done = 0
+        while done < len(idx):
+            done += os.pwrite(fd, idx[done:], index_offset + done)
 
     def _write_plane_slab(self, t: int, c: int, z: int, y0: int,
                           plane: np.ndarray) -> None:
@@ -312,36 +335,3 @@ class RawV3ShardWriter:
                                               os.strerror(int(-rc)), fpath)
                 finally:
                     os.close(fd)
-
-    # ------------------------------------------------------------------
-
-    def try_write(self, sel: Optional[Tuple], data: np.ndarray) -> bool:
-        """Write a 5D slab if supported; False -> caller uses
-        tensorstore (never a partial write)."""
-        if not self.ok:
-            return False
-        data = np.asarray(data)
-        if data.dtype != self.dtype or data.ndim != 5:
-            return False
-        if sel is None:
-            sel = tuple(slice(0, s) for s in self.shape)
-        try:
-            idx = [(int(s.start or 0), int(s.stop)) for s in sel]
-        except (AttributeError, TypeError):
-            return False
-        if any((b - a) != n for (a, b), n in zip(idx, data.shape)):
-            return False
-        if idx[4][0] != 0 or idx[4][1] > self.shape[4]:
-            return False
-        if data.strides[4] != self.dtype.itemsize:
-            return False
-        for it in range(data.shape[0]):
-            for ic in range(data.shape[1]):
-                for iz in range(data.shape[2]):
-                    plane = data[it, ic, iz]
-                    if plane.shape[0] == 0 or plane.shape[1] == 0:
-                        continue
-                    self._write_plane_slab(
-                        idx[0][0] + it, idx[1][0] + ic, idx[2][0] + iz,
-                        idx[3][0], plane)
-        return True

@@ -43,7 +43,7 @@ def _write_ome_zarr_impl(volume: np.ndarray, out: str, chunk: int,
     (cname=None + native=False forces the tensorstore raw path)."""
     from .. import native as nat
     from ..io.omezarr import MultiscaleWriter
-    saved = (nat._LIB, nat._TRIED)
+    saved = (nat._LIB, nat._TRIED) if not native else None
     if not native:
         nat._LIB, nat._TRIED = None, True
     try:
@@ -57,7 +57,8 @@ def _write_ome_zarr_impl(volume: np.ndarray, out: str, chunk: int,
         writer.write_level(0, volume)
         writer.close()
     finally:
-        nat._LIB, nat._TRIED = saved
+        if saved is not None:
+            nat._LIB, nat._TRIED = saved
 
 
 def write_ome_zarr(volume: np.ndarray, out: str, chunk: int) -> None:
@@ -167,7 +168,12 @@ def main(argv=None) -> int:
     p.add_argument("--z", type=int, default=2)
     p.add_argument("--channels", type=int, default=3)
     p.add_argument("--chunks", type=int, nargs="+", default=[1024, 2048, 4096])
-    p.add_argument("--writers", nargs="+", default=list(WRITERS),
+    # the raw direct-vs-tensorstore rows are opt-in: the default sweep
+    # keeps the original four writers (SAVE_BENCH_RESULTS.md documents
+    # the raw rows separately)
+    p.add_argument("--writers", nargs="+",
+                   default=["ome_zarr_tensorstore", "zarr3_sharded",
+                            "ome_tiff_pyramidal", "zlib_chunks"],
                    choices=list(WRITERS))
     p.add_argument("--json", action="store_true", help="print JSON results")
     args = p.parse_args(argv)

@@ -299,3 +299,66 @@ def test_v3_narrow_level_width_reads_fill(tmp_path):
                  "kvstore": {"driver": "file", "path": raw_dir}}).result()
     back = a.read().result()[0, 0, 0]
     assert (back[:, :20] == 9).all() and (back[:, 20:] == 0).all()
+
+
+def test_out_of_grid_slabs_are_rejected_not_partially_written(tmp_path):
+    """A slab extending past the array on ANY axis must return False
+    (r3 review: a y-overrun previously KeyError'd mid-write in v3 and
+    wrote stray chunk files in v2)."""
+    from image_stitcher_tpu.io.raw_zarr import RawV3ShardWriter
+    from image_stitcher_tpu.io.zarr_store import (
+        compute_shard_shape, create_zarr3_sharded_array)
+    shape = (1, 1, 1, 10, 8)
+    chunks = (1, 1, 1, 4, 4)
+    v2_dir = str(tmp_path / 'v2g')
+    create_zarr_array(v2_dir, shape, chunks, np.uint16, cname=None)
+    v2 = RawV2SlabWriter(v2_dir, shape, chunks, np.uint16)
+    v3_dir = str(tmp_path / 'v3g')
+    create_zarr3_sharded_array(v3_dir, shape, chunks, np.uint16,
+                               shard_multiple=2, shard_multiple_y=2,
+                               cname=None)
+    cl, sh = compute_shard_shape(shape, chunks, 2, 2)
+    v3 = RawV3ShardWriter(v3_dir, shape, cl, sh, np.uint16)
+    bad_y = (slice(0, 1), slice(0, 1), slice(0, 1), slice(8, 14),
+             slice(0, 8))
+    data = np.zeros((1, 1, 1, 6, 8), np.uint16)
+    assert not v2.try_write(bad_y, data)
+    assert not v3.try_write(bad_y, data)
+    bad_c = (slice(0, 1), slice(1, 2), slice(0, 1), slice(0, 4),
+             slice(0, 8))
+    assert not v2.try_write(bad_c, np.zeros((1, 1, 1, 4, 8), np.uint16))
+    assert not v3.try_write(bad_c, np.zeros((1, 1, 1, 4, 8), np.uint16))
+    assert _all_chunk_files(v2_dir) == {}
+    assert set(_all_chunk_files(v3_dir)) == {'zarr.json'}  # metadata only
+
+
+def test_v3_mixing_gate_disables_raw_after_fallback(tmp_path):
+    """Once a v3 level takes a tensorstore fallback write, the raw
+    writer must be disabled for that level — a raw write after a
+    tensorstore shard repack would install a conflicting index
+    (r3 review). v2 stays enabled (standalone chunk files interleave
+    safely)."""
+    import tensorstore as ts
+    from image_stitcher_tpu.io.omezarr import MultiscaleWriter
+    from image_stitcher_tpu.io.raw_zarr import RawV3ShardWriter
+    rng = np.random.default_rng(4)
+    out = str(tmp_path / 'gate.zarr')
+    w = MultiscaleWriter(out, (1, 1, 1, 64, 64), 1, np.uint16,
+                         (1, 1, 1, 16, 16), "g", 1.0, 1.0, ["c"],
+                         [0xFFFFFF], cname=None, zarr_format=3,
+                         shard_multiple=2)
+    assert isinstance(w._raw[0], RawV3ShardWriter) and w._raw[0].ok
+    full = rng.integers(0, 65535, (64, 64), np.uint16)
+    # unsupported pattern (x not from 0) -> tensorstore fallback
+    sel_bad = (slice(0, 1), slice(0, 1), slice(0, 1), slice(0, 64),
+               slice(32, 64))
+    w.write_level(0, full[:, 32:][None, None, None], sel=sel_bad)
+    assert not w._raw[0].ok  # gate closed
+    # subsequent supported-looking write goes through tensorstore too
+    sel_ok = (slice(0, 1), slice(0, 1), slice(0, 1), slice(0, 64),
+              slice(0, 32))
+    w.write_level(0, full[:, :32][None, None, None], sel=sel_ok)
+    w.close()
+    a = ts.open({"driver": "zarr3",
+                 "kvstore": {"driver": "file", "path": out + "/0"}}).result()
+    assert (a.read().result()[0, 0, 0] == full).all()

@@ -210,7 +210,10 @@ class StitchingGUI(QWidget):
                 kind, data = s.progress_queue.get_nowait()
                 if kind == 'progress':
                     cur, total = data
-                    self.progress.setMaximum(max(total, 1))
+                    # a progress tick restores determinate mode after a
+                    # saving phase set the bar indeterminate
+                    self._progress_total = max(total, 1)
+                    self.progress.setMaximum(self._progress_total)
                     self.progress.setValue(cur)
         except queue_mod.Empty:
             pass
@@ -219,6 +222,11 @@ class StitchingGUI(QWidget):
                 kind, data = s.status_queue.get_nowait()
                 if kind == 'status':
                     self.status_label.setText(data[0])
+                    if len(data) > 1 and data[1]:
+                        # saving phases report is_saving=True: show an
+                        # indeterminate busy bar like the reference GUI
+                        # (stitcher_process_gui.py:76-79)
+                        self.progress.setMaximum(0)
                 elif kind == 'error':
                     self.status_label.setText(f"Error: {data}")
         except queue_mod.Empty:
@@ -229,6 +237,11 @@ class StitchingGUI(QWidget):
                 self.output_path, self.dtype = data
                 self._run_complete = True
                 self.view_btn.setEnabled(True)
+                # leave the bar determinate and full after an
+                # indeterminate saving phase (reference saving_complete)
+                total = getattr(self, '_progress_total', 1)
+                self.progress.setMaximum(total)
+                self.progress.setValue(total)
                 self.status_label.setText(f"Complete: {self.output_path}")
         except queue_mod.Empty:
             pass

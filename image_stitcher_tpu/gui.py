@@ -104,6 +104,7 @@ class StitchingGUI(QWidget):
         layout.addWidget(self.stop_btn)
 
         self.progress = QProgressBar()
+        self._progress_total = 1  # last determinate total (tile count)
         layout.addWidget(self.progress)
         self.status_label = QLabel("Ready")
         layout.addWidget(self.status_label)
@@ -239,9 +240,8 @@ class StitchingGUI(QWidget):
                 self.view_btn.setEnabled(True)
                 # leave the bar determinate and full after an
                 # indeterminate saving phase (reference saving_complete)
-                total = getattr(self, '_progress_total', 1)
-                self.progress.setMaximum(total)
-                self.progress.setValue(total)
+                self.progress.setMaximum(self._progress_total)
+                self.progress.setValue(self._progress_total)
                 self.status_label.setText(f"Complete: {self.output_path}")
         except queue_mod.Empty:
             pass

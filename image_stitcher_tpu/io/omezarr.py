@@ -156,6 +156,7 @@ class MultiscaleWriter:
         self.path = path
         self.num_levels = num_levels
         self.shapes = level_shapes(tuple(base_shape), num_levels)
+        self._raw = None  # direct raw-chunk writers (set below when raw)
         omero = (omero_attrs(name, channel_names, channel_colors, dtype,
                              full=omero_full) if write_omero else None)
         if zarr_format == 3:
@@ -196,16 +197,15 @@ class MultiscaleWriter:
             ]
             if cname is None:
                 # raw chunks: band slabs go straight to chunk files via
-                # pwritev (io/raw_zarr.py) — ~4-6x less write-stage CPU
-                # than tensorstore's assemble-and-write on this path
+                # pwritev (io/raw_zarr.py) — ~2x less write-stage CPU
+                # than tensorstore's assemble-and-write, more when the
+                # core is starved
                 from .raw_zarr import RawV2SlabWriter
                 self._raw = [
                     RawV2SlabWriter(os.path.join(path, str(level)),
                                     self.shapes[level], chunks, dtype)
                     for level in range(num_levels)
                 ]
-        if not hasattr(self, '_raw'):
-            self._raw = None
         self._pending = []          # (future, nbytes) in issue order
         self._pending_bytes = 0
         self._max_pending_bytes = max_pending_bytes
@@ -225,16 +225,12 @@ class MultiscaleWriter:
             raw = self._raw[level]
             if raw.try_write(sel, data):
                 return
-            # v3 mixing gate: a tensorstore fallback write repacks a
-            # shard's bodies in its own write-order subset layout; a
-            # later raw write would install its full-present compact
-            # index over those bodies and corrupt the shard. One
-            # fallback therefore disables raw for this level for good.
-            # (v2 chunks are standalone full-size files — the raw and
-            # tensorstore writers interleave safely there, in either
-            # order.)
-            from .raw_zarr import RawV3ShardWriter
-            if isinstance(raw, RawV3ShardWriter):
+            # mixing gate: where a tensorstore fallback write leaves a
+            # layout later raw writes would corrupt (v3 shards repack
+            # bodies in write-order subset layout), one fallback
+            # disables raw for this level for good. v2 chunks are
+            # standalone full-size files and interleave safely.
+            if raw.disable_on_fallback:
                 raw.ok = False
         target = self.arrays[level] if sel is None else self.arrays[level][sel]
         fut = target.write(data)

@@ -68,6 +68,27 @@ class _RawSlabWriterBase:
     shape: Tuple[int, ...]
     dtype: np.dtype
 
+    #: True when a tensorstore fallback write to the same array makes
+    #: later raw writes unsafe — the owning MultiscaleWriter then sets
+    #: ``ok = False`` after the first fallback (v3 shards repack)
+    disable_on_fallback = False
+
+    def _pwrite_rows(self, fd: int, plane: np.ndarray, src_row0: int,
+                     src_col0: int, nrows: int, row_bytes: int,
+                     pad_bytes: int, off0: int, fpath: str) -> None:
+        """Stream ``nrows`` strided plane rows (+ zero padding to the
+        chunk pitch) into a contiguous file region via the C kernel."""
+        rc = get_lib().write_rows_contig(
+            fd,
+            ctypes.c_void_p(plane.ctypes.data
+                            + src_row0 * plane.strides[0]
+                            + src_col0 * self.dtype.itemsize),
+            plane.strides[0], nrows, row_bytes,
+            ctypes.cast(self._pad, ctypes.c_void_p) if pad_bytes else None,
+            pad_bytes, off0)
+        if rc < 0:
+            raise OSError(int(-rc), os.strerror(int(-rc)), fpath)
+
     def try_write(self, sel: Optional[Tuple], data: np.ndarray) -> bool:
         """Write a 5D slab if this writer supports its layout.
 
@@ -148,13 +169,10 @@ class RawV2SlabWriter(_RawSlabWriterBase):
     def _write_plane_slab(self, t: int, c: int, z: int, y0: int,
                           plane: np.ndarray) -> None:
         """Write plane (h, w) at rows [y0, y0+h), cols [0, w)."""
-        lib = get_lib()
         cy, cx = self.chunks[3], self.chunks[4]
         itemsize = self.dtype.itemsize
         h, w = plane.shape
         y1 = y0 + h
-        row_stride = plane.strides[0]
-        base = plane.ctypes.data
         for cyi in range(y0 // cy, (y1 - 1) // cy + 1):
             ry0, ry1 = max(y0, cyi * cy), min(y1, (cyi + 1) * cy)
             nrows = ry1 - ry0
@@ -162,23 +180,16 @@ class RawV2SlabWriter(_RawSlabWriterBase):
             off0 = (ry0 - cyi * cy) * self.pitch
             for cxi in range((w - 1) // cx + 1):
                 x0, x1 = cxi * cx, min(w, (cxi + 1) * cx)
-                row_bytes = (x1 - x0) * itemsize
-                pad_bytes = self.pitch - row_bytes
                 fpath = self._chunk_file(t, c, z, cyi, cxi)
                 fd = os.open(fpath, os.O_WRONLY | os.O_CREAT, 0o644)
                 try:
                     if not full_y and os.fstat(fd).st_size < self.chunk_bytes:
                         # sparse-extend: untouched rows read as fill zeros
                         os.ftruncate(fd, self.chunk_bytes)
-                    rc = lib.write_rows_contig(
-                        fd, ctypes.c_void_p(base + (ry0 - y0) * row_stride
-                                            + x0 * itemsize),
-                        row_stride, nrows, row_bytes,
-                        ctypes.cast(self._pad, ctypes.c_void_p)
-                        if pad_bytes else None,
-                        pad_bytes, off0)
-                    if rc < 0:
-                        raise OSError(int(-rc), os.strerror(int(-rc)), fpath)
+                    row_bytes = (x1 - x0) * itemsize
+                    self._pwrite_rows(fd, plane, ry0 - y0, x0, nrows,
+                                      row_bytes, self.pitch - row_bytes,
+                                      off0, fpath)
                 finally:
                     os.close(fd)
 
@@ -205,8 +216,10 @@ class RawV3ShardWriter(_RawSlabWriterBase):
     interleave with tensorstore writes in either order), a tensorstore
     write to a v3 array repacks shard bodies in its own layout, so the
     owning MultiscaleWriter disables this writer for a level after its
-    first fallback (the mixing gate in omezarr.write_level).
+    first fallback (``disable_on_fallback``).
     """
+
+    disable_on_fallback = True
 
     def __init__(self, path: str, shape: Sequence[int],
                  chunks: Sequence[int], shard: Sequence[int], dtype,
@@ -288,14 +301,11 @@ class RawV3ShardWriter(_RawSlabWriterBase):
 
     def _write_plane_slab(self, t: int, c: int, z: int, y0: int,
                           plane: np.ndarray) -> None:
-        lib = get_lib()
         cy, cx = self.chunks[3], self.chunks[4]
         sy_rows, sx_cols = self.shard[3], self.shard[4]
         es = self.dtype.itemsize
         h, w = plane.shape
         y1 = y0 + h
-        row_stride = plane.strides[0]
-        base = plane.ctypes.data
         for syi in range(y0 // sy_rows, (y1 - 1) // sy_rows + 1):
             for sxi in range((w - 1) // sx_cols + 1):
                 fpath = self._shard_file(t, c, z, syi, sxi)
@@ -318,20 +328,11 @@ class RawV3ShardWriter(_RawSlabWriterBase):
                                 continue
                             lin = iy * self.inner[4] + ix
                             row_bytes = (rx1 - gx0) * es
-                            pad_bytes = self.pitch - row_bytes
                             off0 = (ordinals[lin] * self.chunk_nbytes
                                     + (ry0 - gy0) * self.pitch)
-                            rc = lib.write_rows_contig(
-                                fd,
-                                ctypes.c_void_p(base
-                                                + (ry0 - y0) * row_stride
-                                                + gx0 * es),
-                                row_stride, ry1 - ry0, row_bytes,
-                                ctypes.cast(self._pad, ctypes.c_void_p)
-                                if pad_bytes else None,
-                                pad_bytes, off0)
-                            if rc < 0:
-                                raise OSError(int(-rc),
-                                              os.strerror(int(-rc)), fpath)
+                            self._pwrite_rows(
+                                fd, plane, ry0 - y0, gx0, ry1 - ry0,
+                                row_bytes, self.pitch - row_bytes,
+                                off0, fpath)
                 finally:
                     os.close(fd)

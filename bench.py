@@ -606,10 +606,16 @@ def main():
             # budget (a device rep has cost >1000 s of a 900 s budget).
             # 2.5x the best known time, floored generously; rep 0 gets
             # the remaining budget as its bound.
+            # floor 120 s: device reps only run after their probes WON
+            # through a live link with the compile cache warmed, so a
+            # rep needing more than max(120, 2.5x best) is storm-swept,
+            # and each one it kills saves that budget for a rep that
+            # can land (r3: good reps run ~30 s; a 240 s floor burned
+            # 2x the useful rep time per storm rep)
             if ours_best is not None:
-                rep_timeout = max(240.0, 2.5 * ours_best)
+                rep_timeout = max(120.0, 2.5 * ours_best)
             else:
-                rep_timeout = max(240.0, time_budget
+                rep_timeout = max(120.0, time_budget
                                   - (time.perf_counter() - bench_t0))
             ours_dt, pipe = run_ours(acq_dir, stage_choice=choice,
                                      rep_timeout=rep_timeout)

@@ -23,7 +23,7 @@ import sys
 
 from .qt_compat import (HAVE_QT, QApplication, QCheckBox, QComboBox,
                         QFileDialog, QHBoxLayout, QLabel, QMessageBox,
-                        QProgressBar, QPushButton, QSpinBox, QTimer, Qt,
+                        QProgressBar, QPushButton, QSpinBox, QTimer,
                         QVBoxLayout, QWidget)
 from .params import EngineOptions, StitchingParameters
 

@@ -11,11 +11,11 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from ..ops.fuse import apply_flatfield
 from ..ops.phasecorr import phase_cross_correlation_batch
-from .mesh import AXIS_DATA, batch_sharding, replicated
+from .mesh import batch_sharding, replicated
 
 
 def shard_batch(mesh: Mesh, *arrays):

@@ -11,7 +11,7 @@ toolchain change:
 """
 
 import numpy as np
-import jax, jax.numpy as jnp
+import jax.numpy as jnp
 from image_stitcher_tpu.ops.fuse import (fuse_overwrite, fuse_feather,
                                          finalize_feather,
                                          padded_canvas_shape)

@@ -103,10 +103,17 @@ class _RawSlabWriterBase:
             return False
         if sel is None:
             sel = tuple(slice(0, s) for s in self.shape)
-        try:
-            idx = [(int(s.start or 0), int(s.stop)) for s in sel]
-        except (AttributeError, TypeError):
-            return False
+        idx = []
+        for s, dim in zip(sel, self.shape):
+            # open slices (slice(None), slice(a, None)) normalize to
+            # the array extent — the merge paths select whole c/z axes
+            try:
+                if s.step not in (None, 1):
+                    return False
+                idx.append((int(s.start) if s.start is not None else 0,
+                            int(s.stop) if s.stop is not None else dim))
+            except (AttributeError, TypeError):
+                return False
         if any((b - a) != n for (a, b), n in zip(idx, data.shape)):
             return False
         # every axis must stay inside the array — a slab past the grid

@@ -103,7 +103,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
             lib.write_rows_contig.restype = c64
             lib.downsample2x_u16.argtypes = [vp, pd, vp, pd, pd, pd]
             lib.downsample2x_u8.argtypes = list(lib.downsample2x_u16.argtypes)
-            for f in (lib.downsample2x_u16, lib.downsample2x_u8):
+            lib.downsample2x2_mean_u16.argtypes = list(
+                lib.downsample2x_u16.argtypes)
+            lib.downsample2x2_mean_u8.argtypes = list(
+                lib.downsample2x_u16.argtypes)
+            for f in (lib.downsample2x_u16, lib.downsample2x_u8,
+                      lib.downsample2x2_mean_u16, lib.downsample2x2_mean_u8):
                 f.restype = None
             _LIB = lib
         except Exception:

@@ -107,6 +107,43 @@ void downsample2x_u8(const uint8_t *src, ptrdiff_t src_stride,
     }
 }
 
+/* Mean 2x2 downsample for unsigned ints: dst = floor(mean of the 2x2
+ * window). The 4-term sum fits u32 and is < 2^24, so the float32 mean
+ * the NumPy twin computes is exact and floor(mean) == sum >> 2 —
+ * bit-identical results without the u16->f32->u16 round-trip that
+ * dominates the NumPy path (measured 4.4 s of a 5.3 s merge). */
+void downsample2x2_mean_u16(const uint16_t *src, ptrdiff_t src_stride,
+                            uint16_t *dst, ptrdiff_t dst_stride,
+                            ptrdiff_t out_h, ptrdiff_t out_w)
+{
+    for (ptrdiff_t y = 0; y < out_h; ++y) {
+        const uint16_t *s0 = src + 2 * y * src_stride;
+        const uint16_t *s1 = s0 + src_stride;
+        uint16_t *d = dst + y * dst_stride;
+        for (ptrdiff_t x = 0; x < out_w; ++x) {
+            uint32_t sum = (uint32_t)s0[2 * x] + s0[2 * x + 1]
+                         + s1[2 * x] + s1[2 * x + 1];
+            d[x] = (uint16_t)(sum >> 2);
+        }
+    }
+}
+
+void downsample2x2_mean_u8(const uint8_t *src, ptrdiff_t src_stride,
+                           uint8_t *dst, ptrdiff_t dst_stride,
+                           ptrdiff_t out_h, ptrdiff_t out_w)
+{
+    for (ptrdiff_t y = 0; y < out_h; ++y) {
+        const uint8_t *s0 = src + 2 * y * src_stride;
+        const uint8_t *s1 = s0 + src_stride;
+        uint8_t *d = dst + y * dst_stride;
+        for (ptrdiff_t x = 0; x < out_w; ++x) {
+            uint32_t sum = (uint32_t)s0[2 * x] + s0[2 * x + 1]
+                         + s1[2 * x] + s1[2 * x + 1];
+            d[x] = (uint8_t)(sum >> 2);
+        }
+    }
+}
+
 /* ---- raw zarr chunk writer -------------------------------------- */
 
 /* Drain a fully-populated iovec array at a file offset, restarting on

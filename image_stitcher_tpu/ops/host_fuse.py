@@ -234,18 +234,24 @@ class HostCanvas:
         return self.canvas
 
 
-def _downsample2x_native(x: np.ndarray, out_h: int, out_w: int):
-    """C stride-2 gather (native/hostops.c); None -> NumPy fallback.
-    Bit-identical to x[::2, ::2] — it copies the same elements."""
+def _downsample2x_native(x: np.ndarray, out_h: int, out_w: int,
+                         mode: str = 'nearest'):
+    """C 2x downsample (native/hostops.c); None -> NumPy fallback.
+
+    'nearest' copies exactly the elements of x[::2, ::2]. 'mean' (uint
+    only) computes floor(mean of each 2x2 window) with integer
+    arithmetic — bit-identical to the NumPy float32 path because the
+    4-term sum is < 2^24 (exact in f32) and /4 is a power of two."""
     from ..native import get_lib
     lib = get_lib()
-    if lib is None or not hasattr(lib, 'downsample2x_u16'):
+    if lib is None or not hasattr(lib, 'downsample2x2_mean_u16'):
         return None
-    if x.dtype == np.uint16:
-        fn = lib.downsample2x_u16
-    elif x.dtype == np.uint8:
-        fn = lib.downsample2x_u8
-    else:
+    fn = {('nearest', np.dtype(np.uint16)): lib.downsample2x_u16,
+          ('nearest', np.dtype(np.uint8)): lib.downsample2x_u8,
+          ('mean', np.dtype(np.uint16)): lib.downsample2x2_mean_u16,
+          ('mean', np.dtype(np.uint8)): lib.downsample2x2_mean_u8,
+          }.get((mode, x.dtype))
+    if fn is None:
         return None
     if out_h <= 0 or out_w <= 0 or x.strides[-1] != x.dtype.itemsize:
         return None
@@ -265,10 +271,10 @@ def _downsample2x_native(x: np.ndarray, out_h: int, out_w: int):
 def host_downsample(x: np.ndarray, mode: str) -> np.ndarray:
     """NumPy twin of ops/pyramid.downsample (levels from the host canvas)."""
     h2, w2 = (x.shape[-2] // 2) * 2, (x.shape[-1] // 2) * 2
+    out = _downsample2x_native(x, h2 // 2, w2 // 2, mode)
+    if out is not None:
+        return out
     if mode == 'nearest':
-        out = _downsample2x_native(x, h2 // 2, w2 // 2)
-        if out is not None:
-            return out
         return np.ascontiguousarray(x[..., :h2:2, :w2:2])
     t = x[..., :h2, :w2].astype(np.float32)
     lead = t.shape[:-2]

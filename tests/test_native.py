@@ -108,3 +108,25 @@ def test_downsample2x_native_declines_unsupported(lib, rng):
     assert _downsample2x_native(f, 8, 8) is None  # dtype
     x = rng.integers(0, 99, (16, 16)).astype(np.uint16)
     assert _downsample2x_native(x[:, ::2], 8, 4) is None  # strided cols
+
+
+@pytest.mark.parametrize("dtype", [np.uint16, np.uint8])
+@pytest.mark.parametrize("shape", [(64, 128), (63, 127), (2, 3, 33, 65)])
+def test_downsample2x2_mean_native_matches_numpy(lib, rng, dtype, shape):
+    """The integer mean kernel must equal the NumPy float32 path
+    bit-for-bit: the 4-term sum is < 2^24 (exact in f32) and /4 is a
+    power of two, so floor(f32 mean) == sum >> 2."""
+    from image_stitcher_tpu.ops.host_fuse import _downsample2x_native
+    x = rng.integers(0, np.iinfo(dtype).max, shape).astype(dtype)
+    # saturate some windows to the dtype max to exercise the carry
+    x[..., :2, :2] = np.iinfo(dtype).max
+    h2, w2 = (shape[-2] // 2) * 2, (shape[-1] // 2) * 2
+    t = x[..., :h2, :w2].astype(np.float32)
+    lead = t.shape[:-2]
+    expected = np.floor(
+        t.reshape(lead + (h2 // 2, 2, w2 // 2, 2)).mean(axis=(-3, -1))
+    ).astype(dtype)
+    got = _downsample2x_native(x, h2 // 2, w2 // 2, 'mean')
+    assert got is not None
+    assert got.dtype == expected.dtype and got.shape == expected.shape
+    assert (got == expected).all()

@@ -362,3 +362,27 @@ def test_v3_mixing_gate_disables_raw_after_fallback(tmp_path):
     a = ts.open({"driver": "zarr3",
                  "kvstore": {"driver": "file", "path": out + "/0"}}).result()
     assert (a.read().result()[0, 0, 0] == full).all()
+
+
+def test_open_slices_accepted_like_merge_paths(tmp_path):
+    """The merge paths select whole c/z axes with slice(None); the raw
+    writer must accept those (it silently fell back to tensorstore for
+    EVERY merge write before r3)."""
+    import tensorstore as ts
+    rng = np.random.default_rng(5)
+    shape = (2, 2, 1, 64, 64)
+    chunks = (1, 1, 1, 32, 32)
+    raw_dir = str(tmp_path / 'open')
+    create_zarr_array(raw_dir, shape, chunks, np.uint16, cname=None)
+    raw = RawV2SlabWriter(raw_dir, shape, chunks, np.uint16)
+    data = rng.integers(0, 65535, (1, 2, 1, 32, 64), np.uint16)
+    sel = (slice(1, 2), slice(None), slice(None), slice(32, 64),
+           slice(0, 64))
+    assert raw.try_write(sel, data)
+    # stepped slices stay unsupported
+    sel_step = (slice(0, 1), slice(0, 2, 2), slice(0, 1),
+                slice(0, 32), slice(0, 64))
+    assert not raw.try_write(sel_step, data[:, :1])
+    a = ts.open({"driver": "zarr",
+                 "kvstore": {"driver": "file", "path": raw_dir}}).result()
+    assert (a.read().result()[1, :, :, 32:, :] == data[0]).all()

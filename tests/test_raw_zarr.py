@@ -386,3 +386,52 @@ def test_open_slices_accepted_like_merge_paths(tmp_path):
     a = ts.open({"driver": "zarr",
                  "kvstore": {"driver": "file", "path": raw_dir}}).result()
     assert (a.read().result()[1, :, :, 32:, :] == data[0]).all()
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_fuzz_random_band_sequences_match_tensorstore(tmp_path, seed):
+    """Seeded fuzz: random shapes/chunk grids/band splits through both
+    writers, byte-comparing every chunk file (v2) and reading back (v3,
+    where never-written in-bounds chunks legally differ present-zeros
+    vs missing)."""
+    import tensorstore as ts
+    from image_stitcher_tpu.io.raw_zarr import RawV3ShardWriter
+    from image_stitcher_tpu.io.zarr_store import (
+        compute_shard_shape, create_zarr3_sharded_array)
+    rng = np.random.default_rng(100 + seed)
+    dtype = [np.uint16, np.uint8][seed % 2]
+    c = int(rng.integers(1, 3))
+    h = int(rng.integers(40, 300))
+    w = int(rng.integers(40, 300))
+    cy = int(rng.integers(8, 80))
+    cx = int(rng.integers(8, 80))
+    shape = (1, c, 1, h, w)
+    chunks = (1, 1, 1, cy, cx)
+    full = rng.integers(0, np.iinfo(dtype).max, (c, h, w), dtype)
+    # random band split of [0, h)
+    cuts = sorted(set([0, h] + list(
+        rng.integers(1, h, size=int(rng.integers(1, 6))))))
+    bands = list(zip(cuts[:-1], cuts[1:]))
+
+    # v2: byte parity
+    slabs = []
+    for ci in range(c):
+        for y0, y1 in bands:
+            sel = (slice(0, 1), slice(ci, ci + 1), slice(0, 1),
+                   slice(y0, y1), slice(0, w))
+            slabs.append((sel, full[ci, y0:y1][None, None, None]))
+    _assert_file_parity(*_write_both(tmp_path, shape, chunks, dtype, slabs))
+
+    # v3: readback equality
+    raw_dir = str(tmp_path / 'fz3')
+    mult = int(rng.integers(1, 5))
+    create_zarr3_sharded_array(raw_dir, shape, chunks, dtype,
+                               shard_multiple=mult, cname=None)
+    cl, sh = compute_shard_shape(shape, chunks, mult, 1)
+    raw3 = RawV3ShardWriter(raw_dir, shape, cl, sh, dtype)
+    assert raw3.ok
+    for sel, data in slabs:
+        assert raw3.try_write(sel, data)
+    a = ts.open({"driver": "zarr3",
+                 "kvstore": {"driver": "file", "path": raw_dir}}).result()
+    assert (a.read().result()[0, :, 0] == full).all()

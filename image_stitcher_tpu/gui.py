@@ -205,7 +205,15 @@ class StitchingGUI(QWidget):
             self.start_btn.setEnabled(True)
             self.stop_btn.setEnabled(False)
 
+    def _restore_determinate_bar(self):
+        """Leave an indeterminate saving-phase bar determinate again
+        (at its last known value) — errors and stops must not keep a
+        busy animation running on a dead run."""
+        if self.progress.maximum() == 0:
+            self.progress.setMaximum(self._progress_total)
+
     def _drain_queues(self, s):
+        saw_progress = False
         try:
             while True:
                 kind, data = s.progress_queue.get_nowait()
@@ -213,6 +221,7 @@ class StitchingGUI(QWidget):
                     cur, total = data
                     # a progress tick restores determinate mode after a
                     # saving phase set the bar indeterminate
+                    saw_progress = True
                     self._progress_total = max(total, 1)
                     self.progress.setMaximum(self._progress_total)
                     self.progress.setValue(cur)
@@ -223,13 +232,18 @@ class StitchingGUI(QWidget):
                 kind, data = s.status_queue.get_nowait()
                 if kind == 'status':
                     self.status_label.setText(data[0])
-                    if len(data) > 1 and data[1]:
+                    if len(data) > 1 and data[1] and not saw_progress:
                         # saving phases report is_saving=True: show an
                         # indeterminate busy bar like the reference GUI
-                        # (stitcher_process_gui.py:76-79)
+                        # (stitcher_process_gui.py:76-79). The two
+                        # queues carry no global order, so a saving
+                        # event drained alongside progress ticks is
+                        # stale (the ticks are from the NEXT region) —
+                        # don't flip a progressing bar back to busy.
                         self.progress.setMaximum(0)
                 elif kind == 'error':
                     self.status_label.setText(f"Error: {data}")
+                    self._restore_determinate_bar()
         except queue_mod.Empty:
             pass
         try:
@@ -292,6 +306,7 @@ class StitchingGUI(QWidget):
         else:
             self.view_btn.setEnabled(view_was_enabled)
             self.status_label.setText("Stopped")
+            self._restore_determinate_bar()
 
     def view_output(self):
         """Open the result in napari: per-channel colormaps (named, or

@@ -46,9 +46,15 @@ def _build_dir() -> str:
 def _build() -> Optional[str]:
     out_dir = _build_dir()
     os.makedirs(out_dir, exist_ok=True)
-    so_path = os.path.join(out_dir, 'libhostops.so')
-    if (os.path.exists(so_path)
-            and os.path.getmtime(so_path) >= os.path.getmtime(_SRC)):
+    # cache key = hash of the SOURCE, not mtimes: archive-preserved
+    # mtimes (sdist/tar deploys, NFS clock skew) can make a stale .so
+    # pass an mtime check, and a stale binary missing newly-bound
+    # symbols would disable the whole native layer
+    import hashlib
+    with open(_SRC, 'rb') as f:
+        src_tag = hashlib.sha1(f.read()).hexdigest()[:12]
+    so_path = os.path.join(out_dir, f'libhostops-{src_tag}.so')
+    if os.path.exists(so_path):
         return so_path
     for cc in (os.environ.get('CC'), 'cc', 'gcc', 'clang'):
         if not cc:

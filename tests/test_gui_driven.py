@@ -119,3 +119,38 @@ def test_gui_stop_escalation(tmp_path, monkeypatch, qapp):
     assert gui.status_label.text() == "Stopped"
     assert gui.start_btn.isEnabled() and not gui.stop_btn.isEnabled()
     assert not gui.timer.isActive()
+
+
+def test_error_and_stale_saving_restore_determinate_bar(qapp):
+    """r3 review: an 'error' after a saving phase (and a stale saving
+    event drained alongside newer progress ticks) must not leave the
+    bar animating indeterminate forever."""
+    import queue
+
+    class FakeStitcher:
+        def __init__(self):
+            self.progress_queue = queue.Queue()
+            self.status_queue = queue.Queue()
+            self.complete_queue = queue.Queue()
+
+    gui = StitchingGUI()
+    s = FakeStitcher()
+    # saving -> indeterminate
+    s.status_queue.put(('status', ('Saving...', True)))
+    gui._drain_queues(s)
+    assert gui.progress.maximum() == 0
+    # error -> determinate again
+    s.status_queue.put(('error', 'disk full'))
+    gui._drain_queues(s)
+    assert gui.progress.maximum() > 0
+    assert "Error" in gui.status_label.text()
+    # stale saving drained together with newer progress ticks: the
+    # ticks win (the queues carry no global order)
+    s.progress_queue.put(('progress', (3, 10)))
+    s.status_queue.put(('status', ('Saving...', True)))
+    gui._drain_queues(s)
+    assert gui.progress.maximum() == 10 and gui.progress.value() == 3
+    # a saving event alone still flips to busy
+    s.status_queue.put(('status', ('Saving...', True)))
+    gui._drain_queues(s)
+    assert gui.progress.maximum() == 0

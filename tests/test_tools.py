@@ -181,3 +181,38 @@ def test_ashlar_export_timepoint_prefix(tmp_path):
     assert len(files) == 4  # 2 tiles x 2 timepoints, no clobbering
     assert files[0].startswith("000_A1_000_000_")
     assert files[-1].startswith("001_A1_001_000_")
+
+
+def test_doctor_reports_all_sections(tmp_path, monkeypatch, capsys):
+    """stitcher-doctor prints every section and never touches jax
+    in-process (the device probe is patched here; live it runs in the
+    killable subprocess)."""
+    from image_stitcher_tpu.parallel import autotune
+    from image_stitcher_tpu.tools import doctor
+    monkeypatch.setattr(autotune, '_run_probe',
+                        lambda *a, **k: ('tpu', {'h2d_mbps': 800.0,
+                                                 'd2h_mbps': 500.0}))
+    monkeypatch.setattr(autotune, '_PROBE_CACHE',
+                        {'h2d_mbps': 800.0, 'd2h_mbps': 500.0})
+    monkeypatch.setattr(autotune, '_HOST_PROBE_CACHE', 1.0e9)
+    rc = doctor.main(['--output-dir', str(tmp_path), '--deadline', '5'])
+    out = capsys.readouterr().out
+    assert rc == 0
+    for section in ('[Device]', '[Placement]', '[Native]', '[Disk]',
+                    '[Caches]'):
+        assert section in out
+    assert 'backend=tpu' in out
+    assert 'fusion placement' in out
+    assert 'disk write' in out
+
+
+def test_doctor_dead_link_reports_host(tmp_path, monkeypatch, capsys):
+    from image_stitcher_tpu.parallel import autotune
+    from image_stitcher_tpu.tools import doctor
+    monkeypatch.setattr(autotune, '_run_probe', lambda *a, **k: None)
+    monkeypatch.setattr(autotune, '_HOST_PROBE_CACHE', 1.0e9)
+    rc = doctor.main(['--output-dir', str(tmp_path), '--deadline', '1'])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert 'STALLED' in out
+    assert 'fusion placement for a 10x10x3ch 2048^2 job: host' in out

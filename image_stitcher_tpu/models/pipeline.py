@@ -165,6 +165,7 @@ class StitchPipeline:
                 s = fit_flatfield_stack_np(stack2d)
             return finalize_flatfield(s, out_hw)
 
+        fit_jobs = []  # (monochrome idx, working-res stack)
         for channel in acq.channel_names:
             self._check_stop()
             paths = []
@@ -196,13 +197,35 @@ class StitchPipeline:
                 base = channel.split('_')[0]
                 for plane, suffix in enumerate('RGB'):
                     idx = acq.monochrome_channels.index(f"{base}_{suffix}")
-                    self.flatfields[idx] = fit(small[..., plane])
-                    self.reporter.update_progress(idx + 1, acq.num_c)
+                    fit_jobs.append((idx, small[..., plane]))
             elif small.ndim == 3:
-                idx = acq.monochrome_channels.index(channel)
-                self.flatfields[idx] = fit(small)
-                self.reporter.update_progress(idx + 1, acq.num_c)
+                fit_jobs.append((acq.monochrome_channels.index(channel),
+                                 small))
             self._check_stop()
+
+        # channel solves are independent; on the host path run them in
+        # parallel (scipy/numpy release the GIL in the hot ops — ~Nx on
+        # multi-core hosts, harmless on one core). The device path stays
+        # sequential on the single accelerator.
+        done = [0]
+
+        def record(idx, field):
+            self.flatfields[idx] = field
+            done[0] += 1
+            self.reporter.update_progress(done[0], acq.num_c)
+
+        if use_device or len(fit_jobs) <= 1:
+            for idx, stack2d in fit_jobs:
+                self._check_stop()
+                record(idx, fit(stack2d))
+        else:
+            from concurrent.futures import ThreadPoolExecutor as _TPE
+            with _TPE(min(len(fit_jobs), 4)) as fit_pool:
+                futures = [(idx, fit_pool.submit(fit, stack2d))
+                           for idx, stack2d in fit_jobs]
+                for idx, fut in futures:
+                    record(idx, fut.result())
+        self._check_stop()
 
     def resolved_compressor(self):
         """(cname, clevel, shuffle) for the zarr writers. 'auto' probes

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 from typing import Dict, Optional, Sequence
 
 import numpy as np
@@ -186,19 +187,26 @@ def write_group(path: str, attrs: Optional[Dict] = None,
         meta: Dict = {'zarr_format': 3, 'node_type': 'group'}
         if attrs is not None:
             meta['attributes'] = attrs
-        with open(os.path.join(path, 'zarr.json'), 'w') as f:
-            json.dump(meta, f, indent=4)
+        _write_json_atomic(os.path.join(path, 'zarr.json'), meta)
         return
-    with open(os.path.join(path, '.zgroup'), 'w') as f:
-        json.dump({'zarr_format': 2}, f, indent=4)
+    _write_json_atomic(os.path.join(path, '.zgroup'), {'zarr_format': 2})
     if attrs is not None:
         write_attrs(path, attrs)
 
 
+def _write_json_atomic(path: str, obj) -> None:
+    """tmp + rename: concurrent writers of the SAME group metadata
+    (parallel merge units sharing a plate row) each land a complete
+    file instead of potentially interleaving into torn JSON."""
+    tmp = f"{path}.{os.getpid()}.{threading.get_ident()}.tmp"
+    with open(tmp, 'w') as f:
+        json.dump(obj, f, indent=4)
+    os.replace(tmp, path)
+
+
 def write_attrs(path: str, attrs: Dict) -> None:
     os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, '.zattrs'), 'w') as f:
-        json.dump(attrs, f, indent=4)
+    _write_json_atomic(os.path.join(path, '.zattrs'), attrs)
 
 
 def read_attrs(path: str) -> Dict:

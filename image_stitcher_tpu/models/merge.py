@@ -176,21 +176,55 @@ def _make_image_writer(pipeline, path: str, base_shape, name: str,
         omero_full=omero_full, zarr_format=opts.zarr_format)
 
 
+def _map_merge_units(pipeline, units, fn) -> None:
+    """Run independent per-unit merge jobs (separate writers, separate
+    output trees) on a small pool: the pool sizes to the schedulable
+    CPUs so a one-core host runs exactly the old sequential order while
+    multi-core hosts merge units concurrently. Peak memory stays
+    bounded at pool-size bands. Exceptions propagate after all submitted
+    units finish (no partially-abandoned writers)."""
+    from ..params import _available_cpus
+    workers = max(1, min(4, _available_cpus(), len(units)))
+    if workers == 1:
+        for u in units:
+            fn(u)
+        return
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(workers) as pool:
+        futures = [pool.submit(fn, u) for u in units]
+        errs = []
+        for fut in futures:
+            try:
+                fut.result()
+            except BaseException as e:  # noqa: BLE001 - re-raised below
+                errs.append(e)
+        if errs:
+            raise errs[0]
+
+
 def merge_timepoints_per_region(pipeline) -> str:
     """{output}/region_time_series/{region}_time_series.ome.zarr per region
     (reference stitcher.py:900-965)."""
     out_dir = os.path.join(pipeline.output_folder, "region_time_series")
     os.makedirs(out_dir, exist_ok=True)
-    output_path = ''
     num_t = len(pipeline.acq.timepoints)
-    for region in _regions_with_all_timepoints(pipeline):
-        output_path = os.path.join(
+    regions = _regions_with_all_timepoints(pipeline)
+    output_path = ''
+
+    def merge_one(region):
+        path = os.path.join(
             out_dir, f"{region}_time_series{pipeline.output_format}")
         max_shape = _max_region_shape(pipeline, region)
         base_shape = (num_t,) + tuple(max_shape[1:])
-        writer = _make_image_writer(pipeline, output_path, base_shape,
+        writer = _make_image_writer(pipeline, path, base_shape,
                                     f"Region_{region}")
-        _stream_timepoints(pipeline, writer, region, pipeline.num_pyramid_levels)
+        _stream_timepoints(pipeline, writer, region,
+                           pipeline.num_pyramid_levels)
+
+    _map_merge_units(pipeline, regions, merge_one)
+    if regions:
+        output_path = os.path.join(
+            out_dir, f"{regions[-1]}_time_series{pipeline.output_format}")
     return output_path
 
 
@@ -229,7 +263,8 @@ def create_hcs_ome_zarr_per_timepoint(pipeline) -> str:
         write_group(output_path, _group_attrs(zf, **plate_attrs(
             regions, f"HCS Dataset - Timepoint {t}",
             f"Timepoint {t} Acquisition")), zarr_format=zf)
-        for region in regions:
+
+        def well_one(region, t=t, output_path=output_path):
             src = _open_region_level0(pipeline, t, region)
             shape = tuple(src.shape)
 
@@ -240,6 +275,8 @@ def create_hcs_ome_zarr_per_timepoint(pipeline) -> str:
 
             _write_well_tree(pipeline, output_path, region,
                              f"Well_{region}_t{t}", shape, stream)
+
+        _map_merge_units(pipeline, regions, well_one)
     return output_path
 
 
@@ -259,7 +296,8 @@ def create_complete_hcs_ome_zarr(pipeline) -> str:
         regions, "Complete HCS Dataset", "Stitched Acquisition")),
         zarr_format=zf)
     num_t = len(pipeline.acq.timepoints)
-    for region in regions:
+
+    def well_one(region):
         max_shape = _max_region_shape(pipeline, region)
         base_shape = (num_t,) + tuple(max_shape[1:])
 
@@ -269,6 +307,8 @@ def create_complete_hcs_ome_zarr(pipeline) -> str:
 
         _write_well_tree(pipeline, output_path, region, f"Well_{region}",
                          base_shape, stream)
+
+    _map_merge_units(pipeline, regions, well_one)
     return output_path
 
 

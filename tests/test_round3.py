@@ -201,3 +201,46 @@ def test_compressor_auto_median_survives_one_noisy_tile(tmp_path):
                            [int(cv2.IMWRITE_TIFF_COMPRESSION), 1])
     pipe._compressor_choice = None
     assert pipe.resolved_compressor()[0] is None
+
+
+def test_parallel_merge_units_match_sequential(tmp_path, monkeypatch):
+    """Merge units (regions/wells) are independent; forced onto a
+    multi-worker pool they must produce the same trees a sequential run
+    does (r3: _map_merge_units + atomic group-metadata writes — shared
+    plate-row metadata is written by several wells concurrently)."""
+    import numpy as np
+    import tensorstore as ts
+    from fixtures import write_synthetic_acquisition
+    from image_stitcher_tpu import EngineOptions, StitchingParameters
+    from image_stitcher_tpu.models import merge as merge_mod
+    from image_stitcher_tpu.models.pipeline import StitchPipeline
+
+    acq_dir = str(tmp_path / "acq")
+    write_synthetic_acquisition(acq_dir, grid_cols=2, grid_rows=2,
+                                tile_w=96, tile_h=96, overlap=16,
+                                timepoints=2,
+                                regions=["A1", "A2", "B1", "B2"])
+    results = {}
+    for label, cpus in (("seq", 1), ("par", 4)):
+        monkeypatch.setattr(merge_mod, "_available_cpus",
+                            lambda n=cpus: n, raising=False)
+        import image_stitcher_tpu.params as params_mod
+        monkeypatch.setattr(params_mod, "_available_cpus", lambda n=cpus: n)
+        p = StitchingParameters(input_folder=acq_dir,
+                                merge_timepoints=True,
+                                merge_hcs_regions=True)
+        pipe = StitchPipeline(p, EngineOptions(
+            output_folder=str(tmp_path / label)))
+        pipe.run()
+        plate = str(tmp_path / label / "hcs_timepoints" /
+                    "complete_hcs.ome.zarr")
+        wells = {}
+        for region in ("A1", "A2", "B1", "B2"):
+            zp = f"{plate}/{region[0]}/{region[1:]}/0/0"
+            wells[region] = np.asarray(ts.open(
+                {"driver": "zarr",
+                 "kvstore": {"driver": "file", "path": zp}}).result()
+                .read().result())
+        results[label] = wells
+    for region in results["seq"]:
+        assert (results["seq"][region] == results["par"][region]).all()

@@ -199,9 +199,16 @@ def _write_json_atomic(path: str, obj) -> None:
     (parallel merge units sharing a plate row) each land a complete
     file instead of potentially interleaving into torn JSON."""
     tmp = f"{path}.{os.getpid()}.{threading.get_ident()}.tmp"
-    with open(tmp, 'w') as f:
-        json.dump(obj, f, indent=4)
-    os.replace(tmp, path)
+    try:
+        with open(tmp, 'w') as f:
+            json.dump(obj, f, indent=4)
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
 
 
 def write_attrs(path: str, attrs: Dict) -> None:

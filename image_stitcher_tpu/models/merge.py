@@ -164,7 +164,8 @@ def _stream_timepoints(pipeline, writer: MultiscaleWriter, region: str,
 
 
 def _make_image_writer(pipeline, path: str, base_shape, name: str,
-                       omero_full: bool = False) -> MultiscaleWriter:
+                       omero_full: bool = False,
+                       n_concurrent: int = 1) -> MultiscaleWriter:
     acq = pipeline.acq
     opts = pipeline.options
     cname, clevel, shuffle = pipeline.resolved_compressor()
@@ -173,7 +174,16 @@ def _make_image_writer(pipeline, path: str, base_shape, name: str,
         name, acq.dz_um, acq.pixel_size_um, acq.monochrome_channels,
         acq.monochrome_colors, cname=cname,
         clevel=clevel, shuffle=shuffle,
-        omero_full=omero_full, zarr_format=opts.zarr_format)
+        omero_full=omero_full, zarr_format=opts.zarr_format,
+        # concurrent merge writers split the default backpressure
+        # window so the merge phase's pending-bytes ceiling stays what
+        # a single sequential writer had
+        max_pending_bytes=(512 << 20) // max(1, n_concurrent))
+
+
+def _merge_worker_count(n_units: int) -> int:
+    from ..params import _available_cpus
+    return max(1, min(4, _available_cpus(), n_units))
 
 
 def _map_merge_units(pipeline, units, fn) -> None:
@@ -181,10 +191,16 @@ def _map_merge_units(pipeline, units, fn) -> None:
     output trees) on a small pool: the pool sizes to the schedulable
     CPUs so a one-core host runs exactly the old sequential order while
     multi-core hosts merge units concurrently. Peak memory stays
-    bounded at pool-size bands. Exceptions propagate after all submitted
-    units finish (no partially-abandoned writers)."""
-    from ..params import _available_cpus
-    workers = max(1, min(4, _available_cpus(), len(units)))
+    bounded: pool-size band slabs plus one writer backpressure window
+    split across the pool (``_make_image_writer`` divides
+    max_pending_bytes by the worker count). On the first failure —
+    including KeyboardInterrupt — queued units are cancelled and the
+    error re-raises once running units finish (threads cannot be
+    killed; a running writer is never abandoned mid-file)."""
+    # warm the lazy compressor probe on the main thread so workers
+    # never race its check-then-set (it is also lock-guarded)
+    pipeline.resolved_compressor()
+    workers = _merge_worker_count(len(units))
     if workers == 1:
         for u in units:
             fn(u)
@@ -192,14 +208,13 @@ def _map_merge_units(pipeline, units, fn) -> None:
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(workers) as pool:
         futures = [pool.submit(fn, u) for u in units]
-        errs = []
-        for fut in futures:
-            try:
+        try:
+            for fut in futures:
                 fut.result()
-            except BaseException as e:  # noqa: BLE001 - re-raised below
-                errs.append(e)
-        if errs:
-            raise errs[0]
+        except BaseException:
+            for f in futures:
+                f.cancel()
+            raise
 
 
 def merge_timepoints_per_region(pipeline) -> str:
@@ -216,8 +231,9 @@ def merge_timepoints_per_region(pipeline) -> str:
             out_dir, f"{region}_time_series{pipeline.output_format}")
         max_shape = _max_region_shape(pipeline, region)
         base_shape = (num_t,) + tuple(max_shape[1:])
-        writer = _make_image_writer(pipeline, path, base_shape,
-                                    f"Region_{region}")
+        writer = _make_image_writer(
+            pipeline, path, base_shape, f"Region_{region}",
+            n_concurrent=_merge_worker_count(len(regions)))
         _stream_timepoints(pipeline, writer, region,
                            pipeline.num_pyramid_levels)
 
@@ -229,7 +245,7 @@ def merge_timepoints_per_region(pipeline) -> str:
 
 
 def _write_well_tree(pipeline, plate_root: str, region: str, name: str,
-                     base_shape, stream_fn) -> None:
+                     base_shape, stream_fn, n_concurrent: int = 1) -> None:
     """Create {row}/{col}/0 hierarchy with well metadata and image data."""
     row, col = region[0], region[1:]
     zf = pipeline.options.zarr_format
@@ -238,7 +254,8 @@ def _write_well_tree(pipeline, plate_root: str, region: str, name: str,
                 _group_attrs(zf, well=well_attrs()["well"]),
                 zarr_format=zf)
     image_path = os.path.join(plate_root, row, col, "0")
-    writer = _make_image_writer(pipeline, image_path, base_shape, name)
+    writer = _make_image_writer(pipeline, image_path, base_shape, name,
+                                n_concurrent=n_concurrent)
     stream_fn(writer)
 
 
@@ -274,7 +291,8 @@ def create_hcs_ome_zarr_per_timepoint(pipeline) -> str:
                 writer.close()
 
             _write_well_tree(pipeline, output_path, region,
-                             f"Well_{region}_t{t}", shape, stream)
+                             f"Well_{region}_t{t}", shape, stream,
+                             n_concurrent=_merge_worker_count(len(regions)))
 
         _map_merge_units(pipeline, regions, well_one)
     return output_path
@@ -306,7 +324,8 @@ def create_complete_hcs_ome_zarr(pipeline) -> str:
                                pipeline.num_pyramid_levels)
 
         _write_well_tree(pipeline, output_path, region, f"Well_{region}",
-                         base_shape, stream)
+                         base_shape, stream,
+                         n_concurrent=_merge_worker_count(len(regions)))
 
     _map_merge_units(pipeline, regions, well_one)
     return output_path

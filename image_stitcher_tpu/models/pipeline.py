@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import os
 import random
+import threading
 import time
 from typing import Dict, List, Optional, Tuple
 
@@ -36,6 +37,9 @@ from ..ops.phasecorr import (horizontal_shift_from_pcc,
 from ..params import EngineOptions, StitchingParameters
 from ..utils.profiling import StageTimers
 from ..utils.progress import ProgressReporter, StitchCancelled
+
+#: serializes the lazy compressor-'auto' probe across merge workers
+_COMPRESSOR_PROBE_LOCK = threading.Lock()
 
 
 class StitchPipeline:
@@ -223,8 +227,16 @@ class StitchPipeline:
             with _TPE(min(len(fit_jobs), 4)) as fit_pool:
                 futures = [(idx, fit_pool.submit(fit, stack2d))
                            for idx, stack2d in fit_jobs]
-                for idx, fut in futures:
-                    record(idx, fut.result())
+                try:
+                    for idx, fut in futures:
+                        # bounded cancellation latency: one fit, like
+                        # the sequential branch
+                        self._check_stop()
+                        record(idx, fut.result())
+                except BaseException:
+                    for _idx, fut in futures:
+                        fut.cancel()
+                    raise
         self._check_stop()
 
     def resolved_compressor(self):
@@ -238,6 +250,14 @@ class StitchPipeline:
         if opts.compressor_cname != 'auto':
             return (opts.compressor_cname, opts.compressor_clevel,
                     opts.compressor_shuffle)
+        # parallel merge workers may reach this concurrently; the lock
+        # keeps the probe a one-shot (run_merges also warms it on the
+        # main thread before any pool starts)
+        with _COMPRESSOR_PROBE_LOCK:
+            return self._resolved_compressor_locked()
+
+    def _resolved_compressor_locked(self):
+        opts = self.options
         if getattr(self, '_compressor_choice', None) is None:
             import zlib
             # Probe first/center/last tiles (in key order) and decide on

@@ -212,7 +212,6 @@ def test_parallel_merge_units_match_sequential(tmp_path, monkeypatch):
     import tensorstore as ts
     from fixtures import write_synthetic_acquisition
     from image_stitcher_tpu import EngineOptions, StitchingParameters
-    from image_stitcher_tpu.models import merge as merge_mod
     from image_stitcher_tpu.models.pipeline import StitchPipeline
 
     acq_dir = str(tmp_path / "acq")
@@ -222,8 +221,8 @@ def test_parallel_merge_units_match_sequential(tmp_path, monkeypatch):
                                 regions=["A1", "A2", "B1", "B2"])
     results = {}
     for label, cpus in (("seq", 1), ("par", 4)):
-        monkeypatch.setattr(merge_mod, "_available_cpus",
-                            lambda n=cpus: n, raising=False)
+        # merge.py resolves _available_cpus from params at call time,
+        # so the params patch is the one that steers the pool size
         import image_stitcher_tpu.params as params_mod
         monkeypatch.setattr(params_mod, "_available_cpus", lambda n=cpus: n)
         p = StitchingParameters(input_folder=acq_dir,

@@ -137,6 +137,12 @@ def well_attrs() -> Dict:
                      "version": "0.4"}}
 
 
+#: default async-write backpressure window; concurrent merge writers
+#: split this so a merge phase's pending-bytes ceiling equals one
+#: sequential writer's (models/merge._make_image_writer divides it)
+DEFAULT_MAX_PENDING_BYTES = 512 << 20
+
+
 class MultiscaleWriter:
     """Streams one multiscale OME-Zarr image group level by level.
 
@@ -150,7 +156,7 @@ class MultiscaleWriter:
                  channel_names: Sequence[str], channel_colors: Sequence[int],
                  cname: str = 'zstd', clevel: int = 1, shuffle: int = 1,
                  omero_full: bool = True, write_omero: bool = True,
-                 max_pending_bytes: int = 512 << 20,
+                 max_pending_bytes: int = None,
                  zarr_format: int = 2, shard_multiple: int = 16):
         from ..ops.pyramid import level_shapes
         self.path = path
@@ -208,7 +214,9 @@ class MultiscaleWriter:
                 ]
         self._pending = []          # (future, nbytes) in issue order
         self._pending_bytes = 0
-        self._max_pending_bytes = max_pending_bytes
+        self._max_pending_bytes = (DEFAULT_MAX_PENDING_BYTES
+                                   if max_pending_bytes is None
+                                   else max_pending_bytes)
         import threading
         self._lock = threading.Lock()
 

@@ -25,7 +25,8 @@ from typing import Tuple
 
 import numpy as np
 
-from ..io.omezarr import MultiscaleWriter, plate_attrs, well_attrs
+from ..io.omezarr import (DEFAULT_MAX_PENDING_BYTES, MultiscaleWriter,
+                          plate_attrs, well_attrs)
 from ..io.zarr_store import open_zarr_array, write_group
 from ..ops.host_fuse import host_downsample
 from .streaming import band_rows_for
@@ -178,7 +179,7 @@ def _make_image_writer(pipeline, path: str, base_shape, name: str,
         # concurrent merge writers split the default backpressure
         # window so the merge phase's pending-bytes ceiling stays what
         # a single sequential writer had
-        max_pending_bytes=(512 << 20) // max(1, n_concurrent))
+        max_pending_bytes=DEFAULT_MAX_PENDING_BYTES // max(1, n_concurrent))
 
 
 def _merge_worker_count(n_units: int) -> int:
@@ -196,18 +197,25 @@ def _map_merge_units(pipeline, units, fn) -> None:
     max_pending_bytes by the worker count). On the first failure —
     including KeyboardInterrupt — queued units are cancelled and the
     error re-raises once running units finish (threads cannot be
-    killed; a running writer is never abandoned mid-file)."""
-    # warm the lazy compressor probe on the main thread so workers
-    # never race its check-then-set (it is also lock-guarded)
-    pipeline.resolved_compressor()
+    killed; a running writer is never abandoned mid-file).
+
+    ``fn(unit, n_concurrent)`` receives the pool size so its writers
+    can split the backpressure window by the ACTUAL worker count (a
+    per-unit recompute could diverge if CPU affinity changes mid-run).
+    """
+    if not units:
+        return
     workers = _merge_worker_count(len(units))
     if workers == 1:
         for u in units:
-            fn(u)
+            fn(u, 1)
         return
+    # warm the lazy compressor probe on the main thread so workers
+    # never race its check-then-set (it is also lock-guarded)
+    pipeline.resolved_compressor()
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(workers) as pool:
-        futures = [pool.submit(fn, u) for u in units]
+        futures = [pool.submit(fn, u, workers) for u in units]
         try:
             for fut in futures:
                 fut.result()
@@ -226,14 +234,14 @@ def merge_timepoints_per_region(pipeline) -> str:
     regions = _regions_with_all_timepoints(pipeline)
     output_path = ''
 
-    def merge_one(region):
+    def merge_one(region, n_concurrent):
         path = os.path.join(
             out_dir, f"{region}_time_series{pipeline.output_format}")
         max_shape = _max_region_shape(pipeline, region)
         base_shape = (num_t,) + tuple(max_shape[1:])
         writer = _make_image_writer(
             pipeline, path, base_shape, f"Region_{region}",
-            n_concurrent=_merge_worker_count(len(regions)))
+            n_concurrent=n_concurrent)
         _stream_timepoints(pipeline, writer, region,
                            pipeline.num_pyramid_levels)
 
@@ -281,7 +289,7 @@ def create_hcs_ome_zarr_per_timepoint(pipeline) -> str:
             regions, f"HCS Dataset - Timepoint {t}",
             f"Timepoint {t} Acquisition")), zarr_format=zf)
 
-        def well_one(region, t=t, output_path=output_path):
+        def well_one(region, n_concurrent, t=t, output_path=output_path):
             src = _open_region_level0(pipeline, t, region)
             shape = tuple(src.shape)
 
@@ -292,7 +300,7 @@ def create_hcs_ome_zarr_per_timepoint(pipeline) -> str:
 
             _write_well_tree(pipeline, output_path, region,
                              f"Well_{region}_t{t}", shape, stream,
-                             n_concurrent=_merge_worker_count(len(regions)))
+                             n_concurrent=n_concurrent)
 
         _map_merge_units(pipeline, regions, well_one)
     return output_path
@@ -315,7 +323,7 @@ def create_complete_hcs_ome_zarr(pipeline) -> str:
         zarr_format=zf)
     num_t = len(pipeline.acq.timepoints)
 
-    def well_one(region):
+    def well_one(region, n_concurrent):
         max_shape = _max_region_shape(pipeline, region)
         base_shape = (num_t,) + tuple(max_shape[1:])
 
@@ -324,8 +332,7 @@ def create_complete_hcs_ome_zarr(pipeline) -> str:
                                pipeline.num_pyramid_levels)
 
         _write_well_tree(pipeline, output_path, region, f"Well_{region}",
-                         base_shape, stream,
-                         n_concurrent=_merge_worker_count(len(regions)))
+                         base_shape, stream, n_concurrent=n_concurrent)
 
     _map_merge_units(pipeline, regions, well_one)
     return output_path

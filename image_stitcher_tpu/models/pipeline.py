@@ -224,7 +224,11 @@ class StitchPipeline:
                 record(idx, fit(stack2d))
         else:
             from concurrent.futures import ThreadPoolExecutor as _TPE
-            with _TPE(min(len(fit_jobs), 4)) as fit_pool:
+            from ..params import _available_cpus
+            # cap at the schedulable CPUs: a one-core host keeps the
+            # sequential order (and one-fit cancellation latency)
+            with _TPE(max(1, min(len(fit_jobs), 4,
+                                 _available_cpus()))) as fit_pool:
                 futures = [(idx, fit_pool.submit(fit, stack2d))
                            for idx, stack2d in fit_jobs]
                 try:

@@ -111,9 +111,11 @@ class RunManifest:
         fd, tmp = tempfile.mkstemp(dir=self.output_folder, suffix=".npz.tmp")
         try:
             with os.fdopen(fd, "wb") as f:
-                np.savez_compressed(f,
-                                    **{str(k): v
-                                       for k, v in flatfields.items()})
+                # uncompressed: deflating ~50 MB of smooth f32 fields
+                # costs seconds of the e2e run on a starved core (19 s
+                # observed in a storm) for disk space nobody misses;
+                # np.load reads both formats so old sidecars still load
+                np.savez(f, **{str(k): v for k, v in flatfields.items()})
             os.replace(tmp, path)
         except BaseException:
             try:

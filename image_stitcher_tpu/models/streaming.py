@@ -389,7 +389,16 @@ class DeviceStreamingFuser:
             stop_check: Optional[Callable] = None) -> None:
         """``load_fn`` is accepted for signature parity with the host
         fuser but unused: batches load through TileBatchLoader, which
-        applies the canonical plane loader."""
+        applies the canonical plane loader.
+
+        Band writes run on one background thread behind a bounded
+        hand-off (one band in flight): the device fuses band N+1 while
+        band N's pyramid fold + (synchronous, on the raw path) chunk
+        writes drain — without this the accelerator idles for the
+        whole write stage of every band. Peak memory grows by one band
+        slab. Bands target disjoint rows, so write order across bands
+        doesn't affect output; levels of ONE band stay ordered on the
+        single writer thread."""
         tasks, n_jobs = partition_jobs_by_band(jobs, self.tile_h,
                                                self.height, self.band)
         done = [0]
@@ -399,12 +408,57 @@ class DeviceStreamingFuser:
             if progress_cb is not None:
                 progress_cb(done[0], n_jobs)
 
-        for key in sorted(tasks.keys()):
-            if stop_check is not None:
-                stop_check()
-            c, z, band0 = key
-            buf = self._fuse_band(c, band0, tasks[key], progress,
-                                  stop_check=stop_check)
-            write_band_levels(self.writer, c, z, band0, buf,
-                              self.num_levels, self.mode, self.width)
+        import queue as _queue
+        import threading
+        handoff = _queue.Queue(maxsize=1)
+        write_err: List = []
+
+        def writer_loop():
+            while True:
+                item = handoff.get()
+                if item is None:
+                    return
+                c, z, band0, buf = item
+                try:
+                    write_band_levels(self.writer, c, z, band0, buf,
+                                      self.num_levels, self.mode,
+                                      self.width)
+                except BaseException as e:  # surfaced on the main thread
+                    write_err.append(e)
+                    return
+
+        wt = threading.Thread(target=writer_loop, name='band-writer',
+                              daemon=True)
+        wt.start()
+        fuse_exc = None
+        try:
+            for key in sorted(tasks.keys()):
+                if stop_check is not None:
+                    stop_check()
+                if write_err:
+                    break
+                c, z, band0 = key
+                buf = self._fuse_band(c, band0, tasks[key], progress,
+                                      stop_check=stop_check)
+                while not write_err:
+                    try:
+                        handoff.put((c, z, band0, buf), timeout=0.5)
+                        break
+                    except _queue.Full:
+                        continue
+        except BaseException as e:
+            fuse_exc = e
+        # stop the writer: a blocking put is safe while it's alive (it
+        # always drains); a dead one (write_err) just leaves the queue
+        while wt.is_alive():
+            try:
+                handoff.put(None, timeout=0.5)
+                break
+            except _queue.Full:
+                continue
+        wt.join()
+        if fuse_exc is not None:
+            raise fuse_exc
+        if write_err:
+            raise write_err[0]
         self.writer.close()

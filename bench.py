@@ -114,7 +114,7 @@ print('PROBE_SECONDS', time.perf_counter() - t0, flush=True)
 """
 
 
-def probe_stage_backends(acq_dir, stage_budget=300.0):
+def probe_stage_backends(acq_dir, stage_budget=300.0, lp=None):
     """Measure each device stage against its host twin ON THIS RUN's
     link weather, then commit every headline rep to the winners.
 
@@ -159,14 +159,29 @@ def probe_stage_backends(acq_dir, stage_budget=300.0):
                      False, cap=stage_budget / 2) or 60.0
     ff_host = timed('flatfield host(ADMM)', 'flatfield', False,
                     cap=stage_budget / 2) or 60.0
-    remaining = max(45.0, stage_budget - (time.perf_counter() - t0))
-    # device probes hard-capped: a stalled tunnel costs the cap, never
-    # the headline budget. The cap leaves room for one cold compile.
-    reg_dev = timed('registration device(all-pairs,jit)', 'registration',
-                    True, cap=min(remaining, 30 + 3 * reg_host + 90))
-    remaining = max(45.0, stage_budget - (time.perf_counter() - t0))
-    ff_dev = timed('flatfield device(jit ADMM)', 'flatfield', True,
-                   cap=min(remaining, 30 + 3 * ff_host + 90))
+    # link-weather gate: with d2h collapsed (storms show single-digit
+    # MiB/s; healthy DMA hosts show GB/s) the flatfield readback alone
+    # loses to the host twin and dispatch latency storms the rest — a
+    # device probe can only lose, so skip both and keep their ~100 s
+    # caps in the headline budget (observed: reg probe spent 73 s
+    # completing a guaranteed loss through a 2 MiB/s tunnel).
+    if lp is not None and lp.get('d2h_mbps', 0.0) < 20.0:
+        log(f"  link gate: d2h {lp['d2h_mbps']:.1f} MiB/s — skipping "
+            f"device stage probes (storm)")
+        reg_dev = ff_dev = None
+        timings['registration device(all-pairs,jit)'] = None
+        timings['flatfield device(jit ADMM)'] = None
+    else:
+        remaining = max(45.0, stage_budget - (time.perf_counter() - t0))
+        # device probes hard-capped: a stalled tunnel costs the cap,
+        # never the headline budget. The cap leaves room for one cold
+        # compile.
+        reg_dev = timed('registration device(all-pairs,jit)',
+                        'registration', True,
+                        cap=min(remaining, 30 + 3 * reg_host + 90))
+        remaining = max(45.0, stage_budget - (time.perf_counter() - t0))
+        ff_dev = timed('flatfield device(jit ADMM)', 'flatfield', True,
+                       cap=min(remaining, 30 + 3 * ff_host + 90))
     choice = {
         'device_registration': reg_dev is not None and reg_dev < reg_host,
         'device_flatfield': ff_dev is not None and ff_dev < ff_host,
@@ -576,24 +591,49 @@ def main():
         ours_best, base_best = None, None
         pipe = None
 
+        # warm the fusion link-probe cache before anything timed: on a
+        # storm-stalled tunnel the probe costs its 30 s kill deadline
+        # exactly once here (cached in-process for every rep) instead
+        # of inside rep 0's headline time. It runs FIRST so the stage
+        # probes can skip their ~100 s device caps when the link is
+        # already known to be storming.
+        from image_stitcher_tpu.parallel.autotune import probe_link_bandwidth
+        t_probe = time.perf_counter()
+        # force: the disk cache's 24 h TTL is fine for the pipeline's
+        # fusion-backend default but far too stale to gate the device
+        # probes on — a storm reading from hours ago must not lock out
+        # a recovered link (and vice versa). Fresh probe costs seconds
+        # healthy, one 30 s deadline dead; reps reuse the in-process
+        # cache either way.
+        lp = probe_link_bandwidth(force=True)
+        log(f"link probe: h2d={lp['h2d_mbps']:.0f} d2h={lp['d2h_mbps']:.0f} "
+            f"MiB/s ({time.perf_counter() - t_probe:.1f}s)")
+
         # Probe each device stage against its host twin ONCE, on this
         # run's link weather, then commit every rep to the winners — a
         # device rep can no longer burn a headline slot losing through
         # a stormy tunnel (it loses a bounded probe instead), and on a
         # DMA-attached host the device stages win the probe and ride
         # every rep. The probe also warms the persistent compile cache.
-        stage_choice, probe_timings = probe_stage_backends(acq_dir)
+        stage_choice, probe_timings = probe_stage_backends(acq_dir, lp=lp)
 
-        # warm the fusion link-probe cache before any timed rep: on a
-        # storm-stalled tunnel the probe costs its 30 s kill deadline
-        # exactly once here (cached in-process for every rep) instead
-        # of inside rep 0's headline time
-        from image_stitcher_tpu.parallel.autotune import probe_link_bandwidth
-        t_probe = time.perf_counter()
-        lp = probe_link_bandwidth()
-        log(f"link probe: h2d={lp['h2d_mbps']:.0f} d2h={lp['d2h_mbps']:.0f} "
-            f"MiB/s ({time.perf_counter() - t_probe:.1f}s)")
+        # d2h consistency gate: the link probe runs AFTER the stage
+        # probes, so it sees fresher weather. The device flatfield's
+        # result readback (C fields of TILE^2 f32) is its floor — if
+        # that alone exceeds the host twin at the measured d2h rate,
+        # the probe's win was stale (observed: probe 1.3s, rep 40s
+        # after d2h collapsed to 2 MiB/s between them).
+        if stage_choice.get('device_flatfield'):
+            ff_bytes = len(CHANNELS) * TILE * TILE * 4
+            est_d2h = ff_bytes / (max(lp['d2h_mbps'], 0.01) * (1 << 20))
+            ff_host_t = probe_timings.get('flatfield host(ADMM)') or 60.0
+            if est_d2h > ff_host_t:
+                log(f"  d2h gate: flatfield readback alone ~{est_d2h:.0f}s "
+                    f"at {lp['d2h_mbps']:.1f} MiB/s > host twin "
+                    f"{ff_host_t:.1f}s — demoting flatfield to host")
+                stage_choice['device_flatfield'] = False
 
+        slow_choice_reps = 0
         for rep in range(repeats):
             if rep > 0 and time.perf_counter() - bench_t0 > time_budget:
                 log(f"time budget reached after {rep} repeat(s)")
@@ -630,6 +670,21 @@ def main():
                     f"v={pipe.shifts.v_shift})")
                 ours_best = (ours_dt if ours_best is None
                              else min(ours_best, ours_dt))
+                # weather drift the probes can't see: device-stage reps
+                # losing badly to the best (host) rep mean the link
+                # regressed after the probes. Two consecutive bad reps
+                # demote the rest — one could be a host-side storm, and
+                # a genuinely winning device stage never triggers this
+                # (its reps ARE the best).
+                if choice and ours_dt > 1.5 * ours_best:
+                    slow_choice_reps += 1
+                    if slow_choice_reps >= 2 and stage_choice:
+                        log("device-stage reps losing to the best rep "
+                            "twice in a row; demoting remaining reps "
+                            "to host")
+                        stage_choice = {}
+                else:
+                    slow_choice_reps = 0
             for d in __import__('glob').glob(acq_dir + "_stitched_*"):
                 shutil.rmtree(d, ignore_errors=True)
             if ours_dt is None:

@@ -381,8 +381,18 @@ class DeviceStreamingFuser:
             consumed += batch.count
         if self.blend == 'feather':
             canvas = fuse_ops.finalize_feather(acc, wsum, self.dtype)
-        # D2H only the real rows/cols of this band
-        return np.asarray(canvas[0, 0, th:th + rows, :self.width])
+        # D2H only the real rows/cols of this band. The transfer is
+        # STARTED here but not waited on: the device array goes to the
+        # background writer thread, which materializes it (np.asarray)
+        # while the fusion loop dispatches the next band — on a
+        # DMA-attached host the band readback rides alongside the next
+        # band's compute instead of serializing the fuse loop.
+        out = canvas[0, 0, th:th + rows, :self.width]
+        try:
+            out.copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            pass  # non-jax arrays / backends without async copies
+        return out
 
     def run(self, jobs: Sequence, load_fn: Callable = None,
             progress_cb: Optional[Callable[[int], None]] = None,
@@ -420,6 +430,9 @@ class DeviceStreamingFuser:
                     return
                 c, z, band0, buf = item
                 try:
+                    # blocks until the async D2H started by _fuse_band
+                    # completes; overlaps with the next band's fusion
+                    buf = np.asarray(buf)
                     write_band_levels(self.writer, c, z, band0, buf,
                                       self.num_levels, self.mode,
                                       self.width)

@@ -617,19 +617,23 @@ def main():
         # every rep. The probe also warms the persistent compile cache.
         stage_choice, probe_timings = probe_stage_backends(acq_dir, lp=lp)
 
-        # d2h consistency gate: the link probe runs AFTER the stage
-        # probes, so it sees fresher weather. The device flatfield's
+        # d2h consistency gate: the stage probes above took minutes, so
+        # when device flatfield won, RE-probe the link to catch weather
+        # that turned between the stage probe and the reps (observed:
+        # probe won at 1.3s, then the committed rep paid 40s after d2h
+        # collapsed to 2 MiB/s in between). The device flatfield's
         # result readback (C fields of TILE^2 f32) is its floor — if
-        # that alone exceeds the host twin at the measured d2h rate,
-        # the probe's win was stale (observed: probe 1.3s, rep 40s
-        # after d2h collapsed to 2 MiB/s between them).
+        # that alone exceeds the host twin at the fresh d2h rate, the
+        # win is stale. Re-probe cost: seconds (the flatfield probe
+        # just completed through a live link).
         if stage_choice.get('device_flatfield'):
+            lp2 = probe_link_bandwidth(force=True)
             ff_bytes = len(CHANNELS) * TILE * TILE * 4
-            est_d2h = ff_bytes / (max(lp['d2h_mbps'], 0.01) * (1 << 20))
+            est_d2h = ff_bytes / (max(lp2['d2h_mbps'], 0.01) * (1 << 20))
             ff_host_t = probe_timings.get('flatfield host(ADMM)') or 60.0
             if est_d2h > ff_host_t:
                 log(f"  d2h gate: flatfield readback alone ~{est_d2h:.0f}s "
-                    f"at {lp['d2h_mbps']:.1f} MiB/s > host twin "
+                    f"at {lp2['d2h_mbps']:.1f} MiB/s > host twin "
                     f"{ff_host_t:.1f}s — demoting flatfield to host")
                 stage_choice['device_flatfield'] = False
 
@@ -676,7 +680,7 @@ def main():
                 # demote the rest — one could be a host-side storm, and
                 # a genuinely winning device stage never triggers this
                 # (its reps ARE the best).
-                if choice and ours_dt > 1.5 * ours_best:
+                if any(choice.values()) and ours_dt > 1.5 * ours_best:
                     slow_choice_reps += 1
                     if slow_choice_reps >= 2 and stage_choice:
                         log("device-stage reps losing to the best rep "

@@ -405,8 +405,10 @@ class DeviceStreamingFuser:
         hand-off (one band in flight): the device fuses band N+1 while
         band N's pyramid fold + (synchronous, on the raw path) chunk
         writes drain — without this the accelerator idles for the
-        whole write stage of every band. Peak memory grows by one band
-        slab. Bands target disjoint rows, so write order across bands
+        whole write stage of every band. Peak device memory grows by
+        up to two band slabs (queue slot + the one the writer is
+        draining) plus one host copy.
+        Bands target disjoint rows, so write order across bands
         doesn't affect output; levels of ONE band stay ordered on the
         single writer thread."""
         tasks, n_jobs = partition_jobs_by_band(jobs, self.tile_h,
@@ -459,6 +461,10 @@ class DeviceStreamingFuser:
                         break
                     except _queue.Full:
                         continue
+                # drop the loop's reference: without this the slab
+                # stays live in HBM until band N+1 finishes fusing,
+                # raising peak device memory by a whole band
+                buf = None
         except BaseException as e:
             fuse_exc = e
         # stop the writer: a blocking put is safe while it's alive (it

@@ -124,25 +124,43 @@ def test_device_streaming_writer_error_surfaces(tmp_path, monkeypatch):
 
 
 def test_device_streaming_cancel_joins_writer(tmp_path):
-    """Cancelling mid-run raises StitchCancelled and leaves no live
-    band-writer thread behind."""
+    """Cancelling MID-FUSION raises StitchCancelled and leaves no live
+    band-writer thread behind. The stop trips on the first fusion
+    progress tick — after DeviceStreamingFuser.run() has started the
+    writer thread — so the cancel path through the band loop's
+    stop_check, the sentinel put, and wt.join() actually executes
+    (a pre-set stop would cancel in an earlier stage and never create
+    the thread). band_multiple=1 keeps bands at 32 rows so the
+    2x2/64px canvas spans >1 band and a later band's stop_check
+    always runs after the tick."""
     import threading
 
-    from image_stitcher_tpu.utils.progress import StitchCancelled
+    from image_stitcher_tpu.utils.progress import (ProgressReporter,
+                                                   StitchCancelled)
 
     acq_dir = str(tmp_path / "acq")
     write_synthetic_acquisition(acq_dir, grid_cols=2, grid_rows=2,
                                 tile_w=64, tile_h=64, overlap=16)
     stop = threading.Event()
-    stop.set()  # cancel at the first check
+    saw_writer = []
+
+    def on_progress(cur, total):
+        saw_writer.append(any(t.name == 'band-writer'
+                              for t in threading.enumerate()))
+        stop.set()
+
     from image_stitcher_tpu.models.pipeline import StitchPipeline
     from image_stitcher_tpu.params import StitchingParameters
     params = StitchingParameters(input_folder=acq_dir)
     pipe = StitchPipeline(params, EngineOptions(
-        streaming='on', fusion_device='device', chunks=(1, 1, 1, 32, 32)),
+        streaming='on', fusion_device='device', chunks=(1, 1, 1, 32, 32),
+        device_band_multiple=1),
+        reporter=ProgressReporter(update_progress=on_progress),
         stop_event=stop)
     with pytest.raises(StitchCancelled):
         pipe.run()
+    # the tick fired inside the fuser, with the writer thread live
+    assert saw_writer and saw_writer[0]
     for _ in range(50):
         if not any(t.name == 'band-writer' for t in threading.enumerate()):
             break

@@ -233,11 +233,13 @@ class MultiscaleWriter:
             raw = self._raw[level]
             if raw.try_write(sel, data):
                 return
-            # mixing gate: where a tensorstore fallback write leaves a
-            # layout later raw writes would corrupt (v3 shards repack
-            # bodies in write-order subset layout), one fallback
-            # disables raw for this level for good. v2 chunks are
-            # standalone full-size files and interleave safely.
+            # mixing gate: one fallback disables raw for this level for
+            # good. v3 shards repack bodies in write-order subset
+            # layout; v2 raw writes zero-pad each touched chunk row to
+            # the right, which would erase a prior tensorstore write
+            # sitting right of the slab in the same rows. The fusers'
+            # patterns are uniform per level, so if one slab falls back
+            # they all would — disabling costs nothing in practice.
             if raw.disable_on_fallback:
                 raw.ok = False
         target = self.arrays[level] if sel is None else self.arrays[level][sel]

@@ -70,8 +70,11 @@ class _RawSlabWriterBase:
 
     #: True when a tensorstore fallback write to the same array makes
     #: later raw writes unsafe — the owning MultiscaleWriter then sets
-    #: ``ok = False`` after the first fallback (v3 shards repack)
-    disable_on_fallback = False
+    #: ``ok = False`` after the first fallback. True for BOTH writers:
+    #: v3 shards repack bodies, and v2 raw writes zero-pad each touched
+    #: chunk row's x-tail, which would erase a prior fallback write
+    #: sitting to the right of the slab in the same rows.
+    disable_on_fallback = True
 
     def _pwrite_rows(self, fd: int, plane: np.ndarray, src_row0: int,
                      src_col0: int, nrows: int, row_bytes: int,
@@ -154,7 +157,12 @@ class RawV2SlabWriter(_RawSlabWriterBase):
         self.sep = dimension_separator
         self.ok = (fill_value == 0 and self.sep in ('/', '.')
                    and len(self.shape) == 5 and get_lib() is not None
-                   and hasattr(get_lib(), 'write_rows_contig'))
+                   and hasattr(get_lib(), 'write_rows_contig')
+                   # chunk keys and chunk_bytes assume one (t,c,z) plane
+                   # per chunk file; a leading extent > 1 would key files
+                   # by raw plane index and size them for a single plane
+                   # — unreadable stores, not just a slow path
+                   and self.chunks[:3] == (1, 1, 1))
         cy, cx = self.chunks[3], self.chunks[4]
         self.pitch = cx * self.dtype.itemsize
         self.chunk_bytes = cy * self.pitch
@@ -219,14 +227,11 @@ class RawV3ShardWriter(_RawSlabWriterBase):
 
     Like RawV2SlabWriter, ``try_write`` returns False for any pattern
     outside the fusers' band-slab shape and the caller falls back to
-    tensorstore. Unlike v2 (standalone full-size chunk files, safe to
-    interleave with tensorstore writes in either order), a tensorstore
-    write to a v3 array repacks shard bodies in its own layout, so the
-    owning MultiscaleWriter disables this writer for a level after its
-    first fallback (``disable_on_fallback``).
+    tensorstore, and the first fallback disables the writer for the
+    level (``disable_on_fallback``): a tensorstore write to a v3 array
+    repacks shard bodies in its own layout that later raw writes would
+    corrupt.
     """
-
-    disable_on_fallback = True
 
     def __init__(self, path: str, shape: Sequence[int],
                  chunks: Sequence[int], shard: Sequence[int], dtype,
@@ -240,7 +245,10 @@ class RawV3ShardWriter(_RawSlabWriterBase):
         self.ok = (fill_value == 0 and len(self.shape) == 5
                    and get_lib() is not None
                    and hasattr(get_lib(), 'write_rows_contig')
-                   # leading axes: one chunk per shard (creator layout)
+                   # body ordinals and chunk_nbytes assume one (t,c,z)
+                   # plane per inner chunk AND per shard (creator layout)
+                   # — a leading extent > 1 would mis-size every body
+                   and self.chunks[:3] == (1, 1, 1)
                    and self.shard[:3] == self.chunks[:3])
         cy, cx = self.chunks[3], self.chunks[4]
         self.pitch = cx * es

@@ -169,48 +169,14 @@ class StitchPipeline:
                 s = fit_flatfield_stack_np(stack2d)
             return finalize_flatfield(s, out_hw)
 
-        fit_jobs = []  # (monochrome idx, working-res stack)
-        for channel in acq.channel_names:
-            self._check_stop()
-            paths = []
-            for t in acq.timepoints:
-                t_paths = [rec.filepath for key, rec in acq.tiles.items()
-                           if rec.channel == channel and key[0] == int(t)]
-                if not t_paths:
-                    continue
-                rnd.shuffle(t_paths)
-                paths.extend(t_paths[:min(opts.flatfield_tiles_per_timepoint,
-                                          len(t_paths))])
-                if len(paths) > opts.flatfield_max_tiles:
-                    break
-            if not paths:
-                continue
-            # The reference's worst-case collection: the >48 break fires
-            # after adding a full timepoint, so <= 48+32 samples
-            # (stitcher.py:389-394). Samples are read decimated straight
-            # to the fit's working resolution — never at full size.
-            target = (opts.flatfield_max_tiles
-                      + opts.flatfield_tiles_per_timepoint)
-            paths = paths[:target]
-            small = np.stack(list(pool.map(load_sample_small, paths)))
-            if use_device:
-                # the jitted solver compiles ONE static shape; pad by
-                # whole cycles + an evenly-strided remainder
-                small = pad_stack_cycled(small, target)
-            if small.ndim == 4 and small.shape[-1] == 3:
-                base = channel.split('_')[0]
-                for plane, suffix in enumerate('RGB'):
-                    idx = acq.monochrome_channels.index(f"{base}_{suffix}")
-                    fit_jobs.append((idx, small[..., plane]))
-            elif small.ndim == 3:
-                fit_jobs.append((acq.monochrome_channels.index(channel),
-                                 small))
-            self._check_stop()
-
         # channel solves are independent; on the host path run them in
         # parallel (scipy/numpy release the GIL in the hot ops — ~Nx on
         # multi-core hosts, harmless on one core). The device path stays
-        # sequential on the single accelerator.
+        # sequential on the single accelerator. Fits are submitted AS
+        # each channel's sample stack finishes loading, with at most
+        # pool-width stacks in flight — collecting every channel's stack
+        # before the first fit would multiply peak memory by the channel
+        # count on wide acquisitions.
         done = [0]
 
         def record(idx, field):
@@ -218,29 +184,85 @@ class StitchPipeline:
             done[0] += 1
             self.reporter.update_progress(done[0], acq.num_c)
 
-        if use_device or len(fit_jobs) <= 1:
-            for idx, stack2d in fit_jobs:
+        from concurrent.futures import ThreadPoolExecutor as _TPE
+        from ..params import _available_cpus
+        # cap at the schedulable CPUs: a one-core host keeps the
+        # sequential order (and one-fit cancellation latency)
+        workers = (1 if use_device else
+                   max(1, min(len(acq.monochrome_channels), 4,
+                              _available_cpus())))
+        fit_pool = _TPE(workers) if workers > 1 else None
+        futures = []   # (monochrome idx, future), submit order
+        drained = 0    # prefix of futures already recorded
+
+        def dispatch(idx, stack2d):
+            nonlocal drained
+            if fit_pool is None:
                 self._check_stop()
                 record(idx, fit(stack2d))
-        else:
-            from concurrent.futures import ThreadPoolExecutor as _TPE
-            from ..params import _available_cpus
-            # cap at the schedulable CPUs: a one-core host keeps the
-            # sequential order (and one-fit cancellation latency)
-            with _TPE(max(1, min(len(fit_jobs), 4,
-                                 _available_cpus()))) as fit_pool:
-                futures = [(idx, fit_pool.submit(fit, stack2d))
-                           for idx, stack2d in fit_jobs]
-                try:
-                    for idx, fut in futures:
-                        # bounded cancellation latency: one fit, like
-                        # the sequential branch
-                        self._check_stop()
-                        record(idx, fut.result())
-                except BaseException:
-                    for _idx, fut in futures:
-                        fut.cancel()
-                    raise
+                return
+            futures.append((idx, fit_pool.submit(fit, stack2d)))
+            # backpressure: keep at most pool-width stacks in flight so
+            # loading can't outrun fitting into unbounded queued stacks
+            while len(futures) - drained > workers:
+                idx0, fut0 = futures[drained]
+                self._check_stop()
+                record(idx0, fut0.result())
+                drained += 1
+
+        try:
+            for channel in acq.channel_names:
+                self._check_stop()
+                paths = []
+                for t in acq.timepoints:
+                    t_paths = [rec.filepath for key, rec in acq.tiles.items()
+                               if rec.channel == channel and key[0] == int(t)]
+                    if not t_paths:
+                        continue
+                    rnd.shuffle(t_paths)
+                    paths.extend(
+                        t_paths[:min(opts.flatfield_tiles_per_timepoint,
+                                     len(t_paths))])
+                    if len(paths) > opts.flatfield_max_tiles:
+                        break
+                if not paths:
+                    continue
+                # The reference's worst-case collection: the >48 break
+                # fires after adding a full timepoint, so <= 48+32
+                # samples (stitcher.py:389-394). Samples are read
+                # decimated straight to the fit's working resolution —
+                # never at full size.
+                target = (opts.flatfield_max_tiles
+                          + opts.flatfield_tiles_per_timepoint)
+                paths = paths[:target]
+                small = np.stack(list(pool.map(load_sample_small, paths)))
+                if use_device:
+                    # the jitted solver compiles ONE static shape; pad
+                    # by whole cycles + an evenly-strided remainder
+                    small = pad_stack_cycled(small, target)
+                if small.ndim == 4 and small.shape[-1] == 3:
+                    base = channel.split('_')[0]
+                    for plane, suffix in enumerate('RGB'):
+                        idx = acq.monochrome_channels.index(
+                            f"{base}_{suffix}")
+                        dispatch(idx, small[..., plane])
+                elif small.ndim == 3:
+                    dispatch(acq.monochrome_channels.index(channel), small)
+                # drop the loop's reference: in-flight futures hold the
+                # only remaining one, so the stack frees when its fits do
+                small = None
+            while drained < len(futures):
+                idx0, fut0 = futures[drained]
+                self._check_stop()
+                record(idx0, fut0.result())
+                drained += 1
+        except BaseException:
+            for _idx, fut in futures:
+                fut.cancel()
+            raise
+        finally:
+            if fit_pool is not None:
+                fit_pool.shutdown(wait=True)
         self._check_stop()
 
     def resolved_compressor(self):
@@ -562,8 +584,15 @@ class StitchPipeline:
                     rec = recs.get(rc)
                     if rec is None:
                         return
+                    # whole-file readahead only for the h pass: its
+                    # column strips fault nearly every page anyway (a
+                    # 4 KB page spans about one tile row). The v pass
+                    # needs only ~2*oy contiguous rows per tile — the
+                    # kernel's own readahead covers those, and a
+                    # whole-file WILLNEED would re-pull each full tile
+                    # a second time after the h pass already did
                     img = read_image(rec.filepath, prefer_mmap=True,
-                                     prefetch=True)
+                                     prefetch=(kind == 'h'))
                     if img.ndim == 3:
                         img = img[..., 0]
                     h_img, w_img = img.shape

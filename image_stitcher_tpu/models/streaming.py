@@ -470,6 +470,16 @@ class DeviceStreamingFuser:
         # stop the writer: a blocking put is safe while it's alive (it
         # always drains); a dead one (write_err) just leaves the queue
         while wt.is_alive():
+            if fuse_exc is not None:
+                # cancellation/error: discard a band still waiting in
+                # the hand-off — materializing and writing it would
+                # delay the abort by a full band D2H + write for a run
+                # that is being abandoned (a band the writer already
+                # took finishes; mid-write interruption is not safe)
+                try:
+                    handoff.get_nowait()
+                except _queue.Empty:
+                    pass
             try:
                 handoff.put(None, timeout=0.5)
                 break

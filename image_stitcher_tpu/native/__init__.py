@@ -68,6 +68,20 @@ def _build() -> Optional[str]:
                  _SRC, '-o', tmp],
                 check=True, capture_output=True, timeout=120)
             os.replace(tmp, so_path)
+            # evict binaries of older source revisions: nothing loads
+            # them again, and months of iteration would otherwise pile
+            # up dead .so files. Age-gated (>1 day) so a concurrent
+            # process still deploying yesterday's source isn't raced
+            # between its exists() check and CDLL load.
+            import glob
+            import time
+            cutoff = time.time() - 86400
+            for old in glob.glob(os.path.join(out_dir, 'libhostops-*.so')):
+                try:
+                    if old != so_path and os.path.getmtime(old) < cutoff:
+                        os.unlink(old)
+                except OSError:
+                    pass
             return so_path
         except Exception:
             continue

@@ -82,3 +82,43 @@ def test_flatfield_robust_to_sparse_foreground():
     ff = fit_flatfield(np.stack(tiles), working_size=64, max_iters=150)
     corr = np.corrcoef(ff.ravel(), vign.ravel())[0, 1]
     assert corr > 0.95
+
+
+def test_pooled_channel_fits_match_sequential(tmp_path, monkeypatch):
+    """compute_flatfields dispatches channel fits to a thread pool on
+    multi-core hosts, submitting each fit AS its sample stack loads
+    (bounded in-flight stacks). The pooled path must produce the same
+    flatfields as the 1-core sequential path, for every channel."""
+    from fixtures import write_synthetic_acquisition
+
+    from image_stitcher_tpu.models.pipeline import StitchPipeline
+    from image_stitcher_tpu.params import EngineOptions, StitchingParameters
+
+    acq_dir = str(tmp_path / "acq")
+    chans = [f"Fluorescence {nm} nm Ex" for nm in (405, 488, 561, 638, 730)]
+    write_synthetic_acquisition(
+        acq_dir, grid_cols=3, grid_rows=3, tile_w=96, tile_h=96,
+        overlap=16, channels=chans,
+        vignette=make_vignette(96, 96))
+
+    def fields(cpus):
+        import image_stitcher_tpu.models.pipeline as pipe_mod
+        monkeypatch.setattr(pipe_mod, "_available_cpus", lambda: cpus,
+                            raising=False)
+        # the import inside _compute_flatfields_inner resolves from
+        # params at call time — patch there too
+        import image_stitcher_tpu.params as params_mod
+        monkeypatch.setattr(params_mod, "_available_cpus", lambda: cpus)
+        from image_stitcher_tpu.io.acquisition import scan_acquisition
+        p = StitchPipeline(
+            StitchingParameters(input_folder=acq_dir, apply_flatfield=True),
+            EngineOptions(flatfield_device='host'))
+        p.acq = scan_acquisition(acq_dir)
+        p.compute_flatfields()
+        assert sorted(p.flatfields) == list(range(len(chans)))
+        return {i: np.asarray(f) for i, f in p.flatfields.items()}
+
+    seq = fields(1)
+    pooled = fields(4)
+    for i in seq:
+        np.testing.assert_allclose(pooled[i], seq[i], rtol=0, atol=0)

@@ -435,3 +435,56 @@ def test_fuzz_random_band_sequences_match_tensorstore(tmp_path, seed):
     a = ts.open({"driver": "zarr3",
                  "kvstore": {"driver": "file", "path": raw_dir}}).result()
     assert (a.read().result()[0, :, 0] == full).all()
+
+
+def test_leading_chunk_extent_gt1_rejected(tmp_path):
+    """Chunk keys and byte sizes assume one (t,c,z) plane per chunk
+    file; a z-chunk of 2 once slipped through `ok` and produced stores
+    tensorstore could not read back ("Not enough data"). Both writers
+    must refuse such layouts up front so callers stay on tensorstore."""
+    from image_stitcher_tpu.io.raw_zarr import RawV3ShardWriter
+    shape = (1, 1, 4, 64, 64)
+    chunks = (1, 1, 2, 32, 32)
+    v2 = RawV2SlabWriter(str(tmp_path / 'v2'), shape, chunks, np.uint16)
+    assert not v2.ok
+    data = np.zeros((1, 1, 2, 32, 64), np.uint16)
+    assert not v2.try_write((slice(0, 1), slice(0, 1), slice(0, 2),
+                             slice(0, 32), slice(0, 64)), data)
+    # v3: shard == chunks on leading axes still must be rejected when
+    # the shared extent is > 1 (chunk_nbytes ignores the z extent)
+    v3 = RawV3ShardWriter(str(tmp_path / 'v3'), shape, chunks,
+                          (1, 1, 2, 64, 64), np.uint16)
+    assert not v3.ok
+
+
+def test_v2_mixing_gate_disables_raw_after_fallback(tmp_path):
+    """A tensorstore fallback write can land to the RIGHT of later raw
+    slabs in the same rows; the raw v2 writer zero-pads each touched
+    chunk row's x-tail, which would erase it. One fallback therefore
+    disables raw for the level (disable_on_fallback now also True for
+    v2), and the store must read back exactly what was written."""
+    import tensorstore as ts
+
+    from image_stitcher_tpu.io.omezarr import MultiscaleWriter
+    store = str(tmp_path / 'mix.zarr')
+    shape = (1, 1, 1, 64, 128)
+    w = MultiscaleWriter(store, shape, 1, np.uint16, (1, 1, 1, 32, 64),
+                         name='mix', dz_um=1.0, pixel_size_um=1.0,
+                         channel_names=['c0'], channel_colors=[0xFFFFFF],
+                         cname=None)
+    assert w._raw is not None and w._raw[0].ok
+    full = np.arange(64 * 128, dtype=np.uint16).reshape(1, 1, 1, 64, 128)
+    # fallback pattern: x does not start at 0 -> tensorstore path
+    sel_right = (slice(0, 1), slice(0, 1), slice(0, 1),
+                 slice(0, 64), slice(64, 128))
+    w.write_level(0, full[..., 64:], sel_right, block=True)
+    assert not w._raw[0].ok  # gate tripped
+    # raw-shaped write to the same rows' left half now rides tensorstore
+    sel_left = (slice(0, 1), slice(0, 1), slice(0, 1),
+                slice(0, 64), slice(0, 64))
+    w.write_level(0, full[..., :64], sel_left, block=True)
+    w.close()
+    a = ts.open({"driver": "zarr",
+                 "kvstore": {"driver": "file", "path": store + '/0'}}
+                ).result()
+    assert (a.read().result() == full).all()

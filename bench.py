@@ -59,7 +59,10 @@ def build_acquisition(root):
 
 def cached_acquisition() -> str:
     """Build the fixture once per config; reuse across bench runs."""
-    root = f"/tmp/bench_fixture_v2_g{GRID}_t{TILE}"
+    # v3: the >8192 px ground-truth generator changed (pyramid-
+    # approximated wide octaves); the tag pins fixture content so
+    # captures never silently mix texture vintages across machines
+    root = f"/tmp/bench_fixture_v3_g{GRID}_t{TILE}"
     acq_dir = os.path.join(root, "acq")
     marker = os.path.join(root, ".complete")
     if os.path.exists(marker):
@@ -617,25 +620,41 @@ def main():
         # every rep. The probe also warms the persistent compile cache.
         stage_choice, probe_timings = probe_stage_backends(acq_dir, lp=lp)
 
-        # d2h consistency gate: the stage probes above took minutes, so
-        # when device flatfield won, RE-probe the link to catch weather
-        # that turned between the stage probe and the reps (observed:
-        # probe won at 1.3s, then the committed rep paid 40s after d2h
-        # collapsed to 2 MiB/s in between). The device flatfield's
-        # result readback (C fields of TILE^2 f32) is its floor — if
-        # that alone exceeds the host twin at the fresh d2h rate, the
-        # win is stale. Re-probe cost: seconds (the flatfield probe
-        # just completed through a live link).
-        if stage_choice.get('device_flatfield'):
+        # link consistency gate: the stage probes above can take
+        # minutes, so when ANY device stage won, RE-probe the link to
+        # catch weather that turned between the probes and the reps
+        # (observed: flatfield probe won at 1.3s, then the committed
+        # rep paid 40s after d2h collapsed to 2 MiB/s in between).
+        # Each winner is gated on its link-bound floor at the fresh
+        # rates — flatfield's result readback (C fields of TILE^2 f32
+        # over d2h), registration's strip shipment (2 strips/pair over
+        # h2d) — against its measured host twin. Re-probe cost: seconds
+        # through a link that just carried a winning probe.
+        if any(stage_choice.values()):
             lp2 = probe_link_bandwidth(force=True)
-            ff_bytes = len(CHANNELS) * TILE * TILE * 4
-            est_d2h = ff_bytes / (max(lp2['d2h_mbps'], 0.01) * (1 << 20))
-            ff_host_t = probe_timings.get('flatfield host(ADMM)') or 60.0
-            if est_d2h > ff_host_t:
-                log(f"  d2h gate: flatfield readback alone ~{est_d2h:.0f}s "
-                    f"at {lp2['d2h_mbps']:.1f} MiB/s > host twin "
-                    f"{ff_host_t:.1f}s — demoting flatfield to host")
-                stage_choice['device_flatfield'] = False
+            if stage_choice.get('device_flatfield'):
+                ff_bytes = len(CHANNELS) * TILE * TILE * 4
+                est = ff_bytes / (max(lp2['d2h_mbps'], 0.01) * (1 << 20))
+                host_t = probe_timings.get('flatfield host(ADMM)') or 60.0
+                if est > host_t:
+                    log(f"  link gate: flatfield readback alone ~{est:.0f}s "
+                        f"at {lp2['d2h_mbps']:.1f} MiB/s d2h > host twin "
+                        f"{host_t:.1f}s — demoting flatfield to host")
+                    stage_choice['device_flatfield'] = False
+            if stage_choice.get('device_registration'):
+                # all-pairs ships ~2 overlap strips per adjacent pair:
+                # (TILE/2 margin-cropped rows x ~TILE/10 overlap) u16
+                n_pairs = 2 * GRID * (GRID - 1)
+                strip_bytes = n_pairs * 2 * (TILE // 2) * max(TILE // 10,
+                                                              1) * 2
+                est = strip_bytes / (max(lp2['h2d_mbps'], 0.01) * (1 << 20))
+                host_t = (probe_timings.get('registration host(center,f64)')
+                          or 60.0)
+                if est > host_t:
+                    log(f"  link gate: registration strip H2D alone "
+                        f"~{est:.0f}s at {lp2['h2d_mbps']:.1f} MiB/s > "
+                        f"host twin {host_t:.1f}s — demoting to host")
+                    stage_choice['device_registration'] = False
 
         slow_choice_reps = 0
         for rep in range(repeats):

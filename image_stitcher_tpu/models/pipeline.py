@@ -195,8 +195,15 @@ class StitchPipeline:
         futures = []   # (monochrome idx, future), submit order
         drained = 0    # prefix of futures already recorded
 
-        def dispatch(idx, stack2d):
+        def drain_until(max_in_flight):
             nonlocal drained
+            while len(futures) - drained > max_in_flight:
+                idx0, fut0 = futures[drained]
+                self._check_stop()
+                record(idx0, fut0.result())
+                drained += 1
+
+        def dispatch(idx, stack2d):
             if fit_pool is None:
                 self._check_stop()
                 record(idx, fit(stack2d))
@@ -204,11 +211,7 @@ class StitchPipeline:
             futures.append((idx, fit_pool.submit(fit, stack2d)))
             # backpressure: keep at most pool-width stacks in flight so
             # loading can't outrun fitting into unbounded queued stacks
-            while len(futures) - drained > workers:
-                idx0, fut0 = futures[drained]
-                self._check_stop()
-                record(idx0, fut0.result())
-                drained += 1
+            drain_until(workers)
 
         try:
             for channel in acq.channel_names:
@@ -251,11 +254,7 @@ class StitchPipeline:
                 # drop the loop's reference: in-flight futures hold the
                 # only remaining one, so the stack frees when its fits do
                 small = None
-            while drained < len(futures):
-                idx0, fut0 = futures[drained]
-                self._check_stop()
-                record(idx0, fut0.result())
-                drained += 1
+            drain_until(0)
         except BaseException:
             for _idx, fut in futures:
                 fut.cancel()

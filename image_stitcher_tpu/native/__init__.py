@@ -102,7 +102,22 @@ def get_lib() -> Optional[ctypes.CDLL]:
             so_path = _build()
             if so_path is None:
                 return None
-            lib = ctypes.CDLL(so_path)
+            try:
+                lib = ctypes.CDLL(so_path)
+            except OSError:
+                # another process's eviction can unlink the cached .so
+                # between _build()'s exists() check and this load (two
+                # checkouts at different source revisions sharing the
+                # cache dir); rebuild once instead of silently running
+                # the whole process on the NumPy fallbacks
+                try:
+                    os.unlink(so_path)
+                except OSError:
+                    pass
+                so_path = _build()
+                if so_path is None:
+                    return None
+                lib = ctypes.CDLL(so_path)
             pd = ctypes.c_ssize_t
             ci = ctypes.c_int
             vp = ctypes.c_void_p

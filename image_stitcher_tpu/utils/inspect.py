@@ -120,15 +120,104 @@ def save_debug_slice(canvas: np.ndarray, out_path: str) -> Optional[str]:
         return None
 
 
+def _collect_arrays(node: Dict, rel: str = '') -> Dict[str, Dict]:
+    """rel-path -> array descriptor for every array in a zarr_tree."""
+    out: Dict[str, Dict] = {}
+    if 'array' in node:
+        out[rel] = node
+    for name, child in node.get('children', {}).items():
+        out.update(_collect_arrays(child, f"{rel}/{name}" if rel else name))
+    return out
+
+
+def compare_stores(path_a: str, path_b: str,
+                   band_rows: int = 2048) -> Dict:
+    """Compare two stitched zarr hierarchies (v2 or v3, any mix).
+
+    Arrays pair by relative path; content compares through banded
+    readback along the Y axis so memory stays bounded at one band per
+    side regardless of canvas size. The use case is field validation —
+    e.g. that a backend/format/version change reproduces an output —
+    so differences report counts and the maximum absolute deviation,
+    not per-pixel dumps.
+
+    Returns ``{'equal': bool, 'arrays': {rel: report}, 'only_a': [...],
+    'only_b': [...]}``; ``report`` has shape/dtype mismatches or
+    ``{'mismatched': n, 'maxdiff': d}`` for content.
+    """
+    from ..io.zarr_store import open_zarr_array
+    trees = (_collect_arrays(zarr_tree(path_a)),
+             _collect_arrays(zarr_tree(path_b)))
+    only_a = sorted(set(trees[0]) - set(trees[1]))
+    only_b = sorted(set(trees[1]) - set(trees[0]))
+    reports: Dict[str, Dict] = {}
+    equal = not only_a and not only_b
+    for rel in sorted(set(trees[0]) & set(trees[1])):
+        a = open_zarr_array(os.path.join(path_a, rel))
+        b = open_zarr_array(os.path.join(path_b, rel))
+        if tuple(a.shape) != tuple(b.shape):
+            reports[rel] = {'shape_a': list(a.shape),
+                            'shape_b': list(b.shape)}
+            equal = False
+            continue
+        if a.dtype != b.dtype:
+            reports[rel] = {'dtype_a': str(a.dtype.numpy_dtype),
+                            'dtype_b': str(b.dtype.numpy_dtype)}
+            equal = False
+            continue
+        mism = 0
+        maxdiff = 0.0
+        h = a.shape[-2] if a.ndim >= 2 else 1
+        for y0 in range(0, max(h, 1), band_rows):
+            sel = (Ellipsis, slice(y0, min(y0 + band_rows, h)), slice(None))
+            band_a = a[sel].read().result()
+            band_b = b[sel].read().result()
+            if band_a.size == 0:
+                continue
+            diff = band_a != band_b
+            if diff.any():
+                mism += int(diff.sum())
+                d = np.abs(band_a.astype(np.float64)
+                           - band_b.astype(np.float64))
+                maxdiff = max(maxdiff, float(d.max()))
+        reports[rel] = {'mismatched': mism, 'maxdiff': maxdiff,
+                        'pixels': int(np.prod(a.shape))}
+        if mism:
+            equal = False
+    return {'equal': equal, 'arrays': reports,
+            'only_a': only_a, 'only_b': only_b}
+
+
 def main(argv=None) -> int:
     """``python -m image_stitcher_tpu.utils.inspect PATH`` — dump the
-    zarr tree (v2 or v3) of a stitched output."""
+    zarr tree (v2 or v3) of a stitched output, or compare two outputs
+    pixel-for-pixel with ``--compare OTHER`` (exit 0 iff identical)."""
     import argparse
     parser = argparse.ArgumentParser(description=main.__doc__)
     parser.add_argument('path', help='zarr group/array directory')
+    parser.add_argument('--compare', metavar='OTHER',
+                        help='second store: banded pixel + tree '
+                             'comparison instead of a dump')
     parser.add_argument('--json', action='store_true',
-                        help='machine-readable tree instead of text')
+                        help='machine-readable output instead of text')
     args = parser.parse_args(argv)
+    if args.compare:
+        rep = compare_stores(args.path, args.compare)
+        if args.json:
+            print(json.dumps(rep, indent=2))
+        else:
+            for rel in rep['only_a']:
+                print(f"only in A: {rel}")
+            for rel in rep['only_b']:
+                print(f"only in B: {rel}")
+            for rel, r in rep['arrays'].items():
+                if 'mismatched' in r and not r['mismatched']:
+                    print(f"{rel}: identical ({r['pixels']} px)")
+                else:
+                    print(f"{rel}: DIFFERS {r}")
+            print("stores identical" if rep['equal']
+                  else "stores DIFFER")
+        return 0 if rep['equal'] else 1
     if args.json:
         print(json.dumps(zarr_tree(args.path), indent=2))
     else:

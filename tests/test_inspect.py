@@ -81,3 +81,43 @@ def test_zarr_tree_v3(tmp_path, capsys):
     assert "uint16" in capsys.readouterr().out
     assert inspect_main([zp, "--json"]) == 0
     assert '"shape"' in capsys.readouterr().out
+
+
+def test_compare_stores_identical_and_perturbed(tmp_path, capsys):
+    """--compare: two runs of the same acquisition (one v2, one
+    v3-sharded) compare pixel-identical across zarr versions; flipping
+    one chunk byte then reports a difference and exit code 1."""
+    from image_stitcher_tpu import EngineOptions, stitch
+    from image_stitcher_tpu.io.zarr_store import open_zarr_array
+    from image_stitcher_tpu.utils.inspect import (compare_stores,
+                                                  main as inspect_main)
+
+    acq_dir = str(tmp_path / "acq")
+    write_synthetic_acquisition(acq_dir, grid_cols=2, grid_rows=2,
+                                tile_w=48, tile_h=48, overlap=16)
+
+    def run(fmt):
+        stitch(acq_dir, options=EngineOptions(zarr_format=fmt,
+                                              chunks=(1, 1, 1, 32, 32)))
+        out = sorted(glob.glob(acq_dir + "_stitched_*"))[-1]
+        return os.path.join(out, "0_stitched", "A1_stitched.ome.zarr")
+
+    zp2 = run(2)
+    zp3 = run(3)
+    assert zp2 != zp3  # timestamped folders differ
+
+    rep = compare_stores(zp2, zp3, band_rows=16)
+    assert rep['equal'], rep
+    assert all(r['mismatched'] == 0 for r in rep['arrays'].values())
+    assert inspect_main([zp2, "--compare", zp3]) == 0
+    assert "identical" in capsys.readouterr().out
+
+    # perturb one pixel of level 0 in the v2 store
+    arr = open_zarr_array(os.path.join(zp2, "0"), writable=True)
+    v = arr[0, 0, 0, 5, 5].read().result()
+    arr[0, 0, 0, 5, 5].write(v + 1).result()
+    rep = compare_stores(zp2, zp3, band_rows=16)
+    assert not rep['equal']
+    assert rep['arrays']['0']['mismatched'] == 1
+    assert rep['arrays']['0']['maxdiff'] == 1.0
+    assert inspect_main([zp2, "--compare", zp3]) == 1

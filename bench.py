@@ -193,6 +193,41 @@ def probe_stage_backends(acq_dir, stage_budget=300.0, lp=None):
     return choice, timings
 
 
+def apply_link_gate(stage_choice, probe_timings, lp2):
+    """Demote device-stage probe winners whose link-bound floor at the
+    FRESH link rates already exceeds their measured host twin.
+
+    The stage probes can take minutes, so weather can turn between a
+    probe's win and the rep loop (observed: flatfield probe won at
+    1.3 s, then the committed rep paid 40 s after d2h collapsed to
+    2 MiB/s in between). Floors: flatfield's result readback (C fields
+    of TILE^2 f32 over d2h); registration's strip shipment (~2
+    margin-cropped overlap strips per adjacent pair over h2d).
+    Mutates ``stage_choice`` in place; returns it.
+    """
+    if stage_choice.get('device_flatfield'):
+        ff_bytes = len(CHANNELS) * TILE * TILE * 4
+        est = ff_bytes / (max(lp2['d2h_mbps'], 0.01) * (1 << 20))
+        host_t = probe_timings.get('flatfield host(ADMM)') or 60.0
+        if est > host_t:
+            log(f"  link gate: flatfield readback alone ~{est:.0f}s "
+                f"at {lp2['d2h_mbps']:.1f} MiB/s d2h > host twin "
+                f"{host_t:.1f}s — demoting flatfield to host")
+            stage_choice['device_flatfield'] = False
+    if stage_choice.get('device_registration'):
+        n_pairs = 2 * GRID * (GRID - 1)
+        strip_bytes = n_pairs * 2 * (TILE // 2) * max(TILE // 10, 1) * 2
+        est = strip_bytes / (max(lp2['h2d_mbps'], 0.01) * (1 << 20))
+        host_t = (probe_timings.get('registration host(center,f64)')
+                  or 60.0)
+        if est > host_t:
+            log(f"  link gate: registration strip H2D alone "
+                f"~{est:.0f}s at {lp2['h2d_mbps']:.1f} MiB/s > "
+                f"host twin {host_t:.1f}s — demoting to host")
+            stage_choice['device_registration'] = False
+    return stage_choice
+
+
 def run_ours(acq_dir, stage_choice=None, rep_timeout=None):
     """One full pipeline run with probe-chosen stage backends.
 
@@ -620,41 +655,9 @@ def main():
         # every rep. The probe also warms the persistent compile cache.
         stage_choice, probe_timings = probe_stage_backends(acq_dir, lp=lp)
 
-        # link consistency gate: the stage probes above can take
-        # minutes, so when ANY device stage won, RE-probe the link to
-        # catch weather that turned between the probes and the reps
-        # (observed: flatfield probe won at 1.3s, then the committed
-        # rep paid 40s after d2h collapsed to 2 MiB/s in between).
-        # Each winner is gated on its link-bound floor at the fresh
-        # rates — flatfield's result readback (C fields of TILE^2 f32
-        # over d2h), registration's strip shipment (2 strips/pair over
-        # h2d) — against its measured host twin. Re-probe cost: seconds
-        # through a link that just carried a winning probe.
         if any(stage_choice.values()):
             lp2 = probe_link_bandwidth(force=True)
-            if stage_choice.get('device_flatfield'):
-                ff_bytes = len(CHANNELS) * TILE * TILE * 4
-                est = ff_bytes / (max(lp2['d2h_mbps'], 0.01) * (1 << 20))
-                host_t = probe_timings.get('flatfield host(ADMM)') or 60.0
-                if est > host_t:
-                    log(f"  link gate: flatfield readback alone ~{est:.0f}s "
-                        f"at {lp2['d2h_mbps']:.1f} MiB/s d2h > host twin "
-                        f"{host_t:.1f}s — demoting flatfield to host")
-                    stage_choice['device_flatfield'] = False
-            if stage_choice.get('device_registration'):
-                # all-pairs ships ~2 overlap strips per adjacent pair:
-                # (TILE/2 margin-cropped rows x ~TILE/10 overlap) u16
-                n_pairs = 2 * GRID * (GRID - 1)
-                strip_bytes = n_pairs * 2 * (TILE // 2) * max(TILE // 10,
-                                                              1) * 2
-                est = strip_bytes / (max(lp2['h2d_mbps'], 0.01) * (1 << 20))
-                host_t = (probe_timings.get('registration host(center,f64)')
-                          or 60.0)
-                if est > host_t:
-                    log(f"  link gate: registration strip H2D alone "
-                        f"~{est:.0f}s at {lp2['h2d_mbps']:.1f} MiB/s > "
-                        f"host twin {host_t:.1f}s — demoting to host")
-                    stage_choice['device_registration'] = False
+            apply_link_gate(stage_choice, probe_timings, lp2)
 
         slow_choice_reps = 0
         for rep in range(repeats):

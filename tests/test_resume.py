@@ -177,3 +177,55 @@ def test_subpixel_global_resume(tmp_path):
                                              subpixel_placement=False),
                            resume=True)
     assert not pipe3.resumed
+
+
+def test_resume_skips_completed_tiff(tmp_path):
+    """--resume works for OME-TIFF output too: completed (t, region)
+    units are skipped and their .ome.tiff files survive untouched."""
+    acq_dir = make_acq(tmp_path)
+    stop = threading.Event()
+    count = [0]
+
+    def on_status(msg, is_saving=False):
+        if msg.startswith("Completed region"):
+            count[0] += 1
+            if count[0] == 2:
+                stop.set()
+
+    params = StitchingParameters(input_folder=acq_dir, use_registration=True,
+                                 output_format='.ome.tiff')
+    pipe = StitchPipeline(params, EngineOptions(),
+                          ProgressReporter(status=on_status),
+                          stop_event=stop)
+    with pytest.raises(StitchCancelled):
+        pipe.run()
+    out = pipe.output_folder
+    # the manifest is the source of truth: a unit's file can exist on
+    # disk mid-save without being recorded complete — resume must
+    # re-run exactly the unrecorded ones (the stop trips after the 2nd
+    # completion, but pipelined saves can land a 3rd file first)
+    completed = RunManifest.load(out).data["completed"]
+    assert 2 <= len(completed) < 4
+    done_files = [os.path.join(out, f"{k.split('/')[0]}_stitched",
+                               f"{k.split('/')[1]}_stitched.ome.tiff")
+                  for k in completed]
+    for f in done_files:
+        assert os.path.exists(f)
+    mtimes = {f: os.path.getmtime(f) for f in done_files}
+
+    skipped = []
+    pipe2 = StitchPipeline(
+        StitchingParameters(input_folder=acq_dir, use_registration=True,
+                            output_format='.ome.tiff'),
+        EngineOptions(),
+        ProgressReporter(status=lambda m, s=False: skipped.append(m)
+                         if m.startswith("Skipping") else None),
+        resume=True)
+    pipe2.run()
+    assert pipe2.output_folder == out
+    assert len(skipped) == len(done_files)
+    all_files = sorted(glob.glob(os.path.join(out, "*_stitched",
+                                              "*.ome.tiff")))
+    assert len(all_files) == 4
+    for f, t in mtimes.items():
+        assert os.path.getmtime(f) == t  # completed units untouched

@@ -24,9 +24,10 @@ from typing import Optional
 from ..params import EngineOptions, StitchingParameters
 
 
-def _run_pipeline(params, options, reporter, stop_event):
+def _run_pipeline(params, options, reporter, stop_event, resume=False):
     from .pipeline import StitchPipeline
-    pipeline = StitchPipeline(params, options, reporter, stop_event)
+    pipeline = StitchPipeline(params, options, reporter, stop_event,
+                              resume=resume)
     return pipeline.run()
 
 
@@ -35,19 +36,22 @@ class StitcherThread(threading.Thread):
 
     def __init__(self, params: StitchingParameters,
                  options: Optional[EngineOptions] = None,
-                 reporter=None, stop_event: Optional[threading.Event] = None):
+                 reporter=None, stop_event: Optional[threading.Event] = None,
+                 resume: bool = False):
         super().__init__(daemon=True)
         self.params = params
         self.options = options
         self.reporter = reporter
         self.stop_event = stop_event or threading.Event()
+        self.resume = resume
         self.result_path: Optional[str] = None
         self.error: Optional[BaseException] = None
 
     def run(self):
         try:
             self.result_path = _run_pipeline(
-                self.params, self.options, self.reporter, self.stop_event)
+                self.params, self.options, self.reporter, self.stop_event,
+                resume=self.resume)
         except BaseException as e:  # surfaced via .error and reporter
             self.error = e
 
@@ -56,7 +60,7 @@ class StitcherThread(threading.Thread):
 
 
 def _child_main(params, options, progress_queue, status_queue,
-                complete_queue, stop_event):
+                complete_queue, stop_event, resume=False):
     """Child-process entry: queue-protocol reporter, drain-clean shutdown
     (parity with stitcher_process.py:203-229)."""
     import os
@@ -73,7 +77,7 @@ def _child_main(params, options, progress_queue, status_queue,
     reporter = ProgressReporter.from_queues(progress_queue, status_queue,
                                             complete_queue)
     try:
-        _run_pipeline(params, options, reporter, stop_event)
+        _run_pipeline(params, options, reporter, stop_event, resume=resume)
     except StitchCancelled:
         sys.exit(0)
     except Exception as e:
@@ -91,7 +95,8 @@ class StitcherProcess:
 
     def __init__(self, params: StitchingParameters,
                  progress_queue=None, status_queue=None, complete_queue=None,
-                 stop_event=None, options: Optional[EngineOptions] = None):
+                 stop_event=None, options: Optional[EngineOptions] = None,
+                 resume: bool = False):
         self._ctx = mp.get_context('spawn')
         self.progress_queue = progress_queue if progress_queue is not None \
             else self._ctx.Queue()
@@ -104,7 +109,7 @@ class StitcherProcess:
         self._proc = self._ctx.Process(
             target=_child_main,
             args=(params, options, self.progress_queue, self.status_queue,
-                  self.complete_queue, self.stop_event),
+                  self.complete_queue, self.stop_event, resume),
             daemon=True)
 
     def start(self):

@@ -94,7 +94,8 @@ def main(argv=None) -> int:
         return 1
 
     from .models.editions import StitcherProcess
-    stitcher = StitcherProcess(params, options=options)
+    stitcher = StitcherProcess(params, options=options,
+                               resume=getattr(args, 'resume', False))
     print("Starting stitching process...")
     print(f"Input folder: {params.input_folder}")
     print(f"Output format: {params.output_format}")

@@ -35,6 +35,10 @@ def parse_args(argv=None):
     parser.add_argument('--zarr-format', type=int, choices=[2, 3], default=2,
                         help="2 = zarr v2 + NGFF 0.4; 3 = zarr v3 sharded "
                              "+ NGFF 0.5 (~10x fewer files)")
+    parser.add_argument('--resume', action='store_true',
+                        help="Continue an interrupted run of the same "
+                             "acquisition + settings (skips completed "
+                             "regions, reuses measured shifts/flatfields)")
     return parser.parse_args(argv)
 
 
@@ -59,7 +63,8 @@ def main(argv=None) -> int:
 
     from .models.editions import StitcherProcess
     from .process_cli import monitor_process
-    stitcher = StitcherProcess(params, options=options)
+    stitcher = StitcherProcess(params, options=options,
+                               resume=getattr(args, 'resume', False))
     print("\nStarting stitching process...")
     print(f"Input folder: {args.input_folder}")
     print(f"Using registration: {args.use_registration}")

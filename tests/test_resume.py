@@ -229,3 +229,48 @@ def test_resume_skips_completed_tiff(tmp_path):
     assert len(all_files) == 4
     for f, t in mtimes.items():
         assert os.path.getmtime(f) == t  # completed units untouched
+
+
+def test_process_edition_resume(tmp_path):
+    """StitcherProcess(resume=True) — the production child-process
+    edition — continues an interrupted run: completed units skipped,
+    the tree finished, manifest complete. (--resume now reaches all
+    three CLIs through this path.)"""
+    acq_dir = make_acq(tmp_path)
+    stop = threading.Event()
+    count = [0]
+
+    def on_status(msg, is_saving=False):
+        if msg.startswith("Completed region"):
+            count[0] += 1
+            if count[0] == 2:
+                stop.set()
+
+    params = StitchingParameters(input_folder=acq_dir, use_registration=True)
+    pipe = StitchPipeline(params, EngineOptions(),
+                          ProgressReporter(status=on_status),
+                          stop_event=stop)
+    with pytest.raises(StitchCancelled):
+        pipe.run()
+    out = pipe.output_folder
+    n_done = len(RunManifest.load(out).data["completed"])
+    assert 2 <= n_done < 4
+
+    from image_stitcher_tpu.models.editions import StitcherProcess
+    proc = StitcherProcess(
+        StitchingParameters(input_folder=acq_dir, use_registration=True),
+        resume=True)
+    proc.start()
+    proc.join(timeout=120)
+    assert not proc.is_alive()
+    assert proc.exitcode == 0
+    # completion message names the SAME output folder (resumed in place)
+    kind, (path, _dtype) = proc.complete_queue.get(timeout=5)
+    assert kind == 'complete'
+    assert os.path.dirname(os.path.dirname(path)) == out
+    m = RunManifest.load(out)
+    assert len(m.data["completed"]) == 4
+    for t in (0, 1):
+        for r in ("A1", "A2"):
+            assert os.path.isdir(os.path.join(
+                out, f"{t}_stitched", f"{r}_stitched.ome.zarr"))

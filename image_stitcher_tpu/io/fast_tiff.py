@@ -5,6 +5,8 @@ general-purpose decoders (libtiff via OpenCV, PIL) spend ~10x longer than
 a straight header parse + frombuffer. This reader handles exactly that
 common case (classic or BigTIFF, uncompressed, contiguous samples) and
 returns None for anything else so callers can fall back to OpenCV.
+(Replaces the reference's per-tile dask_image.imread/tifffile reads in
+its hot loop, reference stitcher.py:654, zarr_stitcher.py:449.)
 """
 
 from __future__ import annotations

@@ -7,7 +7,9 @@ step DMAs an ALIGNED canvas window HBM->VMEM (Mosaic requires window
 offsets divisible by the (sublane, lane) tiling), rotates the tile to
 its sub-window offset on the VPU, blends under the crop/validity mask,
 and DMAs the window back. TPU grid steps execute in order, preserving
-the reference's later-tile-wins overwrite semantics exactly.
+the reference's later-tile-wins overwrite semantics exactly
+(reference stitcher.py:598's slice-assign, crop rules of
+stitcher.py:576-587).
 
 Used on the device fusion path when EngineOptions.device_fusion_kernel
 == 'pallas'; always testable off-TPU via interpret mode.

@@ -244,7 +244,14 @@ def scan_acquisition(input_folder: str) -> Acquisition:
                 if (fov_f != int(fov_f) or z_f != int(z_f)
                         or r['region'] != r['region']):  # NaN region
                     continue
-                key2 = (str(r['region']), int(fov_f), int(z_f))
+                reg = r['region']
+                # one blank cell coerces the whole region column to
+                # float64 — '5' would str() as '5.0' and never match
+                # the name parsed from filenames; integral floats must
+                # render as ints
+                if isinstance(reg, float) and reg.is_integer():
+                    reg = int(reg)
+                key2 = (str(reg), int(fov_f), int(z_f))
             except (ValueError, TypeError):
                 continue
             # first matching row wins, like the old .iloc[0]
@@ -283,7 +290,9 @@ def scan_acquisition(input_folder: str) -> Acquisition:
     # folds into crops), but a truncated FIRST tile redefines the grid.
     first_key = next(iter(tiles))
     first = tiles[first_key]
-    first_image = read_image(first.filepath)
+    # mmap: the probe needs shape/dtype only — fault header pages, not
+    # the whole tile
+    first_image = read_image(first.filepath, prefer_mmap=True)
     dtype = first_image.dtype
     if first_image.ndim == 2:
         input_height, input_width = first_image.shape
@@ -302,7 +311,8 @@ def scan_acquisition(input_folder: str) -> Acquisition:
         if rec is None:  # degraded acquisitions: probe any tile of the channel
             rec = next((r for r in tiles.values() if r.channel == channel),
                        None)
-        img = read_image(rec.filepath) if rec is not None else None
+        img = (read_image(rec.filepath, prefer_mmap=True)
+               if rec is not None else None)
         if img is not None and img.ndim == 3 and img.shape[2] == 3:
             base = channel.split('_')[0]
             monochrome_channels.extend([f"{base}_R", f"{base}_G", f"{base}_B"])

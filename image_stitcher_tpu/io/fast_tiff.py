@@ -129,8 +129,14 @@ def read_tiff_fast(path: str,
         row_bytes = w * spp * dtype.itemsize
         expected = h * row_bytes
 
-        contiguous = len(offsets) == 1 or (
-            counts is not None and len(counts) == len(offsets)
+        # a declared strip must actually HOLD the pixels: a short strip
+        # (truncated writer, oversized ImageLength) would otherwise let
+        # frombuffer read adjacent file bytes — IFD entries, tag data —
+        # as image content instead of falling back
+        covered = (counts is not None and len(counts) == len(offsets)
+                   and sum(counts) >= expected)
+        contiguous = (len(offsets) == 1 and (counts is None or covered)) or (
+            covered
             and all(offsets[i] + counts[i] == offsets[i + 1]
                     for i in range(len(offsets) - 1)))
         if contiguous:

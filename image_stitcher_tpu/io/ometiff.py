@@ -41,9 +41,7 @@ def write_ome_tiff_region(pipeline, t, region: str, canvas, output_path: str,
         canvas, num_levels, pipeline.options.pyramid_downsample)]
     mono = list(acq.monochrome_channels)
     rgb = tiff_rgb_mode(acq)
-    # stage origin of this region, recorded per OME-XML Plane (mm -> um)
-    xs, ys = acq.region_positions(int(t), region)
-    position_um = (min(xs) * 1000.0, min(ys) * 1000.0) if xs and ys else None
+    position_um = region_position_um(acq, t, region)
     write_ome_tiff_pyramid(
         output_path, levels,
         image_name=f"{region}_t{t}",

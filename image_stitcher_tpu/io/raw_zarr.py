@@ -106,6 +106,11 @@ class _RawSlabWriterBase:
             return False
         if sel is None:
             sel = tuple(slice(0, s) for s in self.shape)
+        if len(sel) != len(self.shape):
+            # zip() below would silently truncate a short sel and the
+            # x-axis checks would index past it — route to tensorstore
+            # (never-crash fallback contract) instead
+            return False
         idx = []
         for s, dim in zip(sel, self.shape):
             # open slices (slice(None), slice(a, None)) normalize to

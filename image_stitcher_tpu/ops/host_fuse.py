@@ -280,5 +280,7 @@ def host_downsample(x: np.ndarray, mode: str) -> np.ndarray:
     lead = t.shape[:-2]
     m = t.reshape(lead + (h2 // 2, 2, w2 // 2, 2)).mean(axis=(-3, -1))
     if np.issubdtype(x.dtype, np.integer):
-        m = np.floor(m)
+        # trunc, not floor: astype-from-float truncates toward zero, and
+        # floor would bias negative values of signed canvases by -1
+        m = np.trunc(m)
     return m.astype(x.dtype)

@@ -234,7 +234,15 @@ def _pick_chunk_rows(th: int, tw: int, itemsize: int, align_y: int,
         if th % cr == 0 and cost(cr) <= budget:
             return cr
         cr -= align_y
-    return th  # no aligned divisor fits; single-chunk fallback
+    # even the minimum aligned chunk overflows the budget (tiles tens of
+    # thousands of pixels wide): returning th would just reproduce the
+    # already-failed cost(th) as an opaque Mosaic VMEM error at compile
+    # time — fail actionably instead
+    raise ValueError(
+        f"pallas fusion: no row-chunk of a {th}x{tw} "
+        f"(itemsize {itemsize}) tile fits the {budget >> 20} MiB VMEM "
+        f"budget; pass a larger chunk_budget or use "
+        f"EngineOptions.device_fusion_kernel='xla'")
 
 
 def _feather_kernel(th: int, tw: int, align_y: int, chunk_rows: int,

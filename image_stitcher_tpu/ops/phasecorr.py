@@ -57,17 +57,13 @@ def _upsampled_patch(product: jnp.ndarray, ups_size: int, upsample_factor: int,
     return jnp.conj(data)
 
 
-@functools.partial(jax.jit, static_argnames=('upsample_factor',))
-def phase_cross_correlation(reference: jnp.ndarray, moving: jnp.ndarray,
-                            upsample_factor: int = 10) -> jnp.ndarray:
-    """Subpixel shift (dy, dx) registering ``moving`` to ``reference``.
+def _pcc_core(reference: jnp.ndarray, moving: jnp.ndarray,
+              upsample_factor: int):
+    """(shifts, peak) from ONE set of FFTs.
 
-    Matches the published algorithm the reference relies on: coarse
-    integer peak from the phase-normalized cross-power spectrum, then
-    an ``upsample_factor``-times refined peak from a local matrix DFT.
-    Positive shift means ``moving`` is displaced by that amount relative
-    to ``reference`` (same sign convention as scikit-image).
-    """
+    The conf variant must not re-trace a second FFT pipeline for the
+    shift — FFTs lower to backend custom calls on some backends, where
+    XLA CSE cannot deduplicate them, doubling registration cost."""
     a = reference.astype(jnp.float32)
     b = moving.astype(jnp.float32)
     h, w = a.shape
@@ -79,6 +75,9 @@ def phase_cross_correlation(reference: jnp.ndarray, moving: jnp.ndarray,
     product = product / jnp.maximum(jnp.abs(product), eps)
     corr = jnp.fft.ifft2(product)
     mag = jnp.abs(corr)
+    # normalized correlation peak: 1.0 for a perfect circular shift,
+    # ~1/sqrt(HW) for unrelated content
+    peak = jnp.max(mag)
     flat_idx = jnp.argmax(mag)
     my = (flat_idx // w).astype(jnp.float32)
     mx = (flat_idx % w).astype(jnp.float32)
@@ -89,7 +88,7 @@ def phase_cross_correlation(reference: jnp.ndarray, moving: jnp.ndarray,
     shifts = jnp.stack([sy, sx])
 
     if upsample_factor <= 1:
-        return shifts
+        return shifts, peak
 
     uf = float(upsample_factor)
     shifts = jnp.round(shifts * uf) / uf
@@ -101,7 +100,21 @@ def phase_cross_correlation(reference: jnp.ndarray, moving: jnp.ndarray,
     pidx = jnp.argmax(pmag)
     py = (pidx // ups_size).astype(jnp.float32) - dftshift
     px = (pidx % ups_size).astype(jnp.float32) - dftshift
-    return shifts + jnp.stack([py, px]) / uf
+    return shifts + jnp.stack([py, px]) / uf, peak
+
+
+@functools.partial(jax.jit, static_argnames=('upsample_factor',))
+def phase_cross_correlation(reference: jnp.ndarray, moving: jnp.ndarray,
+                            upsample_factor: int = 10) -> jnp.ndarray:
+    """Subpixel shift (dy, dx) registering ``moving`` to ``reference``.
+
+    Matches the published algorithm the reference relies on: coarse
+    integer peak from the phase-normalized cross-power spectrum, then
+    an ``upsample_factor``-times refined peak from a local matrix DFT.
+    Positive shift means ``moving`` is displaced by that amount relative
+    to ``reference`` (same sign convention as scikit-image).
+    """
+    return _pcc_core(reference, moving, upsample_factor)[0]
 
 
 # Batched variant: (N, H, W) pairs -> (N, 2) shifts.
@@ -118,21 +131,10 @@ def phase_cross_correlation_conf(reference: jnp.ndarray, moving: jnp.ndarray,
     Confidence = the normalized correlation peak height (the whitened
     cross-power spectrum's inverse transform peaks at 1.0 for a perfect
     circular shift and near 1/sqrt(HW) for unrelated content); used to
-    weight pairwise constraints in the global position solve.
+    weight pairwise constraints in the global position solve. Shares
+    one set of FFTs with the shift (see _pcc_core).
     """
-    a = reference.astype(jnp.float32)
-    b = moving.astype(jnp.float32)
-    h, w = a.shape
-    fa = jnp.fft.fft2(a)
-    fb = jnp.fft.fft2(b)
-    product = fa * jnp.conj(fb)
-    eps = 100.0 * jnp.finfo(jnp.float32).eps
-    product = product / jnp.maximum(jnp.abs(product), eps)
-    corr = jnp.abs(jnp.fft.ifft2(product))
-    peak = jnp.max(corr)
-    shift = phase_cross_correlation(reference, moving,
-                                    upsample_factor=upsample_factor)
-    return shift, peak
+    return _pcc_core(reference, moving, upsample_factor)
 
 
 phase_cross_correlation_conf_batch = jax.jit(

@@ -47,9 +47,11 @@ def downsample_nearest(x: jnp.ndarray) -> jnp.ndarray:
 def downsample_mean(x: jnp.ndarray) -> jnp.ndarray:
     """2x2 box mean over the last two axes, excess row/col trimmed.
 
-    Matches np.mean coarsening: accumulate in f32, round back for ints
-    (np.mean of uint16 then astype truncates; we mirror with floor for
-    exact parity with da.coarsen(np.mean).astype semantics).
+    Matches np.mean coarsening: accumulate in f32, round back for ints.
+    astype-from-float truncates TOWARD ZERO, so ints use trunc (floor
+    would bias negative values of signed canvases by -1; identical for
+    the unsigned microscopy dtypes) — exact parity with
+    da.coarsen(np.mean).astype semantics.
     """
     h2, w2 = (x.shape[-2] // 2) * 2, (x.shape[-1] // 2) * 2
     t = x[..., :h2, :w2]
@@ -57,7 +59,7 @@ def downsample_mean(x: jnp.ndarray) -> jnp.ndarray:
     t = t.reshape(lead + (h2 // 2, 2, w2 // 2, 2)).astype(jnp.float32)
     m = t.mean(axis=(-3, -1))
     if jnp.issubdtype(x.dtype, jnp.integer):
-        m = jnp.floor(m)
+        m = jnp.trunc(m)
     return m.astype(x.dtype)
 
 

@@ -139,3 +139,32 @@ def test_numeric_region_names_match_coordinates(tmp_path):
     acq = scan_acquisition(acq_dir)
     assert sorted(acq.regions) == ["0", "7"]
     assert len(acq.tiles) == 4
+
+
+def test_numeric_regions_survive_float_coercion(tmp_path):
+    """One blank region cell coerces pandas' region column to float64 —
+    '5' would str() as '5.0' and never match the filename-parsed name.
+    Integral floats must render as ints; the corrupt row itself is
+    skipped (NaN region), everything else still joins."""
+    import glob
+    import os
+
+    import pandas as pd
+
+    from image_stitcher_tpu import scan_acquisition
+    acq_dir = str(tmp_path / "acq")
+    write_synthetic_acquisition(acq_dir, grid_cols=2, grid_rows=1,
+                                tile_w=48, tile_h=48, overlap=16,
+                                regions=["5", "7"])
+    csv = glob.glob(os.path.join(acq_dir, "*", "coordinates.csv"))[0]
+    df = pd.read_csv(csv)
+    # corrupt one row's region: the whole column becomes float64
+    blank = df.iloc[[0]].copy()
+    blank["region"] = float("nan")
+    blank["fov"] = 99
+    pd.concat([df, blank]).to_csv(csv, index=False)
+    assert pd.read_csv(csv)["region"].dtype == "float64"
+
+    acq = scan_acquisition(acq_dir)
+    assert sorted(acq.regions) == ["5", "7"]
+    assert len(acq.tiles) == 4

@@ -74,7 +74,11 @@ def test_pallas_feather_matches_xla(rng):
                               blend_px=12)
     expect = np.asarray(finalize_feather(acc_x, w_x, jnp.uint16))[:, :, :H, :W]
 
-    for budget in (6 << 20, 20_000):  # single-chunk and forced-chunk
+    # 50_000 admits only the 16-row chunk (u16 sublane alignment is 16;
+    # cost(16)=43,008, cost(32)=65,536) so chunking is genuinely forced
+    # — the old 20_000 fit NOTHING and fell through to an unchecked
+    # single-chunk fallback
+    for budget in (6 << 20, 50_000):  # single-chunk and forced-chunk
         pshp = pallas_padded_canvas_shape(C, Z, H, W, th, tw, np.uint16)
         acc_p, w_p = fuse_feather_pallas(
             jnp.zeros(pshp, jnp.float32), jnp.zeros(pshp, jnp.float32),
@@ -127,7 +131,7 @@ def test_pallas_fused_flatfield_matches_xla(rng, budget):
     np.testing.assert_array_equal(got, expect)
 
 
-@pytest.mark.parametrize("budget", [6 << 20, 20_000])
+@pytest.mark.parametrize("budget", [6 << 20, 50_000])
 def test_pallas_feather_fused_flatfield_matches_xla(rng, budget):
     """Feather with ff_recip fused must equal apply_flatfield ->
     fuse_feather (the correction quantizes to dtype before the ramps)."""
@@ -207,3 +211,13 @@ def test_select_device_kernel_rules():
     # explicit xla is always honored
     assert select_device_kernel(2048, 2048, np.uint16, 'xla',
                                 interpret=True) == 'xla'
+
+
+def test_pick_chunk_rows_impossible_budget_raises():
+    """A budget no aligned chunk fits must fail actionably, not hand
+    back the full-height chunk that already failed the cost check."""
+    from image_stitcher_tpu.ops.pallas_fuse import (_pick_chunk_rows,
+                                                    align_y_for)
+    with pytest.raises(ValueError, match="VMEM"):
+        _pick_chunk_rows(32, 32, 2, align_y_for(np.uint16),
+                         budget=1_000, win_bytes_per_elem=8)

@@ -183,6 +183,7 @@ class StitchingGUI(QWidget):
             return
         self.stitcher = StitcherProcess(params, options=EngineOptions())
         self._run_complete = False
+        self._error_seen = False
         self.stitcher.start()
         self.start_btn.setEnabled(False)
         self.stop_btn.setEnabled(True)
@@ -204,6 +205,14 @@ class StitchingGUI(QWidget):
             self.timer.stop()
             self.start_btn.setEnabled(True)
             self.stop_btn.setEnabled(False)
+            if not self._run_complete and not getattr(self, '_error_seen',
+                                                      False):
+                # killed without a message (OOM/SIGKILL): without this
+                # the label keeps claiming 'Saving...' over a busy
+                # animation on a dead run
+                self.status_label.setText(
+                    "Error: stitching process exited unexpectedly")
+                self._restore_determinate_bar()
 
     def _restore_determinate_bar(self):
         """Leave an indeterminate saving-phase bar determinate again
@@ -242,6 +251,7 @@ class StitchingGUI(QWidget):
                         # don't flip a progressing bar back to busy.
                         self.progress.setMaximum(0)
                 elif kind == 'error':
+                    self._error_seen = True
                     self.status_label.setText(f"Error: {data}")
                     self._restore_determinate_bar()
         except queue_mod.Empty:
@@ -285,6 +295,12 @@ class StitchingGUI(QWidget):
         while s.is_alive() and _time.monotonic() < deadline:
             s.join(timeout=0.1)
             self._drain_queues(s)
+            # a drained 'complete' re-enables the View button; keep it
+            # disabled until the wait ends or a queued click processed
+            # by the next processEvents() would nest napari.run()
+            # inside this loop — the exact hazard the pre-wait disable
+            # guards against
+            self.view_btn.setEnabled(False)
             app = QApplication.instance()
             if HAVE_QT and app is not None:
                 app.processEvents()

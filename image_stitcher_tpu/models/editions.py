@@ -76,12 +76,19 @@ def _child_main(params, options, progress_queue, status_queue,
     from ..utils.progress import ProgressReporter, StitchCancelled
     reporter = ProgressReporter.from_queues(progress_queue, status_queue,
                                             complete_queue)
+    # pipeline.run() reports its own failures before re-raising; only
+    # report here what it could NOT have (constructor/validation
+    # errors), or consumers see every failure twice
+    reported = []
+    inner_error = reporter.error
+    reporter.error = lambda msg: (reported.append(msg), inner_error(msg))
     try:
         _run_pipeline(params, options, reporter, stop_event, resume=resume)
     except StitchCancelled:
         sys.exit(0)
     except Exception as e:
-        reporter.error(str(e))
+        if str(e) not in reported:
+            reporter.error(str(e))
         sys.exit(1)
 
 

@@ -85,8 +85,9 @@ def _completed_units(pipeline):
     in the output folder, or None when no manifest exists. Cached on
     the pipeline for the duration of the merge pass (manifests don't
     change once every shard has passed the pre-merge barrier)."""
-    cached = getattr(pipeline, '_merge_completed_units', None)
-    if cached is not None:
+    _unset = object()
+    cached = getattr(pipeline, '_merge_completed_units', _unset)
+    if cached is not _unset:
         return cached
     import glob as _glob
     import json as _json
@@ -96,6 +97,9 @@ def _completed_units(pipeline):
                                     MANIFEST_NAME + '*'))
     paths = [p for p in paths if not p.endswith('.tmp')]
     if not paths:
+        # cache the no-manifest answer too: standalone merges would
+        # otherwise re-glob the folder for every (t, region) unit
+        pipeline._merge_completed_units = None
         return None
     for p in paths:
         try:

@@ -58,7 +58,35 @@ class StitchPipeline:
 
         self.input_folder = params.input_folder
         self.resumed = False
-        if resume:
+        if self.options.output_folder is not None:
+            # explicit folder pins the destination; resuming into it
+            # still requires the same params/output-fingerprint check
+            # find_resumable enforces — without it, a re-run with
+            # different blend/chunks/compressor would silently mix
+            # settings in one tree (and run() would then overwrite the
+            # manifest's fingerprint, hiding the mismatch for good)
+            self.output_folder = self.options.output_folder
+            if resume:
+                from ..utils.manifest import RunManifest
+                shard = self.options.work_shard
+                m = RunManifest.load(
+                    self.output_folder,
+                    suffix=f".shard{shard[0]}" if shard is not None else "")
+                # a finished manifest is fine here: re-running a pinned
+                # folder with --resume (supervisor restarts of work
+                # shards) skips every completed unit — an idempotent
+                # no-op, unlike the timestamped-folder flow where
+                # find_resumable starts a fresh run instead
+                if m is not None and not m.compatible_with(
+                        params.to_dict(), self.options.output_fingerprint()):
+                    raise ValueError(
+                        f"refusing to resume into {self.output_folder}: "
+                        f"its manifest was written with different "
+                        f"parameters or output-affecting options")
+                # no manifest yet = resuming into a folder nothing has
+                # written: behaves as a fresh run under the old flag
+                self.resumed = True
+        elif resume:
             from ..utils.manifest import find_resumable
             prior = find_resumable(self.input_folder, params.to_dict(),
                                    self.options.output_fingerprint())
@@ -66,10 +94,9 @@ class StitchPipeline:
                 self.output_folder = prior
                 self.resumed = True
                 self.reporter.status(f"Resuming run in {prior}", False)
-        if self.options.output_folder is not None:
-            self.output_folder = self.options.output_folder
-            self.resumed = resume  # reuse state already in that folder
-        elif not resume or not self.resumed:
+            else:
+                self.output_folder = params.stitched_folder
+        else:
             self.output_folder = params.stitched_folder  # timestamp once
         self.output_format = params.output_format
         self.per_timepoint_region_output_template = os.path.join(
@@ -78,6 +105,8 @@ class StitchPipeline:
 
         self.acq: Optional[Acquisition] = None
         self.flatfields: Dict[int, np.ndarray] = {}
+        self._ff_recip_np_cache: Optional[np.ndarray] = None
+        self._ff_recip_dev_cache = None
         self.shifts = geo.RegistrationShifts(scan_pattern=params.scan_pattern)
         self.num_pyramid_levels = 1
         self.registration_channel = params.registration_channel
@@ -146,6 +175,9 @@ class StitchPipeline:
         from concurrent.futures import ThreadPoolExecutor
         acq = self.acq
         self.reporter.getting_flatfields()
+        # new fits invalidate any cached reciprocal stack
+        self._ff_recip_np_cache = None
+        self._ff_recip_dev_cache = None
         opts = self.options
         rnd = random.Random(0)
         pool = ThreadPoolExecutor(opts.resolved_reader_threads())
@@ -320,16 +352,26 @@ class StitchPipeline:
         field was fitted. Computed once on the host so every backend
         multiplies the identical values (TPU f32 divide is reciprocal-
         approximated; host-side reciprocal + multiply is bit-exact
-        everywhere)."""
+        everywhere).
+
+        Cached for the run: flatfields are fixed once compute_flatfields
+        (or the resume sidecar load) finishes, and rebuilding a ~C*HW*4-
+        byte stack per region (100 regions = 100 divides and, on the
+        device path, 100 identical H2D uploads) is pure waste."""
+        if self._ff_recip_np_cache is not None:
+            return self._ff_recip_np_cache
         acq = self.acq
         ff = np.ones((acq.num_c, acq.input_height, acq.input_width), np.float32)
         for idx, field in self.flatfields.items():
             ff[idx] = 1.0 / field
+        self._ff_recip_np_cache = ff
         return ff
 
     def _flatfield_recip(self) -> jnp.ndarray:
-        """(C, th, tw) f32 reciprocal device stack."""
-        return jnp.asarray(self._flatfield_recip_np())
+        """(C, th, tw) f32 reciprocal device stack (cached per run)."""
+        if self._ff_recip_dev_cache is None:
+            self._ff_recip_dev_cache = jnp.asarray(self._flatfield_recip_np())
+        return self._ff_recip_dev_cache
 
     # ---------------------------------------------------------- registration
 

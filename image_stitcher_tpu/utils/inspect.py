@@ -169,7 +169,11 @@ def compare_stores(path_a: str, path_b: str,
         maxdiff = 0.0
         h = a.shape[-2] if a.ndim >= 2 else 1
         for y0 in range(0, max(h, 1), band_rows):
-            sel = (Ellipsis, slice(y0, min(y0 + band_rows, h)), slice(None))
+            if a.ndim >= 2:
+                sel = (Ellipsis, slice(y0, min(y0 + band_rows, h)),
+                       slice(None))
+            else:  # 0/1-D arrays: one whole read (tiny by construction)
+                sel = (Ellipsis,)
             band_a = a[sel].read().result()
             band_b = b[sel].read().result()
             if band_a.size == 0:

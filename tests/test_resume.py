@@ -274,3 +274,41 @@ def test_process_edition_resume(tmp_path):
         for r in ("A1", "A2"):
             assert os.path.isdir(os.path.join(
                 out, f"{t}_stitched", f"{r}_stitched.ome.zarr"))
+
+
+def test_explicit_folder_resume_refuses_incompatible_settings(tmp_path):
+    """resume=True into an explicit output_folder must enforce the same
+    params/output-fingerprint compatibility find_resumable does —
+    otherwise a re-run with different blend/chunks silently mixes
+    settings in one tree and then overwrites the manifest fingerprint,
+    hiding the mismatch for good."""
+    acq_dir = make_acq(tmp_path, regions=("A1", "A2"), timepoints=1)
+    out = str(tmp_path / "pinned")
+    stop = threading.Event()
+    rep = ProgressReporter(
+        status=lambda m, s=False: stop.set()
+        if m.startswith("Completed region") else None)
+    p = StitchingParameters(input_folder=acq_dir)
+    pipe = StitchPipeline(p, EngineOptions(output_folder=out,
+                                           pipelined_save=False),
+                          rep, stop_event=stop)
+    with pytest.raises(StitchCancelled):
+        pipe.run()
+
+    # incompatible output-affecting option -> refuse
+    with pytest.raises(ValueError, match="refusing to resume"):
+        StitchPipeline(StitchingParameters(input_folder=acq_dir),
+                       EngineOptions(output_folder=out,
+                                     blend_method='feather'),
+                       resume=True)
+
+    # same settings -> resumes in place and completes
+    pipe2 = StitchPipeline(StitchingParameters(input_folder=acq_dir),
+                           EngineOptions(output_folder=out,
+                                         pipelined_save=False),
+                           resume=True)
+    pipe2.run()
+    assert pipe2.resumed
+    for r in ("A1", "A2"):
+        assert os.path.isdir(os.path.join(
+            out, "0_stitched", f"{r}_stitched.ome.zarr"))

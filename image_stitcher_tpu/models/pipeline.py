@@ -136,6 +136,11 @@ class StitchPipeline:
             return
         timeout_s = self.options.merge_barrier_timeout_s
         try:
+            # the coordination-service barrier is only reachable through
+            # a private module (no public timed-barrier API as of jax
+            # 0.4-0.7); the import is version-guarded so any internal
+            # rename degrades to the timed-thread fallback below instead
+            # of breaking multi-controller runs
             client = None
             try:
                 from jax._src import distributed as _dist
@@ -146,8 +151,7 @@ class StitchPipeline:
                 client.wait_at_barrier("stitch_merge_barrier",
                                        timeout_in_ms=int(timeout_s * 1000))
             else:
-                from jax.experimental import multihost_utils
-                multihost_utils.sync_global_devices("stitch_merge_barrier")
+                self._sync_devices_timed(timeout_s)
         except Exception as e:
             raise RuntimeError(
                 "pre-merge shard barrier failed (timeout "
@@ -157,6 +161,37 @@ class StitchPipeline:
                 "(it skips its completed units), then re-run the "
                 "coordinator shard with --resume to complete the "
                 f"merges. (cause: {e})") from e
+
+    @staticmethod
+    def _sync_devices_timed(timeout_s: float):
+        """sync_global_devices with a deadline: the collective itself has
+        no timeout, so it runs on a daemon thread and a wait that expires
+        raises here (the stuck thread is abandoned — this process is
+        about to fail with recovery guidance anyway). ``timeout_s`` 0 or
+        None keeps the reference untimed behavior."""
+        from jax.experimental import multihost_utils
+        if not timeout_s:
+            multihost_utils.sync_global_devices("stitch_merge_barrier")
+            return
+        import threading
+        done = threading.Event()
+        err: List[BaseException] = []
+
+        def wait():
+            try:
+                multihost_utils.sync_global_devices("stitch_merge_barrier")
+            except BaseException as e:
+                err.append(e)
+            finally:
+                done.set()
+
+        t = threading.Thread(target=wait, name='merge-barrier', daemon=True)
+        t.start()
+        if not done.wait(timeout_s):
+            raise TimeoutError(
+                f"barrier not reached within {timeout_s:.0f}s")
+        if err:
+            raise err[0]
 
     def _dtype_max(self) -> float:
         dt = self.acq.dtype

@@ -247,3 +247,97 @@ print("worker", pid, "done", flush=True)
                 f"{region}_stitched.ome.zarr")), (t, region)
     assert glob.glob(os.path.join(out_dir, "hcs_timepoints",
                                   "*_hcs.ome.zarr"))
+
+
+# ---------------------------------------------------------------- barrier
+
+def _barrier_pipeline(tmp_path, timeout_s):
+    """A minimally-constructed pipeline for exercising _shard_barrier."""
+    from fixtures import write_synthetic_acquisition
+    from image_stitcher_tpu import EngineOptions, StitchingParameters
+    from image_stitcher_tpu.models.pipeline import StitchPipeline
+    acq_dir = str(tmp_path / "barrier_acq")
+    write_synthetic_acquisition(acq_dir, grid_cols=1, grid_rows=1,
+                                tile_w=32, tile_h=32, overlap=8)
+    return StitchPipeline(
+        StitchingParameters(input_folder=acq_dir),
+        EngineOptions(merge_barrier_timeout_s=timeout_s))
+
+
+def test_shard_barrier_client_branch_gets_timeout(tmp_path, monkeypatch):
+    """With the coordination client present, the barrier rides its timed
+    wait_at_barrier (not sync_global_devices)."""
+    import jax
+    from jax._src import distributed as _dist
+    pipe = _barrier_pipeline(tmp_path, timeout_s=7.0)
+    calls = []
+
+    class FakeClient:
+        def wait_at_barrier(self, name, timeout_in_ms):
+            calls.append((name, timeout_in_ms))
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(_dist.global_state, "client", FakeClient(),
+                        raising=False)
+    pipe._shard_barrier()
+    assert calls == [("stitch_merge_barrier", 7000)]
+
+
+def test_shard_barrier_fallback_is_bounded(tmp_path, monkeypatch):
+    """Client absent: the sync_global_devices fallback must honor the
+    timeout (timed thread), raising the recovery error instead of
+    hanging forever on a dead shard."""
+    import time
+
+    import jax
+    from jax._src import distributed as _dist
+    from jax.experimental import multihost_utils
+    pipe = _barrier_pipeline(tmp_path, timeout_s=0.5)
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(_dist.global_state, "client", None, raising=False)
+    monkeypatch.setattr(multihost_utils, "sync_global_devices",
+                        lambda name: time.sleep(60))
+    t0 = time.monotonic()
+    with pytest.raises(RuntimeError, match="shard barrier failed"):
+        pipe._shard_barrier()
+    assert time.monotonic() - t0 < 10
+
+
+def test_shard_barrier_fallback_propagates_success_and_errors(
+        tmp_path, monkeypatch):
+    """A fallback barrier that completes (or fails fast) surfaces that
+    outcome, not a timeout."""
+    import jax
+    from jax._src import distributed as _dist
+    from jax.experimental import multihost_utils
+    pipe = _barrier_pipeline(tmp_path, timeout_s=30.0)
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(_dist.global_state, "client", None, raising=False)
+
+    monkeypatch.setattr(multihost_utils, "sync_global_devices",
+                        lambda name: None)
+    pipe._shard_barrier()  # completes quietly
+
+    def boom(name):
+        raise ValueError("shard died")
+
+    monkeypatch.setattr(multihost_utils, "sync_global_devices", boom)
+    with pytest.raises(RuntimeError, match="shard died"):
+        pipe._shard_barrier()
+
+
+def test_shard_barrier_zero_timeout_keeps_untimed_path(
+        tmp_path, monkeypatch):
+    """merge_barrier_timeout_s=0 opts into the reference untimed
+    collective (documented in EngineOptions)."""
+    import jax
+    from jax._src import distributed as _dist
+    from jax.experimental import multihost_utils
+    pipe = _barrier_pipeline(tmp_path, timeout_s=0.0)
+    seen = []
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(_dist.global_state, "client", None, raising=False)
+    monkeypatch.setattr(multihost_utils, "sync_global_devices",
+                        lambda name: seen.append(name))
+    pipe._shard_barrier()
+    assert seen == ["stitch_merge_barrier"]

@@ -308,9 +308,11 @@ class DeviceStreamingFuser:
         # ops/fuse.padded_canvas_shape); pallas additionally needs the
         # (sublane, lane) alignment margin for its window DMAs
         if self.use_pallas:
-            from ..ops.pallas_fuse import ALIGN_X, align_y_for
-            shape = (1, 1, th + self.band + th + align_y_for(self.dtype),
-                     self.width + tw + ALIGN_X)
+            from ..ops.pallas_fuse import (ALIGN_X, align_y_for,
+                                           padded_tile_extents)
+            th_pad, tw_pad = padded_tile_extents(th, tw, self.dtype)
+            shape = (1, 1, th + self.band + th_pad + align_y_for(self.dtype),
+                     self.width + tw_pad + ALIGN_X)
         else:
             shape = (1, 1, th + self.band + th, self.width + tw)
         if self.blend == 'feather':

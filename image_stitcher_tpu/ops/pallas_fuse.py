@@ -36,14 +36,35 @@ def align_y_for(dtype) -> int:
     return 8 * max(1, 4 // itemsize)
 
 
+def padded_tile_extents(tile_h: int, tile_w: int, dtype) -> Tuple[int, int]:
+    """Tile extents rounded up to the Mosaic (sublane, lane) tiling.
+
+    Unaligned cameras (1000^2, 1920x1200, ...) ride the window kernels
+    through this padding: the jitted wrappers zero-pad the tile batch to
+    these extents and fold the pad into each tile's bottom/right crops,
+    so the kernel masks never write pad content — byte-identical to the
+    unpadded semantics (fuzz-tested against the XLA scan)."""
+    ay = align_y_for(dtype)
+    return (-(-tile_h // ay) * ay, -(-tile_w // ALIGN_X) * ALIGN_X)
+
+
 def pallas_supported(tile_h: int, tile_w: int, dtype) -> bool:
-    """Mosaic compiles the window kernels only for register-aligned tile
-    extents: the dynamic rotate needs the padded tile's lane count
-    (tw + ALIGN_X) to be a multiple of the 128-lane tiling and its rows
-    a multiple of the sublane alignment, i.e. tw % 128 == 0 and
-    th % align_y == 0 (true for production camera tiles: 512/1024/2048).
-    Callers fall back to the XLA scan otherwise."""
-    return tile_w % ALIGN_X == 0 and tile_h % align_y_for(dtype) == 0
+    """Whether the Mosaic window kernels can serve this tile shape.
+
+    Any extent works via padded_tile_extents (the old tw % 128 == 0
+    restriction is gone); the remaining limit is VMEM: a row-chunk of
+    the padded tile plus its aligned window must fit the scratch budget
+    even for the most demanding kernel config (feather + fused
+    flatfield). Callers fall back to the XLA scan otherwise."""
+    import numpy as np
+    th_pad, tw_pad = padded_tile_extents(tile_h, tile_w, dtype)
+    try:
+        _pick_chunk_rows(th_pad, tw_pad, np.dtype(dtype).itemsize,
+                         align_y_for(dtype), win_bytes_per_elem=8,
+                         ff_itemsize=4)
+    except ValueError:
+        return False
+    return True
 
 
 def select_device_kernel(tile_h: int, tile_w: int, dtype,
@@ -72,12 +93,16 @@ def select_device_kernel(tile_h: int, tile_w: int, dtype,
 def pallas_padded_canvas_shape(num_c: int, num_z: int, height: int,
                                width: int, tile_h: int, tile_w: int,
                                dtype=None) -> Tuple[int, int, int, int]:
-    """Canvas apron for the pallas kernel: one tile extent plus the
-    alignment margin on bottom/right."""
+    """Canvas apron for the pallas kernel: one (alignment-padded) tile
+    extent plus the alignment margin on bottom/right — sized so the last
+    window DMA of a tile placed at the canvas edge stays in bounds even
+    when the tile itself is padded up to the Mosaic tiling."""
     import numpy as np
-    align_y = align_y_for(dtype if dtype is not None else np.uint16)
-    return (num_c, num_z, height + tile_h + align_y,
-            width + tile_w + ALIGN_X)
+    dt = dtype if dtype is not None else np.uint16
+    align_y = align_y_for(dt)
+    th_pad, tw_pad = padded_tile_extents(tile_h, tile_w, dt)
+    return (num_c, num_z, height + th_pad + align_y,
+            width + tw_pad + ALIGN_X)
 
 
 def _fuse_kernel(th: int, tw: int, align_y: int, chunk_rows: int,
@@ -398,6 +423,20 @@ def fuse_feather_pallas(acc: jnp.ndarray, wsum: jnp.ndarray,
     n, th, tw = tiles.shape
     align_y = align_y_for(tiles.dtype)
     with_ff = ff_recip is not None
+    th_pad, tw_pad = padded_tile_extents(th, tw, tiles.dtype)
+    if (th_pad, tw_pad) != (th, tw):
+        # unaligned camera tiles: zero-pad to the Mosaic tiling and fold
+        # the pad into the bottom/right crops — the mask/ramp bounds
+        # (th - bottom, tw - right) are then identical to the unpadded
+        # tile's, so the pad rows/cols never write or weight anything
+        tiles = jnp.pad(tiles, ((0, 0), (0, th_pad - th),
+                                (0, tw_pad - tw)))
+        if with_ff:
+            ff_recip = jnp.pad(ff_recip, ((0, 0), (0, th_pad - th),
+                                          (0, tw_pad - tw)))
+        crops = crops + jnp.array([0, th_pad - th, 0, tw_pad - tw],
+                                  crops.dtype)
+        th, tw = th_pad, tw_pad
     chunk_rows = _pick_chunk_rows(th, tw, tiles.dtype.itemsize, align_y,
                                   budget=chunk_budget, win_bytes_per_elem=8,
                                   ff_itemsize=4 if with_ff else 0)
@@ -469,6 +508,18 @@ def fuse_overwrite_pallas(canvas: jnp.ndarray, tiles: jnp.ndarray,
     n, th, tw = tiles.shape
     align_y = align_y_for(canvas.dtype)
     with_ff = ff_recip is not None
+    th_pad, tw_pad = padded_tile_extents(th, tw, canvas.dtype)
+    if (th_pad, tw_pad) != (th, tw):
+        # see fuse_feather_pallas: pad to the Mosaic tiling, fold the
+        # pad into bottom/right crops so masks exclude it exactly
+        tiles = jnp.pad(tiles, ((0, 0), (0, th_pad - th),
+                                (0, tw_pad - tw)))
+        if with_ff:
+            ff_recip = jnp.pad(ff_recip, ((0, 0), (0, th_pad - th),
+                                          (0, tw_pad - tw)))
+        crops = crops + jnp.array([0, th_pad - th, 0, tw_pad - tw],
+                                  crops.dtype)
+        th, tw = th_pad, tw_pad
     chunk_rows = _pick_chunk_rows(th, tw, tiles.dtype.itemsize, align_y,
                                   budget=chunk_budget,
                                   ff_itemsize=4 if with_ff else 0)

@@ -74,9 +74,13 @@ class ShardedCanvas:
         self.ff_recip = ff_recip
         self._ff_device = None
         if self.use_pallas:
-            from ..ops.pallas_fuse import ALIGN_X, align_y_for
-            self.band_pad += align_y_for(self.dtype)
-            extra_x = ALIGN_X
+            from ..ops.pallas_fuse import (ALIGN_X, align_y_for,
+                                           padded_tile_extents)
+            th_pad, tw_pad = padded_tile_extents(tile_h, tile_w, self.dtype)
+            # bottom apron must cover the alignment-PADDED tile extent:
+            # a straddler's last window DMA reaches y + th_pad + align_y
+            self.band_pad += (th_pad - tile_h) + align_y_for(self.dtype)
+            extra_x = (tw_pad - tile_w) + ALIGN_X
         else:
             extra_x = 0
         shape = (self.n_bands, num_c, num_z, self.band_pad,

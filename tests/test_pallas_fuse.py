@@ -74,11 +74,10 @@ def test_pallas_feather_matches_xla(rng):
                               blend_px=12)
     expect = np.asarray(finalize_feather(acc_x, w_x, jnp.uint16))[:, :, :H, :W]
 
-    # 50_000 admits only the 16-row chunk (u16 sublane alignment is 16;
-    # cost(16)=43,008, cost(32)=65,536) so chunking is genuinely forced
-    # — the old 20_000 fit NOTHING and fell through to an unchecked
-    # single-chunk fallback
-    for budget in (6 << 20, 50_000):  # single-chunk and forced-chunk
+    # 80_000 admits only the 16-row chunk of the lane-padded 32x128
+    # tile (cost(16)=73,728, cost(32)=114,688) so chunking is genuinely
+    # forced — budgets are calibrated against padded_tile_extents now
+    for budget in (6 << 20, 80_000):  # single-chunk and forced-chunk
         pshp = pallas_padded_canvas_shape(C, Z, H, W, th, tw, np.uint16)
         acc_p, w_p = fuse_feather_pallas(
             jnp.zeros(pshp, jnp.float32), jnp.zeros(pshp, jnp.float32),
@@ -107,7 +106,7 @@ def test_pallas_overwrite_order(rng):
     assert out[0, 0, 0, 0] == 7
 
 
-@pytest.mark.parametrize("budget", [6 << 20, 40_000])
+@pytest.mark.parametrize("budget", [6 << 20, 80_000])
 def test_pallas_fused_flatfield_matches_xla(rng, budget):
     """ff_recip fused into the placement kernel must be byte-identical
     to apply_flatfield -> fuse_overwrite (both chunked and unchunked)."""
@@ -131,7 +130,7 @@ def test_pallas_fused_flatfield_matches_xla(rng, budget):
     np.testing.assert_array_equal(got, expect)
 
 
-@pytest.mark.parametrize("budget", [6 << 20, 50_000])
+@pytest.mark.parametrize("budget", [6 << 20, 100_000])
 def test_pallas_feather_fused_flatfield_matches_xla(rng, budget):
     """Feather with ff_recip fused must equal apply_flatfield ->
     fuse_feather (the correction quantizes to dtype before the ramps)."""
@@ -198,13 +197,13 @@ def test_select_device_kernel_rules():
     assert select_device_kernel(2048, 2048, np.uint16, 'auto') == 'xla'
     assert select_device_kernel(2048, 2048, np.uint16, 'auto',
                                 interpret=True) == 'pallas'
-    # unaligned tile extents can never take pallas; explicit requests
-    # fall back with notice
+    # unaligned tile extents ride pallas via padded_tile_extents now
     fired = []
     assert select_device_kernel(100, 1500, np.uint16, 'pallas',
                                 interpret=True,
                                 on_fallback=lambda: fired.append(1)) \
-        == 'pallas'  # interpret path bypasses Mosaic alignment limits
+        == 'pallas'
+    # off-TPU, an explicit pallas request falls back with notice
     assert select_device_kernel(2048, 2048, np.uint16, 'pallas',
                                 on_fallback=lambda: fired.append(1)) == 'xla'
     assert fired == [1]
@@ -221,3 +220,89 @@ def test_pick_chunk_rows_impossible_budget_raises():
     with pytest.raises(ValueError, match="VMEM"):
         _pick_chunk_rows(32, 32, 2, align_y_for(np.uint16),
                          budget=1_000, win_bytes_per_elem=8)
+
+
+# -------------------------------------------------- unaligned cameras
+
+@pytest.mark.parametrize("th,tw", [(50, 70), (100, 96), (96, 100),
+                                   (120, 150)])
+def test_pallas_unaligned_tiles_match_xla(rng, th, tw):
+    """Tile extents that are NOT multiples of the Mosaic (sublane, lane)
+    tiling (1000^2 / 1920x1200-class cameras, scaled down) must ride the
+    window kernel via internal padding, byte-equal to the XLA scan."""
+    from image_stitcher_tpu.ops.pallas_fuse import pallas_supported
+    assert pallas_supported(th, tw, np.uint16)
+    C, Z, H, W = 2, 1, 3 * th - 7, 3 * tw - 5
+    tiles, info, crops, valid = _problem(rng, n=10, C=C, Z=Z, H=H, W=W,
+                                         th=th, tw=tw)
+    cv0 = jnp.zeros(padded_canvas_shape(C, Z, H, W, th, tw), jnp.uint16)
+    expect = np.asarray(fuse_overwrite(
+        cv0, jnp.asarray(tiles), jnp.asarray(info),
+        jnp.asarray(crops), jnp.asarray(valid)))[:, :, :H, :W]
+    cv1 = jnp.zeros(pallas_padded_canvas_shape(C, Z, H, W, th, tw),
+                    jnp.uint16)
+    got = np.asarray(fuse_overwrite_pallas(
+        cv1, jnp.asarray(tiles), jnp.asarray(info),
+        jnp.asarray(crops), jnp.asarray(valid),
+        interpret=True))[:, :, :H, :W]
+    np.testing.assert_array_equal(got, expect)
+
+
+@pytest.mark.parametrize("th,tw", [(50, 70), (100, 96)])
+def test_pallas_unaligned_fused_flatfield_matches_xla(rng, th, tw):
+    """Unaligned tiles + fused flatfield: the zero-padded ff rows/cols
+    must never leak into output (the folded crops mask them)."""
+    from image_stitcher_tpu.ops.fuse import apply_flatfield
+    C, Z, H, W = 2, 1, 2 * th + 13, 2 * tw + 9
+    tiles, info, crops, valid = _problem(rng, n=8, C=C, Z=Z, H=H, W=W,
+                                         th=th, tw=tw)
+    ff = (rng.random((C, th, tw)) * 0.8 + 0.6).astype(np.float32)
+    corrected = apply_flatfield(jnp.asarray(tiles), jnp.asarray(ff),
+                                jnp.asarray(info[:, 0]), jnp.uint16)
+    cv0 = jnp.zeros(padded_canvas_shape(C, Z, H, W, th, tw), jnp.uint16)
+    expect = np.asarray(fuse_overwrite(
+        cv0, corrected, jnp.asarray(info),
+        jnp.asarray(crops), jnp.asarray(valid)))[:, :, :H, :W]
+    cv1 = jnp.zeros(pallas_padded_canvas_shape(C, Z, H, W, th, tw),
+                    jnp.uint16)
+    got = np.asarray(fuse_overwrite_pallas(
+        cv1, jnp.asarray(tiles), jnp.asarray(info),
+        jnp.asarray(crops), jnp.asarray(valid), ff_recip=jnp.asarray(ff),
+        interpret=True))[:, :, :H, :W]
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_pallas_unaligned_feather_matches_xla(rng):
+    """Feather ramps on unaligned tiles: the folded bottom/right crops
+    must leave the ramp geometry of the REAL tile window untouched."""
+    from image_stitcher_tpu.ops.fuse import finalize_feather, fuse_feather
+    from image_stitcher_tpu.ops.pallas_fuse import fuse_feather_pallas
+    C, Z, th, tw = 1, 1, 60, 100
+    H, W = 2 * th + 11, 2 * tw + 3
+    tiles, info, crops, valid = _problem(rng, n=8, C=C, Z=Z, H=H, W=W,
+                                         th=th, tw=tw)
+    shp = padded_canvas_shape(C, Z, H, W, th, tw)
+    acc_x, w_x = fuse_feather(jnp.zeros(shp, jnp.float32),
+                              jnp.zeros(shp, jnp.float32),
+                              jnp.asarray(tiles), jnp.asarray(info),
+                              jnp.asarray(crops), jnp.asarray(valid),
+                              blend_px=12)
+    expect = np.asarray(finalize_feather(acc_x, w_x,
+                                         jnp.uint16))[:, :, :H, :W]
+    pshp = pallas_padded_canvas_shape(C, Z, H, W, th, tw, np.uint16)
+    acc_p, w_p = fuse_feather_pallas(
+        jnp.zeros(pshp, jnp.float32), jnp.zeros(pshp, jnp.float32),
+        jnp.asarray(tiles), jnp.asarray(info), jnp.asarray(crops),
+        jnp.asarray(valid), blend_px=12, interpret=True)
+    got = np.asarray(finalize_feather(acc_p, w_p, jnp.uint16))[:, :, :H, :W]
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_pallas_supported_widened():
+    """Production camera shapes that used to be rejected now pass; only
+    VMEM-impossible tiles are refused."""
+    from image_stitcher_tpu.ops.pallas_fuse import pallas_supported
+    assert pallas_supported(1000, 1000, np.uint16)
+    assert pallas_supported(1200, 1920, np.uint16)
+    assert pallas_supported(2048, 2048, np.uint16)
+    assert not pallas_supported(64, 3_000_000, np.uint16)  # VMEM-impossible

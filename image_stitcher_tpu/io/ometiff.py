@@ -33,10 +33,10 @@ def write_ome_tiff_region(pipeline, t, region: str, canvas, output_path: str,
     acq = pipeline.acq
     if num_levels is None:
         num_levels = pipeline.num_pyramid_levels
-    # in-RAM path (small canvases and RGB page mode): the writer takes
-    # the full level list (peak memory ~1.33x the canvas). Large
-    # monochrome canvases stream band-wise through StreamingTiffWriter
-    # instead (pipeline._stitch_and_save_streaming).
+    # in-RAM path (small canvases): the writer takes the full level
+    # list (peak memory ~1.33x the canvas). Large canvases — monochrome
+    # AND RGB — stream band-wise through StreamingTiffWriter instead
+    # (pipeline._stitch_and_save_streaming).
     levels = [np.asarray(level) for level in iter_levels(
         canvas, num_levels, pipeline.options.pyramid_downsample)]
     mono = list(acq.monochrome_channels)

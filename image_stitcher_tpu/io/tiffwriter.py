@@ -344,14 +344,22 @@ class _PlaneLevelStream:
     band rows, flushes full 256-row tile strips to the file as soon as
     they are contiguous, and records their offsets for the close-time
     IFD. Memory held: the unflushed tail plus any out-of-order parked
-    bands (bounded by the fuser's thread count)."""
+    bands (bounded by the fuser's thread count).
 
-    def __init__(self, h: int, w: int, ts: int, dtype):
+    ``spp`` > 1 (RGB pages): each sample arrives as its own channel
+    stream (the fusers band per monochrome channel); a strip flushes
+    once ALL samples have its rows, interleaved (h, w, spp) — the
+    SamplesPerPixel=3 layout of the reference's production RGB TIFF
+    path (stitcher_process.py:1429-1549)."""
+
+    def __init__(self, h: int, w: int, ts: int, dtype, spp: int = 1):
         self.h, self.w, self.ts = h, w, ts
         self.dtype = np.dtype(dtype)
+        self.spp = spp
         self.next = 0                         # first unflushed row
-        self.tail = np.zeros((0, w), dtype)   # rows [next, next+len)
-        self.parked: dict = {}                # start_row -> rows
+        self.tails = [np.zeros((0, w), dtype)
+                      for _ in range(spp)]    # rows [next, next+len)
+        self.parked = [dict() for _ in range(spp)]  # start_row -> rows
         self.tiles_x = max(1, -(-w // ts)) if w else 0
         self.tiles_y = max(1, -(-h // ts)) if h else 0
         n = self.tiles_x * self.tiles_y
@@ -359,29 +367,40 @@ class _PlaneLevelStream:
         self.counts = [0] * n
 
     def buffered_bytes(self) -> int:
-        return (self.tail.nbytes
-                + sum(a.nbytes for a in self.parked.values()))
+        return (sum(t.nbytes for t in self.tails)
+                + sum(a.nbytes for d in self.parked for a in d.values()))
 
-    def feed(self, y0: int, rows: np.ndarray, flush_tile_row) -> None:
-        """Accept rows starting at y0; flush every completed strip via
-        ``flush_tile_row(strip_index, rows_array)``."""
-        if y0 == self.next + self.tail.shape[0]:
-            self.tail = (rows if self.tail.shape[0] == 0
-                         else np.concatenate([self.tail, rows]))
+    def feed(self, y0: int, rows: np.ndarray, flush_tile_row,
+             ch: int = 0) -> None:
+        """Accept channel ``ch``'s rows starting at y0; flush every
+        strip completed across ALL channels via
+        ``flush_tile_row(strip_index, rows_array)`` (rows_array is
+        (take, w) monochrome or (take, w, spp) interleaved)."""
+        tail = self.tails[ch]
+        if y0 == self.next + tail.shape[0]:
+            tail = rows if tail.shape[0] == 0 else \
+                np.concatenate([tail, rows])
         else:
-            self.parked[y0] = rows
+            self.parked[ch][y0] = rows
         # absorb any parked band that is now contiguous
-        while self.next + self.tail.shape[0] in self.parked:
-            nxt = self.parked.pop(self.next + self.tail.shape[0])
-            self.tail = (nxt if self.tail.shape[0] == 0
-                         else np.concatenate([self.tail, nxt]))
-        while (self.tail.shape[0] >= self.ts
-               or (self.tail.shape[0] > 0
-                   and self.next + self.tail.shape[0] >= self.h)):
+        while self.next + tail.shape[0] in self.parked[ch]:
+            nxt = self.parked[ch].pop(self.next + tail.shape[0])
+            tail = nxt if tail.shape[0] == 0 else \
+                np.concatenate([tail, nxt])
+        self.tails[ch] = tail
+        while True:
+            avail = min(t.shape[0] for t in self.tails)
+            if avail == 0:
+                break
             take = min(self.ts, self.h - self.next)
-            flush_tile_row(self.next // self.ts, self.tail[:take])
+            if take <= 0 or avail < take:
+                break
+            strip = (self.tails[0][:take] if self.spp == 1
+                     else np.stack([t[:take] for t in self.tails],
+                                   axis=-1))
+            flush_tile_row(self.next // self.ts, strip)
             self.next += take
-            self.tail = self.tail[take:]
+            self.tails = [t[take:] for t in self.tails]
 
 
 class StreamingTiffWriter:
@@ -397,8 +416,12 @@ class StreamingTiffWriter:
     ~1.33x-canvas level list, VERDICT r2 #3; reference layout parity:
     stitcher_process.py:1344-1427).
 
-    Monochrome pages only — RGB (SamplesPerPixel=3) acquisitions need
-    three channels interleaved per tile and use the in-RAM path.
+    ``rgb`` (C must be 3, ordered R/G/B) streams SamplesPerPixel=3
+    interleaved pages: the three channel bands accumulate per page and
+    each 256-row strip flushes once all three have its rows — the
+    reference's production RGB TIFF layout
+    (stitcher_process.py:1429-1549) without materializing the level
+    list in RAM (VERDICT r3 #4).
     """
 
     def __init__(self, path: str, base_shape: Sequence[int],
@@ -409,10 +432,16 @@ class StreamingTiffWriter:
                  compression: str = 'deflate',
                  tile_size: int = TILE_SIZE,
                  thumbnail: bool = True, thumbnail_max: int = 512,
-                 position_um: Optional[Sequence[float]] = None):
+                 position_um: Optional[Sequence[float]] = None,
+                 rgb: bool = False):
         import threading
         from ..ops.pyramid import level_shapes
         _, self.num_c, self.num_z, self.height, self.width = base_shape
+        if rgb and self.num_c != 3:
+            raise ValueError(
+                f"rgb output needs exactly 3 channels, got {self.num_c}")
+        self.rgb = rgb
+        self.spp = 3 if rgb else 1
         self.num_levels = num_levels
         self.dtype = np.dtype(dtype)
         self.ts = tile_size
@@ -423,15 +452,17 @@ class StreamingTiffWriter:
         shapes = level_shapes((1, self.num_c, self.num_z,
                                self.height, self.width), num_levels)
         self.level_hw = [(s[-2], s[-1]) for s in shapes]
-        # page index = ci * num_z + zi (DimensionOrder XYZCT: Z fastest)
+        # page index: zi (RGB: channels collapse into samples) or
+        # ci * num_z + zi (DimensionOrder XYZCT: Z fastest)
+        self.num_pages = self.num_z if rgb else self.num_c * self.num_z
         self.streams = {
-            (ci * self.num_z + zi, lv): _PlaneLevelStream(
-                *self.level_hw[lv], tile_size, self.dtype)
-            for ci in range(self.num_c) for zi in range(self.num_z)
+            (page, lv): _PlaneLevelStream(
+                *self.level_hw[lv], tile_size, self.dtype, spp=self.spp)
+            for page in range(self.num_pages)
             for lv in range(num_levels)}
         self.peak_buffer_bytes = 0
         # incremental thumbnail: global stride over the last level of
-        # page (c=0, z=0), identical to repeated [::2, ::2]
+        # page 0 (c=0 or RGB, z=0), identical to repeated [::2, ::2]
         self.thumbnail = thumbnail
         h_last, w_last = self.level_hw[-1]
         s = 1
@@ -439,11 +470,14 @@ class StreamingTiffWriter:
                 max(-(-h_last // s), -(-w_last // s)) > thumbnail_max:
             s *= 2
         self._thumb_stride = s
-        self._thumb = (np.zeros((-(-h_last // s) if h_last else 0,
-                                 -(-w_last // s) if w_last else 0),
-                                self.dtype) if thumbnail else None)
+        th_shape = (-(-h_last // s) if h_last else 0,
+                    -(-w_last // s) if w_last else 0)
+        if rgb:
+            th_shape += (3,)
+        self._thumb = (np.zeros(th_shape, self.dtype)
+                       if thumbnail else None)
         planes = []
-        for ci in range(self.num_c):
+        for ci in range(1 if rgb else self.num_c):
             for zi in range(self.num_z):
                 p = {'the_c': ci, 'the_z': zi, 'the_t': 0,
                      'z_um': round(zi * dz_um, 6)}
@@ -454,7 +488,7 @@ class StreamingTiffWriter:
         self.xml = ome_xml(image_name, self.width, self.height,
                            self.num_z, self.num_c, 1, self.dtype,
                            channel_names, channel_colors,
-                           pixel_size_um, dz_um, rgb=False,
+                           pixel_size_um, dz_um, rgb=rgb,
                            planes=planes)
 
     # -------------------------------------------------------------- feed
@@ -462,8 +496,10 @@ class StreamingTiffWriter:
     def _flush_tile_row(self, st: _PlaneLevelStream, strip: int,
                         rows: np.ndarray) -> None:
         ts = self.ts
+        spp = rows.shape[2] if rows.ndim == 3 else 1
         for tx in range(st.tiles_x):
-            block = np.zeros((ts, ts), self.dtype)
+            shape = (ts, ts, spp) if spp > 1 else (ts, ts)
+            block = np.zeros(shape, self.dtype)
             sub = rows[:, tx * ts:(tx + 1) * ts]
             block[:sub.shape[0], :sub.shape[1]] = sub
             raw = block.tobytes()
@@ -492,7 +528,8 @@ class StreamingTiffWriter:
             return
         ci, zi, y0 = sel[1].start, sel[2].start, sel[3].start
         rows = np.ascontiguousarray(np.asarray(data)[0, 0, 0])
-        page = ci * self.num_z + zi
+        page = zi if self.rgb else ci * self.num_z + zi
+        ch = ci if self.rgb else 0
         with self._lock:
             st = self.streams[(page, level)]
             if (self.thumbnail and level == self.num_levels - 1
@@ -501,10 +538,12 @@ class StreamingTiffWriter:
                 first = -(-y0 // s) * s  # first global row in stride
                 if first < y0 + rows.shape[0]:
                     picked = rows[first - y0::s, ::s]
-                    self._thumb[first // s:first // s
-                                + picked.shape[0]] = picked
+                    dst = (self._thumb[..., ch] if self.rgb
+                           else self._thumb)
+                    dst[first // s:first // s + picked.shape[0]] = picked
             st.feed(y0, rows,
-                    lambda strip, r: self._flush_tile_row(st, strip, r))
+                    lambda strip, r: self._flush_tile_row(st, strip, r),
+                    ch=ch)
             self.peak_buffer_bytes = max(
                 self.peak_buffer_bytes,
                 sum(s_.buffered_bytes() for s_ in self.streams.values()))
@@ -522,28 +561,26 @@ class StreamingTiffWriter:
                     f"{leftovers[0][0]} at row {leftovers[0][1].next}"
                     f"/{leftovers[0][1].h}")
             first = True
-            for ci in range(self.num_c):
-                for zi in range(self.num_z):
-                    page = ci * self.num_z + zi
-                    sub_offsets = []
-                    for lv in range(1, self.num_levels):
-                        st = self.streams[(page, lv)]
-                        sub_offsets.append(self.core._write_ifd(
-                            self.core._plane_entries_dims(
-                                st.h, st.w, 1, self.dtype,
-                                st.offsets, st.counts, subfile=1),
-                            chain=False))
-                    st0 = self.streams[(page, 0)]
-                    entries = self.core._plane_entries_dims(
-                        st0.h, st0.w, 1, self.dtype,
-                        st0.offsets, st0.counts, subfile=0)
-                    if first:
-                        entries.append(
-                            (T_IMAGEDESCRIPTION, TY_ASCII, self.xml))
-                        first = False
-                    if sub_offsets:
-                        entries.append((T_SUBIFDS, TY_IFD8, sub_offsets))
-                    self.core._write_ifd(entries, chain=True)
+            for page in range(self.num_pages):
+                sub_offsets = []
+                for lv in range(1, self.num_levels):
+                    st = self.streams[(page, lv)]
+                    sub_offsets.append(self.core._write_ifd(
+                        self.core._plane_entries_dims(
+                            st.h, st.w, self.spp, self.dtype,
+                            st.offsets, st.counts, subfile=1),
+                        chain=False))
+                st0 = self.streams[(page, 0)]
+                entries = self.core._plane_entries_dims(
+                    st0.h, st0.w, self.spp, self.dtype,
+                    st0.offsets, st0.counts, subfile=0)
+                if first:
+                    entries.append(
+                        (T_IMAGEDESCRIPTION, TY_ASCII, self.xml))
+                    first = False
+                if sub_offsets:
+                    entries.append((T_SUBIFDS, TY_IFD8, sub_offsets))
+                self.core._write_ifd(entries, chain=True)
             if self.thumbnail and self._thumb is not None \
                     and self._thumb.size:
                 self.core.add_plane(

@@ -1067,16 +1067,9 @@ class StitchPipeline:
 
     def _should_stream(self, t, region: str) -> bool:
         opts = self.options
-        if self.output_format.endswith('.zarr'):
-            fmt_ok = True
-        elif self.output_format.endswith('.tiff'):
-            # monochrome TIFF streams band-wise (StreamingTiffWriter);
-            # RGB page mode needs three channels interleaved per tile
-            # and stays on the in-RAM writer
-            from ..io.ometiff import tiff_rgb_mode
-            fmt_ok = not tiff_rgb_mode(self.acq)
-        else:
-            fmt_ok = False
+        # both zarr and TIFF stream band-wise (StreamingTiffWriter
+        # interleaves RGB channel bands into SamplesPerPixel=3 pages)
+        fmt_ok = self.output_format.endswith(('.zarr', '.tiff'))
         if (opts.streaming == 'off'
                 or opts.mesh_shape is not None
                 or not fmt_ok):
@@ -1106,14 +1099,15 @@ class StitchPipeline:
             timepoint=t, region=region)
         os.makedirs(os.path.dirname(output_path), exist_ok=True)
         if self.output_format.endswith('.tiff'):
-            from ..io.ometiff import region_position_um
+            from ..io.ometiff import region_position_um, tiff_rgb_mode
             from ..io.tiffwriter import StreamingTiffWriter
             writer = StreamingTiffWriter(
                 output_path, (1, acq.num_c, acq.num_z, height, width),
                 self.num_pyramid_levels, acq.dtype,
                 f"{region}_t{t}", acq.dz_um, acq.pixel_size_um,
                 acq.monochrome_channels, acq.monochrome_colors,
-                position_um=region_position_um(acq, t, region))
+                position_um=region_position_um(acq, t, region),
+                rgb=tiff_rgb_mode(acq))
         else:
             writer = MultiscaleWriter(
                 output_path, (1, acq.num_c, acq.num_z, height, width),

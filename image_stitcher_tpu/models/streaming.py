@@ -237,9 +237,16 @@ class StreamingFuser:
             self._process_band(c, z, band0, tasks[key], load_fn, progress,
                                stop_check=stop_check)
 
+        # (z, band0, c) order: all channels of one band row complete
+        # near each other, so an RGB TIFF writer (which interleaves the
+        # three channel bands per page strip) parks at most a few bands
+        # — (c, z, band0) order would buffer channel 0's whole plane
+        # before channel 1 started. Bands write disjoint rows, so
+        # ordering is otherwise free.
+        order = sorted(tasks.keys(), key=lambda k: (k[1], k[2], k[0]))
         pool = ThreadPoolExecutor(self.num_threads)
         try:
-            list(pool.map(run_task, sorted(tasks.keys())))
+            list(pool.map(run_task, order))
         except BaseException:
             cancelled[0] = True
             pool.shutdown(wait=False, cancel_futures=True)
@@ -449,7 +456,10 @@ class DeviceStreamingFuser:
         wt.start()
         fuse_exc = None
         try:
-            for key in sorted(tasks.keys()):
+            # (z, band0, c): see StreamingFuser.run — keeps the RGB TIFF
+            # writer's per-page strip accumulation bounded
+            for key in sorted(tasks.keys(),
+                              key=lambda k: (k[1], k[2], k[0])):
                 if stop_check is not None:
                     stop_check()
                 if write_err:

@@ -305,3 +305,83 @@ def test_streaming_tiff_writer_bounded_and_out_of_order(tmp_path):
                              np.uint16).reshape(256, 256)
         recon[ty_ * 256:(ty_ + 1) * 256, tx_ * 256:(tx_ + 1) * 256] = tile
     np.testing.assert_array_equal(recon[:h1, :w1], lv1_full)
+
+
+def test_streaming_rgb_tiff_matches_inram(tmp_path):
+    """VERDICT r3 #4: RGB (SamplesPerPixel=3) TIFF output streams
+    band-wise — pixel-identical pages and identical OME-XML vs the
+    in-RAM writer, with peak buffering far below one canvas plane."""
+    import glob
+    from test_rgb_e2e import write_rgb_acquisition
+    from image_stitcher_tpu import EngineOptions, stitch
+
+    results = {}
+    for mode in ("off", "on"):
+        acq_dir = str(tmp_path / f"acq_{mode}")
+        write_rgb_acquisition(acq_dir, grid=3, tile=128, overlap=32)
+        stitch(acq_dir, output_format='.ome.tiff',
+               options=EngineOptions(streaming=mode,
+                                     chunks=(1, 1, 1, 64, 64)))
+        out = sorted(glob.glob(acq_dir + "_stitched_*"))[-1]
+        results[mode] = os.path.join(out, "0_stitched",
+                                     "A1_stitched.ome.tiff")
+
+    pages_ram, img_ram = _read_all_pages(results["off"])
+    pages_str, img_str = _read_all_pages(results["on"])
+    assert len(pages_ram) == len(pages_str)
+    assert pages_ram[0].ndim == 3 and pages_ram[0].shape[2] == 3
+    for a, b in zip(pages_ram, pages_str):
+        np.testing.assert_array_equal(a, b)
+    img_ram.seek(0)
+    img_str.seek(0)
+    assert img_ram.tag_v2[270] == img_str.tag_v2[270]
+    assert 'SamplesPerPixel="3"' in img_str.tag_v2[270]
+
+
+def test_streaming_rgb_writer_bounded_and_out_of_order(tmp_path):
+    """RGB strips flush only when all three channel bands have their
+    rows — fed out of order and channel-interleaved, close() must still
+    assemble interleaved pages with bounded buffering."""
+    from image_stitcher_tpu.io.tiffwriter import StreamingTiffWriter
+    from image_stitcher_tpu.ops.host_fuse import host_downsample
+
+    rng = np.random.default_rng(9)
+    h, w, band = 768, 520, 256
+    data = rng.integers(0, 255, (3, 1, h, w)).astype(np.uint8)
+    path = str(tmp_path / "rgb_stream.ome.tiff")
+    wr = StreamingTiffWriter(path, (1, 3, 1, h, w), 2, np.uint8,
+                             "img", 1.0, 0.5,
+                             ["BF_R", "BF_G", "BF_B"],
+                             [0xFF0000, 0x00FF00, 0x0000FF], rgb=True)
+    # interleave channels per band but out of band order, with one
+    # channel lagging a full band
+    feeds = []
+    for b in range(h // band):
+        for ci in range(3):
+            feeds.append((ci, b))
+    feeds = [feeds[i] for i in (1, 0, 4, 2, 3, 7, 5, 8, 6)]
+    for ci, b in feeds:
+        band0 = b * band
+        buf = data[ci, 0, band0:band0 + band]
+        wr.write_level(0, buf[None, None, None],
+                       sel=(slice(0, 1), slice(ci, ci + 1), slice(0, 1),
+                            slice(band0, band0 + band), slice(0, w)))
+        lv1 = host_downsample(buf, 'nearest')
+        wr.write_level(1, lv1[None, None, None],
+                       sel=(slice(0, 1), slice(ci, ci + 1), slice(0, 1),
+                            slice(band0 >> 1, (band0 >> 1) + lv1.shape[0]),
+                            slice(0, lv1.shape[1])))
+    peak = wr.peak_buffer_bytes
+    wr.close()
+    # parking holds a few bands x 3 channels, never a canvas plane x 3
+    assert peak < 3 * h * w  # one full RGB plane would be 3*h*w bytes
+    pages, img = _read_all_pages(path)
+    np.testing.assert_array_equal(pages[0],
+                                  np.moveaxis(data[:, 0], 0, -1))
+    # thumbnail is RGB too
+    img.seek(1)
+    th = np.asarray(img)
+    assert th.ndim == 3 and th.shape[2] == 3
+    lv1_full = np.stack([host_downsample(data[ci, 0], 'nearest')
+                         for ci in range(3)], axis=-1)
+    np.testing.assert_array_equal(th, lv1_full[::1, ::1])

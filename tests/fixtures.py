@@ -109,6 +109,7 @@ def write_synthetic_acquisition(
     acq_params_overrides: Optional[dict] = None,
     gt_gamma: float = 1.0,
     backlash_x: int = 0,
+    rev_step_extra_x: int = 0,
 ) -> SyntheticAcquisition:
     """Write a synthetic acquisition folder and return its description.
 
@@ -116,7 +117,11 @@ def write_synthetic_acquisition(
     amount (simulating stage error, for registration tests).
     ``backlash_x`` offsets every odd row's tiles by that many pixels in x
     (simulating bidirectional S-Pattern stage backlash: reverse-direction
-    rows land systematically displaced). ``vignette``
+    rows land systematically displaced — NOT expressible by the
+    reference's grid model, whose h_shift_rev only changes the
+    per-column step). ``rev_step_extra_x`` instead widens odd rows'
+    WITHIN-row tile spacing by that many pixels (reverse-direction
+    overlap error — exactly what h_shift_rev expresses). ``vignette``
     multiplies every tile (simulating uneven illumination, for flatfield
     tests). Stage coordinates in coordinates.csv always claim the ideal
     grid spacing, like a real microscope would.
@@ -134,7 +139,8 @@ def write_synthetic_acquisition(
     step_y = tile_h - overlap
     margin = 2 * max(jitter, 0) + abs(backlash_x) + 8
     gt_h = step_y * (grid_rows - 1) + tile_h + 2 * margin
-    gt_w = step_x * (grid_cols - 1) + tile_w + 2 * margin
+    gt_w = (step_x * (grid_cols - 1) + tile_w + 2 * margin
+            + max(0, rev_step_extra_x) * (grid_cols - 1))
     gt = make_ground_truth(gt_h, gt_w, seed=seed, dtype=dtype, gamma=gt_gamma)
 
     os.makedirs(folder, exist_ok=True)
@@ -162,8 +168,10 @@ def write_synthetic_acquisition(
                     jy = int(rng.integers(-jitter, jitter + 1)) if jitter else 0
                     jx = int(rng.integers(-jitter, jitter + 1)) if jitter else 0
                     bx = backlash_x if (r % 2 == 1) else 0
+                    sx = (step_x + rev_step_extra_x if (r % 2 == 1)
+                          else step_x)
                     y0 = margin + r * step_y + jy
-                    x0 = margin + c * step_x + jx + bx
+                    x0 = margin + c * sx + jx + bx
                     acq.tile_origins[(region, t, r, c)] = (y0, x0)
                     for z in range(num_z):
                         # stage coords claim the ideal grid (mm), 1 px = pixel_size_um

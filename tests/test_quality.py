@@ -1,8 +1,19 @@
-"""Quantitative reconstruction quality: upgrades must beat parity modes.
+"""Ground-truth reconstruction quality suite (VERDICT r3 #5).
 
-On a jittered, noisy acquisition (realistic stage error), the global
-position solve must reconstruct the ground truth with lower error than
-the reference's grid model — measured, not asserted by construction.
+The synthetic fixture knows every tile's true origin, so these tests
+assert NUMERIC accuracy bounds — canvas RMSE vs ground truth, solved
+position error in px, measured shift accuracy — across
+{overwrite, feather} x {center, all-pairs, global} x scan patterns and
+subpixel placement, not just plumbing. A quality table artifact is
+written to tests/artifacts/quality_table.md.
+
+Calibration context (this fixture, 5x5 grid, +-5 px jitter, 1% noise,
+noise floor = 655 counts): the reference's grid model (center or
+all-pairs scope) cannot express per-tile jitter, landing at RMSE
+4200-5700; the global solve recovers exact integer positions and lands
+at the noise floor. Whole-row backlash is likewise inexpressible by the
+grid model (h_shift_rev only changes the per-column step — reference
+stitcher.py:487-496 semantics), and is recovered by the global solve.
 """
 
 import glob
@@ -12,8 +23,11 @@ import numpy as np
 import pytest
 
 from fixtures import write_synthetic_acquisition
-from image_stitcher_tpu import EngineOptions, stitch
+from image_stitcher_tpu import EngineOptions, StitchingParameters, stitch
 from image_stitcher_tpu.io.zarr_store import open_zarr_array
+from image_stitcher_tpu.models.pipeline import StitchPipeline
+
+NOISE_FLOOR = 0.01 * 65535  # injected noise sigma in counts
 
 
 def _reconstruction_rmse(desc, data, search: int = 24):
@@ -44,56 +58,203 @@ def _reconstruction_rmse(desc, data, search: int = 24):
 
 
 @pytest.fixture(scope="module")
-def jittered(tmp_path_factory):
+def quality_runs(tmp_path_factory):
+    """Run every (scope, blend) config ONCE on one jittered acquisition;
+    tests assert bounds on the shared results."""
     base = tmp_path_factory.mktemp("quality")
-
-    def make(name):
-        acq_dir = str(base / name)
-        write_synthetic_acquisition(
-            acq_dir, grid_cols=5, grid_rows=5, tile_w=256, tile_h=256,
-            overlap=64, jitter=5, noise=0.01, seed=21,
-            acq_params_overrides={"pixel_binning": 2})
-        return acq_dir
-
-    return make
-
-
-def _run(acq_dir, **opts):
-    pipe = stitch(acq_dir, use_registration=True,
-                  options=EngineOptions(**opts))
-    out = sorted(glob.glob(acq_dir + "_stitched_*"))[-1]
-    data = np.asarray(open_zarr_array(os.path.join(
-        out, "0_stitched", "A1_stitched.ome.zarr", "0")).read().result())
-    return pipe, data
-
-
-def test_global_beats_grid_model_quantitatively(jittered):
-    import sys
-    sys.path.insert(0, "tests")
-    from fixtures import SyntheticAcquisition  # noqa: F401
-
-    acq_center = jittered("center")
-    acq_global = jittered("global")
-
-    # rebuild descriptors deterministically (same seed/params)
-    from fixtures import write_synthetic_acquisition
-    import tempfile
-    desc_dir = tempfile.mkdtemp()
+    acq_dir = str(base / "jit")
     desc = write_synthetic_acquisition(
-        desc_dir, grid_cols=5, grid_rows=5, tile_w=256, tile_h=256,
+        acq_dir, grid_cols=5, grid_rows=5, tile_w=256, tile_h=256,
         overlap=64, jitter=5, noise=0.01, seed=21,
         acq_params_overrides={"pixel_binning": 2})
 
-    _, data_center = _run(acq_center, registration_scope='center')
-    _, data_global = _run(acq_global, registration_scope='global',
-                          blend_method='feather')
+    results = {}
+    for scope in ("center", "all-pairs", "global"):
+        for blend in ("overwrite", "feather"):
+            pipe = stitch(acq_dir, use_registration=True,
+                          options=EngineOptions(registration_scope=scope,
+                                                blend_method=blend))
+            out = sorted(glob.glob(acq_dir + "_stitched_*"))[-1]
+            data = np.asarray(open_zarr_array(os.path.join(
+                out, "0_stitched", "A1_stitched.ome.zarr",
+                "0")).read().result())
+            results[(scope, blend)] = {
+                "rmse": _reconstruction_rmse(desc, data),
+                "pipe": pipe,
+            }
+            import shutil
+            shutil.rmtree(out, ignore_errors=True)
+    # subpixel placement rides the global solve
+    pipe = stitch(acq_dir, use_registration=True,
+                  options=EngineOptions(registration_scope='global',
+                                        blend_method='feather',
+                                        subpixel_placement=True))
+    out = sorted(glob.glob(acq_dir + "_stitched_*"))[-1]
+    data = np.asarray(open_zarr_array(os.path.join(
+        out, "0_stitched", "A1_stitched.ome.zarr", "0")).read().result())
+    results[("global", "feather+subpixel")] = {
+        "rmse": _reconstruction_rmse(desc, data), "pipe": pipe}
+    import shutil
+    shutil.rmtree(out, ignore_errors=True)
+    return desc, results
 
-    rmse_center = _reconstruction_rmse(desc, data_center)
-    rmse_global = _reconstruction_rmse(desc, data_global)
 
-    # the grid model cannot express +-5 px per-tile jitter; the global
-    # solve should cut reconstruction error by a large factor
+# RMSE bounds: grid models carry the irreducible jitter error (measured
+# 4165-5708 on this fixture); the global solve must land near the noise
+# floor. Bounds carry ~1.6x headroom over measured values.
+BOUNDS = {
+    ("center", "overwrite"): 9000.0,
+    ("center", "feather"): 9000.0,
+    ("all-pairs", "overwrite"): 7000.0,
+    ("all-pairs", "feather"): 7000.0,
+    ("global", "overwrite"): 3 * NOISE_FLOOR,
+    ("global", "feather"): 3 * NOISE_FLOOR,
+}
+
+
+@pytest.mark.parametrize("scope,blend", sorted(BOUNDS))
+def test_reconstruction_rmse_bounds(quality_runs, scope, blend):
+    """Canvas RMSE vs ground truth within the mode's calibrated bound."""
+    desc, results = quality_runs
+    rmse = results[(scope, blend)]["rmse"]
+    assert rmse < BOUNDS[(scope, blend)], (scope, blend, rmse)
+
+
+def test_global_positions_match_ground_truth(quality_runs):
+    """The global solve must recover every tile's true origin to
+    sub-pixel accuracy (modulo one global translation)."""
+    desc, results = quality_runs
+    pipe = results[("global", "overwrite")]["pipe"]
+    gp = pipe.global_positions_float["A1"]
+    assert len(gp) == 25  # every tile constrained
+    errs = []
+    for (r, c), (y, x) in gp.items():
+        ty, tx = desc.tile_origins[("A1", 0, r, c)]
+        errs.append((y - ty, x - tx))
+    errs = np.asarray(errs)
+    errs -= errs.mean(axis=0)  # mod global translation
+    assert np.abs(errs).max() <= 0.5, errs
+    assert np.sqrt((errs ** 2).mean()) <= 0.25
+
+
+def test_global_solve_beats_grid_model(quality_runs):
+    """The upgrade must pay quantitatively: the global solve cuts
+    reconstruction error by >=65% vs the reference's grid model AND
+    lands within 3x the injected noise floor."""
+    desc, results = quality_runs
+    rmse_center = results[("center", "overwrite")]["rmse"]
+    rmse_global = results[("global", "feather")]["rmse"]
     assert rmse_global < rmse_center * 0.35, (rmse_center, rmse_global)
-    # and in absolute terms stay near the injected noise floor
-    noise_floor = 0.01 * 65535
-    assert rmse_global < 3 * noise_floor, (rmse_global, noise_floor)
+    assert rmse_global < 3 * NOISE_FLOOR, (rmse_global, NOISE_FLOOR)
+
+
+def test_feather_no_worse_than_overwrite_on_misalignment(quality_runs):
+    """Feathering must never increase reconstruction error (it hides
+    residual misalignment at seams); allow 2% slack for ramp rounding."""
+    desc, results = quality_runs
+    for scope in ("center", "all-pairs", "global"):
+        ow = results[(scope, "overwrite")]["rmse"]
+        fe = results[(scope, "feather")]["rmse"]
+        assert fe <= ow * 1.02, (scope, ow, fe)
+
+
+def test_subpixel_placement_no_worse(quality_runs):
+    """Integer-jitter fixture: subpixel placement must reproduce the
+    integer solve (its residuals are ~0), never degrade it."""
+    desc, results = quality_runs
+    base = results[("global", "feather")]["rmse"]
+    sub = results[("global", "feather+subpixel")]["rmse"]
+    assert sub <= base * 1.05, (base, sub)
+    assert sub < 3 * NOISE_FLOOR
+
+
+def test_spattern_rev_shift_measured_exactly(tmp_path):
+    """Reverse-row spacing error (what h_shift_rev exists for,
+    reference stitcher.py:487-496): the S-Pattern center measurement
+    must recover BOTH row spacings to <=1 px, assigned to the right
+    row parity."""
+    acq = str(tmp_path / "rev")
+    tile_w, overlap, extra = 256, 64, 6
+    write_synthetic_acquisition(
+        acq, grid_cols=4, grid_rows=4, tile_w=tile_w, tile_h=256,
+        overlap=overlap, jitter=0, noise=0.005, seed=44,
+        rev_step_extra_x=extra,
+        acq_params_overrides={"pixel_binning": 2})
+    params = StitchingParameters(input_folder=acq, use_registration=True,
+                                 scan_pattern="S-Pattern")
+    pipe = StitchPipeline(params, EngineOptions(registration_scope='center'))
+    pipe.acq = None
+    from image_stitcher_tpu.io.acquisition import scan_acquisition
+    pipe.acq = scan_acquisition(acq)
+    pipe.calculate_shifts(0, "A1")
+    s = pipe.shifts
+    step = tile_w - overlap                      # even (forward) rows
+    step_rev = step + extra                      # odd (reverse) rows
+    # h was measured on the center row pair (row 1, odd), rev on row 2
+    spacing_odd = tile_w + s.h_shift_for_row(1)[1]
+    spacing_even = tile_w + s.h_shift_for_row(2)[1]
+    assert abs(spacing_odd - step_rev) <= 1, (spacing_odd, step_rev)
+    assert abs(spacing_even - step) <= 1, (spacing_even, step)
+
+
+def test_backlash_global_recovers_gridmodel_cannot(tmp_path):
+    """Whole-row S-Pattern backlash: inexpressible by the reference's
+    grid model (center scope stays >5x the noise floor — a pinned
+    limitation, identical math to stitcher.py:656-676), recovered to
+    <3x the noise floor by the global solve."""
+    floor = 0.005 * 65535
+    acq = str(tmp_path / "bl")
+    desc = write_synthetic_acquisition(
+        acq, grid_cols=4, grid_rows=4, tile_w=256, tile_h=256,
+        overlap=64, jitter=0, noise=0.005, seed=33, backlash_x=6,
+        acq_params_overrides={"pixel_binning": 2})
+    rmses = {}
+    for scope in ("center", "global"):
+        params = StitchingParameters(input_folder=acq,
+                                     use_registration=True,
+                                     scan_pattern="S-Pattern")
+        pipe = StitchPipeline(params, EngineOptions(
+            registration_scope=scope, blend_method='feather'))
+        pipe.run()
+        data = np.asarray(open_zarr_array(os.path.join(
+            pipe.output_folder, "0_stitched", "A1_stitched.ome.zarr",
+            "0")).read().result())
+        rmses[scope] = _reconstruction_rmse(desc, data)
+        import shutil
+        shutil.rmtree(pipe.output_folder, ignore_errors=True)
+    assert rmses["global"] < 3 * floor, rmses
+    assert rmses["center"] > 5 * floor, rmses  # grid-model limit, pinned
+
+
+def test_write_quality_table(quality_runs):
+    """Emit the quality table artifact (runs last in this module)."""
+    desc, results = quality_runs
+    art_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "artifacts")
+    os.makedirs(art_dir, exist_ok=True)
+    lines = [
+        "# Reconstruction quality vs ground truth",
+        "",
+        "Fixture: 5x5 grid, 256^2 tiles, 64 px overlap, +-5 px integer",
+        f"jitter, 1% noise (floor = {NOISE_FLOOR:.0f} counts).",
+        "",
+        "| scope | blend | canvas RMSE | bound |",
+        "|---|---|---|---|",
+    ]
+    for (scope, blend), r in sorted(results.items()):
+        bound = BOUNDS.get((scope, blend))
+        lines.append(f"| {scope} | {blend} | {r['rmse']:.1f} | "
+                     f"{bound:.0f} |" if bound is not None else
+                     f"| {scope} | {blend} | {r['rmse']:.1f} | - |")
+    pipe = results[("global", "overwrite")]["pipe"]
+    gp = pipe.global_positions_float["A1"]
+    errs = np.asarray([(y - desc.tile_origins[("A1", 0, r, c)][0],
+                        x - desc.tile_origins[("A1", 0, r, c)][1])
+                       for (r, c), (y, x) in gp.items()])
+    errs -= errs.mean(axis=0)
+    lines += ["",
+              f"Global solve position error: max {np.abs(errs).max():.2f}"
+              f" px, RMS {np.sqrt((errs ** 2).mean()):.2f} px"
+              " (mod global translation)."]
+    with open(os.path.join(art_dir, "quality_table.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")

@@ -75,6 +75,33 @@ def cached_acquisition() -> str:
     return acq_dir
 
 
+def prewarm(acq_dir):
+    """Pay every one-time cold-run cost BEFORE the timed section, so
+    the driver's fresh-machine capture measures the pipeline, not the
+    machine's first-touch state (VERDICT r3 #1):
+    - native .so build (~1-2 s of gcc on first run per CPU),
+    - fixture page cache (a cold 2.4 GB read costs ~12 s at disk speed,
+      spread invisibly across rep 0's decode/place otherwise; the
+      baseline benefits identically, keeping the comparison fair).
+    """
+    t0 = time.perf_counter()
+    from image_stitcher_tpu.native import get_lib
+    lib_ok = get_lib() is not None
+    total = 0
+    buf = bytearray(1 << 20)
+    for root, _, names in os.walk(acq_dir):
+        for n in names:
+            try:
+                with open(os.path.join(root, n), 'rb', buffering=0) as f:
+                    while f.readinto(buf):
+                        pass
+                total += 1
+            except OSError:
+                pass
+    log(f"prewarm: native={'ok' if lib_ok else 'absent'}, "
+        f"{total} files paged in ({time.perf_counter() - t0:.1f}s)")
+
+
 def stage_options(device_registration=False, device_flatfield=False):
     """EngineOptions for a headline rep with per-stage backends."""
     from image_stitcher_tpu import EngineOptions
@@ -620,10 +647,14 @@ def main():
     # by its best run so both sides get comparable weather. The budget
     # must span several weather cycles — a 6-minute budget has recorded
     # a single storm-swept rep as the round's headline number.
-    repeats = int(os.environ.get("BENCH_REPEATS", "6"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "10"))
     time_budget = float(os.environ.get("BENCH_TIME_BUDGET", "900"))
-    bench_t0 = time.perf_counter()
     acq_dir = cached_acquisition()
+    prewarm(acq_dir)
+    # the rep budget starts AFTER fixture build + prewarm: on a fresh
+    # machine the fixture generation alone has cost minutes of a 900 s
+    # budget, squeezing the reps that actually produce the number
+    bench_t0 = time.perf_counter()
     try:
         n_tiles = GRID * GRID * len(CHANNELS)
         ours_best, base_best = None, None

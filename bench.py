@@ -35,6 +35,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 GRID = int(os.environ.get("BENCH_GRID", "10"))
 TILE = int(os.environ.get("BENCH_TILE", "2048"))
+# 'raw' = full-entropy texture (every compressor loses; the auto probe
+# stores raw chunks). 'compressible' zeroes 6 low bits — entropy like
+# real microscopy — so the blosc-lz4 arm (fewer disk bytes) is
+# exercised end-to-end (VERDICT r3 #8).
+CONTENT = os.environ.get("BENCH_CONTENT", "raw")
 CHANNELS = ["Fluorescence 405 nm Ex", "Fluorescence 488 nm Ex",
             "Fluorescence 561 nm Ex"]
 OVERLAP = 205  # ~10% overlap
@@ -54,7 +59,8 @@ def build_acquisition(root):
         root, grid_cols=GRID, grid_rows=GRID, tile_w=TILE, tile_h=TILE,
         overlap=OVERLAP, channels=CHANNELS,
         acq_params_overrides={"pixel_binning": 2},
-        gt_gamma=3.0)  # microscopy-like histogram: dark bg, sparse signal
+        gt_gamma=3.0,  # microscopy-like histogram: dark bg, sparse signal
+        gt_quantize_bits=6 if CONTENT == "compressible" else 0)
 
 
 def cached_acquisition() -> str:
@@ -62,7 +68,8 @@ def cached_acquisition() -> str:
     # v3: the >8192 px ground-truth generator changed (pyramid-
     # approximated wide octaves); the tag pins fixture content so
     # captures never silently mix texture vintages across machines
-    root = f"/tmp/bench_fixture_v3_g{GRID}_t{TILE}"
+    tag = "" if CONTENT == "raw" else f"_{CONTENT}"
+    root = f"/tmp/bench_fixture_v3_g{GRID}_t{TILE}{tag}"
     acq_dir = os.path.join(root, "acq")
     marker = os.path.join(root, ".complete")
     if os.path.exists(marker):

@@ -31,13 +31,19 @@ DEFAULT_ACQ_PARAMS = {
 
 
 def make_ground_truth(height: int, width: int, seed: int = 0,
-                      dtype=np.uint16, gamma: float = 1.0) -> np.ndarray:
+                      dtype=np.uint16, gamma: float = 1.0,
+                      quantize_bits: int = 0) -> np.ndarray:
     """Smooth-ish random texture with structure at several scales, so
     phase correlation has signal everywhere.
 
     ``gamma`` > 1 skews the histogram dark (microscopy-like: dim
     background with sparse bright structure, compressible like real
     fluorescence data); gamma=1 keeps the full-range texture.
+    ``quantize_bits`` zeroes that many low bits — real microscopy
+    concentrates entropy in a few noise bits over a dark background, so
+    quantized texture compresses like real data (the raw per-pixel
+    noise here otherwise defeats every compressor), letting benchmarks
+    exercise the compressed-chunk write path.
     """
     rng = np.random.default_rng(seed)
     img = rng.random((height, width)).astype(np.float32)
@@ -67,7 +73,10 @@ def make_ground_truth(height: int, width: int, seed: int = 0,
     if gamma != 1.0:
         acc = acc ** gamma
     maxval = np.iinfo(dtype).max if np.issubdtype(dtype, np.integer) else 1.0
-    return (acc * maxval * 0.8 + maxval * 0.1).astype(dtype)
+    out = (acc * maxval * 0.8 + maxval * 0.1).astype(dtype)
+    if quantize_bits and np.issubdtype(dtype, np.integer):
+        out &= np.array(~((1 << quantize_bits) - 1), dtype)
+    return out
 
 
 @dataclass
@@ -108,6 +117,7 @@ def write_synthetic_acquisition(
     ext: str = "tiff",
     acq_params_overrides: Optional[dict] = None,
     gt_gamma: float = 1.0,
+    gt_quantize_bits: int = 0,
     backlash_x: int = 0,
     rev_step_extra_x: int = 0,
 ) -> SyntheticAcquisition:
@@ -141,7 +151,8 @@ def write_synthetic_acquisition(
     gt_h = step_y * (grid_rows - 1) + tile_h + 2 * margin
     gt_w = (step_x * (grid_cols - 1) + tile_w + 2 * margin
             + max(0, rev_step_extra_x) * (grid_cols - 1))
-    gt = make_ground_truth(gt_h, gt_w, seed=seed, dtype=dtype, gamma=gt_gamma)
+    gt = make_ground_truth(gt_h, gt_w, seed=seed, dtype=dtype,
+                           gamma=gt_gamma, quantize_bits=gt_quantize_bits)
 
     os.makedirs(folder, exist_ok=True)
     with open(os.path.join(folder, "acquisition parameters.json"), "w") as f:

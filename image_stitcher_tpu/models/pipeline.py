@@ -1115,7 +1115,8 @@ class StitchPipeline:
                 f"{region}_t{t}", acq.dz_um, acq.pixel_size_um,
                 acq.monochrome_channels, acq.monochrome_colors,
                 cname=(cc := self.resolved_compressor())[0], clevel=cc[1],
-                shuffle=cc[2], zarr_format=opts.zarr_format)
+                shuffle=cc[2], zarr_format=opts.zarr_format,
+                direct_io=opts.direct_io)
         backend = self._select_fusion_backend(height, width, len(jobs))
         ff = self._flatfield_recip_np() if self.flatfields else None
         if backend == 'device':
@@ -1207,7 +1208,8 @@ class StitchPipeline:
             acq.dtype, opts.chunks, f"{region}_t{t}", acq.dz_um,
             acq.pixel_size_um, acq.monochrome_channels, acq.monochrome_colors,
             cname=(cc := self.resolved_compressor())[0], clevel=cc[1],
-            shuffle=cc[2], zarr_format=opts.zarr_format)
+            shuffle=cc[2], zarr_format=opts.zarr_format,
+            direct_io=opts.direct_io)
         for lv, level in enumerate(pyr_ops.iter_levels(
                 canvas, num_levels, opts.pyramid_downsample)):
             writer.write_level(lv, np.asarray(level)[None])

@@ -488,3 +488,95 @@ def test_v2_mixing_gate_disables_raw_after_fallback(tmp_path):
                  "kvstore": {"driver": "file", "path": store + '/0'}}
                 ).result()
     assert (a.read().result() == full).all()
+
+
+# ------------------------------------------------------------ O_DIRECT
+
+def _direct_supported(tmp_path):
+    import os
+    try:
+        fd = os.open(str(tmp_path / ".dprobe"),
+                     os.O_WRONLY | os.O_CREAT | os.O_DIRECT, 0o644)
+        os.close(fd)
+        os.unlink(str(tmp_path / ".dprobe"))
+        return True
+    except OSError:
+        return False
+
+
+def test_direct_io_byte_parity_v2(tmp_path, rng):
+    """O_DIRECT-written chunk files must be byte-identical to the
+    buffered pwritev path (same bodies, padding, sparse semantics)."""
+    if not _direct_supported(tmp_path):
+        pytest.skip("O_DIRECT unsupported on this filesystem")
+    shape, chunks = (1, 1, 1, 700, 4096), (1, 1, 1, 256, 2048)
+    data1 = rng.integers(0, 65535, (1, 1, 1, 256, 4096), dtype=np.uint16)
+    data2 = rng.integers(0, 65535, (1, 1, 1, 188, 4096), dtype=np.uint16)
+    sels = [
+        (slice(0, 1), slice(0, 1), slice(0, 1), slice(0, 256),
+         slice(0, 4096)),
+        (slice(0, 1), slice(0, 1), slice(0, 1), slice(512, 700),
+         slice(0, 4096)),
+    ]
+    dirs = {}
+    for mode in ("off", "on"):
+        d = str(tmp_path / f"v2_{mode}")
+        create_zarr_array(d, shape, chunks, np.uint16, cname=None)
+        w = RawV2SlabWriter(d, shape, chunks, np.uint16, direct_io=mode)
+        assert w.ok
+        if mode == "on":
+            assert w.direct  # pitch 4096 aligns; fs supports O_DIRECT
+        for sel, data in zip(sels, (data1, data2)):
+            assert w.try_write(sel, data)
+        if mode == "on" and not w.direct:
+            pytest.skip("O_DIRECT fell back mid-run")
+        dirs[mode] = d
+    _assert_file_parity(dirs["off"], dirs["on"])
+
+
+def test_direct_io_byte_parity_v3(tmp_path, rng):
+    if not _direct_supported(tmp_path):
+        pytest.skip("O_DIRECT unsupported on this filesystem")
+    from image_stitcher_tpu.io.raw_zarr import RawV3ShardWriter
+    from image_stitcher_tpu.io.zarr_store import (
+        compute_shard_shape, create_zarr3_sharded_array)
+    shape, chunks = (1, 1, 1, 512, 4096), (1, 1, 1, 256, 2048)
+    cl, sh = compute_shard_shape(shape, chunks, 2)
+    data = rng.integers(0, 65535, (1, 1, 1, 512, 4096), dtype=np.uint16)
+    sel = tuple(slice(0, s) for s in shape)
+    dirs = {}
+    for mode in ("off", "on"):
+        d = str(tmp_path / f"v3_{mode}")
+        create_zarr3_sharded_array(d, shape, chunks, np.uint16,
+                                   shard_multiple=2, cname=None)
+        w = RawV3ShardWriter(d, shape, cl, sh, np.uint16, direct_io=mode)
+        assert w.ok
+        assert w.try_write(sel, data)
+        dirs[mode] = d
+    _assert_file_parity(dirs["off"], dirs["on"])
+
+
+def test_direct_io_misaligned_pitch_stays_buffered(tmp_path):
+    """Chunk widths whose row pitch isn't block-aligned must never take
+    the O_DIRECT path, even when forced on."""
+    shape, chunks = (1, 1, 1, 256, 1000), (1, 1, 1, 128, 1000)
+    d = str(tmp_path / "mis")
+    create_zarr_array(d, shape, chunks, np.uint16, cname=None)
+    w = RawV2SlabWriter(d, shape, chunks, np.uint16, direct_io="on")
+    assert w.ok and not w.direct  # pitch 2000 % 4096 != 0
+
+
+def test_direct_io_probe_cached(tmp_path, monkeypatch):
+    """The buffered-vs-direct probe runs once and lands in the disk
+    cache; unsupported filesystems record that and resolve to off."""
+    from image_stitcher_tpu.io import directio
+    monkeypatch.setattr(directio, "_cache_path",
+                        lambda: str(tmp_path / "cache.json"))
+    monkeypatch.setattr(directio, "_PROBE_MB", 32)
+    directio._mem_cache.clear()
+    e1 = directio.probe_direct_io(str(tmp_path), force=True)
+    assert e1 is not None and "direct_mbps" in e1
+    # second call: served from cache (no new probe files, same entry)
+    e2 = directio.probe_direct_io(str(tmp_path))
+    assert e2 == e1
+    directio._mem_cache.clear()  # leave no cross-test state

@@ -118,6 +118,8 @@ def create_options(args: argparse.Namespace) -> EngineOptions:
 
 def main(argv=None) -> int:
     args = parse_args(argv)
+    from .utils.jaxenv import pin_jax_platform
+    pin_jax_platform()
     try:
         params = create_params(args)
         options = create_options(args)

@@ -386,6 +386,8 @@ class StitchingGUI(QWidget):
 
 
 def main() -> int:
+    from .utils.jaxenv import pin_jax_platform
+    pin_jax_platform()
     if not HAVE_QT:
         print("PyQt5 not available; run the CLI instead:", file=sys.stderr)
         print("  python -m image_stitcher_tpu.cli -i <folder>", file=sys.stderr)

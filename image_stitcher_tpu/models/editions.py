@@ -63,16 +63,13 @@ def _child_main(params, options, progress_queue, status_queue,
                 complete_queue, stop_event, resume=False):
     """Child-process entry: queue-protocol reporter, drain-clean shutdown
     (parity with stitcher_process.py:203-229)."""
-    import os
-    platform = os.environ.get("IMAGE_STITCHER_JAX_PLATFORM")
-    if platform:
-        # pin the child's backend (spawn children don't inherit the
-        # parent's jax.config; some TPU plugins override JAX_PLATFORMS,
-        # so the config API is the only reliable knob). The test suite
-        # sets this to 'cpu' so spawned children never touch — or wait
-        # minutes for — a tunneled TPU.
-        import jax
-        jax.config.update("jax_platforms", platform)
+    # pin the child's backend (spawn children don't inherit the
+    # parent's jax.config; some TPU plugins override JAX_PLATFORMS,
+    # so the config API is the only reliable knob). The test suite
+    # sets IMAGE_STITCHER_JAX_PLATFORM to 'cpu' so spawned children
+    # never touch — or wait minutes for — a tunneled TPU.
+    from ..utils.jaxenv import pin_jax_platform
+    pin_jax_platform()
     from ..utils.progress import ProgressReporter, StitchCancelled
     reporter = ProgressReporter.from_queues(progress_queue, status_queue,
                                             complete_queue)

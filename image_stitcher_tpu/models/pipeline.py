@@ -49,6 +49,11 @@ class StitchPipeline:
                  options: Optional[EngineOptions] = None,
                  reporter: Optional[ProgressReporter] = None,
                  stop_event=None, resume: bool = False):
+        # honor env-requested platforms before anything can init a
+        # backend — the axon plugin ignores JAX_PLATFORMS and a dead
+        # tunnel stalls jax init itself (utils/jaxenv.py)
+        from ..utils.jaxenv import pin_jax_platform
+        pin_jax_platform()
         params.validate()
         self.params = params
         self.options = options or EngineOptions()

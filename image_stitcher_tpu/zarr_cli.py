@@ -44,6 +44,8 @@ def parse_args(argv=None):
 
 def main(argv=None) -> int:
     args = parse_args(argv)
+    from .utils.jaxenv import pin_jax_platform
+    pin_jax_platform()
     params = StitchingParameters(
         input_folder=args.input_folder,
         use_registration=args.use_registration,

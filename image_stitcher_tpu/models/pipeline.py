@@ -112,6 +112,9 @@ class StitchPipeline:
         self.flatfields: Dict[int, np.ndarray] = {}
         self._ff_recip_np_cache: Optional[np.ndarray] = None
         self._ff_recip_dev_cache = None
+        self._ff_gate = None        # per-channel gate for overlapped fits
+        self._ff_future = None      # in-flight overlapped fit, if any
+        self._manifest = None
         self.shifts = geo.RegistrationShifts(scan_pattern=params.scan_pattern)
         self.num_pyramid_levels = 1
         self.registration_channel = params.registration_channel
@@ -253,6 +256,8 @@ class StitchPipeline:
 
         def record(idx, field):
             self.flatfields[idx] = field
+            if self._ff_gate is not None:
+                self._ff_gate.publish(idx, field)
             done[0] += 1
             self.reporter.update_progress(done[0], acq.num_c)
 
@@ -387,6 +392,25 @@ class StitchPipeline:
                     f"({detail}) — blosc-lz4-5", False)
         return self._compressor_choice
 
+    def _await_ff(self):
+        """Join the overlapped flatfield fit (no-op when none is in
+        flight) and surface its error. Every consumer of the COMPLETE
+        field set funnels through here; only the per-channel-gated
+        streaming fuser may read earlier. Persistence happens on the
+        fit thread itself (atomic rename)."""
+        fut = self._ff_future
+        if fut is None:
+            return
+        fut.result()  # a failed fit re-raises on every later call too
+        self._ff_future = None
+
+    def _ff_recip_or_none(self) -> Optional[np.ndarray]:
+        """Complete reciprocal stack, or None when nothing was fitted
+        (checking ``self.flatfields`` before the overlapped fit joins
+        would race the fit thread filling it)."""
+        self._await_ff()
+        return self._flatfield_recip_np() if self.flatfields else None
+
     def _flatfield_recip_np(self) -> np.ndarray:
         """(C, th, tw) f32 RECIPROCAL flatfield stack; ones where no
         field was fitted. Computed once on the host so every backend
@@ -400,6 +424,7 @@ class StitchPipeline:
         device path, 100 identical H2D uploads) is pure waste."""
         if self._ff_recip_np_cache is not None:
             return self._ff_recip_np_cache
+        self._await_ff()  # the full stack needs every channel's fit
         acq = self.acq
         ff = np.ones((acq.num_c, acq.input_height, acq.input_width), np.float32)
         for idx, field in self.flatfields.items():
@@ -994,7 +1019,7 @@ class StitchPipeline:
 
         if backend == 'host':
             from ..ops.host_fuse import HostCanvas
-            ff = self._flatfield_recip_np() if self.flatfields else None
+            ff = self._ff_recip_or_none()
             hc = HostCanvas(acq.num_c, acq.num_z, height, width, acq.dtype,
                             num_threads=opts.resolved_fusion_threads(),
                             ff_recip=ff, blend_method=opts.blend_method,
@@ -1029,6 +1054,7 @@ class StitchPipeline:
         else:
             pad_shape = fuse_ops.padded_canvas_shape(acq.num_c, acq.num_z,
                                                      height, width, th, tw)
+        self._await_ff()
         ff_stack = self._flatfield_recip() if self.flatfields else None
 
         if use_feather:
@@ -1123,8 +1149,14 @@ class StitchPipeline:
                 shuffle=cc[2], zarr_format=opts.zarr_format,
                 direct_io=opts.direct_io)
         backend = self._select_fusion_backend(height, width, len(jobs))
-        ff = self._flatfield_recip_np() if self.flatfields else None
+        # host streaming may start before the overlapped fit finishes:
+        # each band parks on its channel's gate instead of the whole run
+        # parking on the last channel's solve
+        gate = self._ff_gate if self._ff_future is not None else None
+        ff = None if gate is not None else self._ff_recip_or_none()
         if backend == 'device':
+            ff = self._ff_recip_or_none()  # device upload needs all fields
+            gate = None
             fuser = DeviceStreamingFuser(
                 writer, acq.num_c, acq.num_z, height, width,
                 acq.input_height, acq.input_width, acq.dtype,
@@ -1144,7 +1176,7 @@ class StitchPipeline:
                 chunk_rows=opts.write_band_rows(),
                 num_threads=opts.resolved_fusion_threads(),
                 ff_recip=ff, blend_method=opts.blend_method,
-                blend_px=opts.feather_px)
+                blend_px=opts.feather_px, ff_gate=gate)
 
         fuser.run(jobs, load_tile_plane,
                   progress_cb=self.reporter.update_progress,
@@ -1164,7 +1196,7 @@ class StitchPipeline:
         acq = self.acq
         opts = self.options
         mesh = make_mesh(opts.mesh_shape)
-        ff_np = self._flatfield_recip_np() if self.flatfields else None
+        ff_np = self._ff_recip_or_none()
         canvas = ShardedCanvas(mesh, acq.num_c, acq.num_z, height, width,
                                acq.input_height, acq.input_width, acq.dtype,
                                blend_method=opts.blend_method,
@@ -1383,11 +1415,32 @@ class StitchPipeline:
                 if self.resumed:
                     self.flatfields = manifest.load_flatfields()
                 if not self.flatfields:
-                    def _fit_flatfields():
-                        with self.timers.time('flatfield_fit'):
-                            self.compute_flatfields()
-                    if (self.options.overlap_prep
-                            and self.params.use_registration):
+                    if self.options.overlap_prep:
+                        # overlapped fit with a per-channel gate: the fit
+                        # runs concurrently with registration (disjoint
+                        # data) AND with fusion — the streaming fuser
+                        # starts channel c the moment channel c's fit
+                        # publishes, instead of parking the whole run
+                        # behind the last channel's solve.
+                        from .streaming import FlatfieldGate
+                        gate = FlatfieldGate(
+                            self.acq.num_c,
+                            (self.acq.input_height, self.acq.input_width))
+                        self._ff_gate = gate
+
+                        def _fit_flatfields():
+                            try:
+                                with self.timers.time('flatfield_fit'):
+                                    self.compute_flatfields()
+                            except BaseException as e:
+                                gate.fail(e)
+                                raise
+                            else:
+                                gate.finish()
+                                # persist from the fit thread (atomic
+                                # rename) so a crash mid-fusion still
+                                # resumes without refitting
+                                manifest.save_flatfields(self.flatfields)
                         # pre-import the heavy modules both stages load
                         # lazily: a concurrent FIRST import of scipy/cv2
                         # from two threads can observe a partially
@@ -1398,8 +1451,10 @@ class StitchPipeline:
                         _prep_pool = ThreadPoolExecutor(1)
                         ff_future = _prep_pool.submit(_fit_flatfields)
                         _prep_pool.shutdown(wait=False)
+                        self._ff_future = ff_future
                     else:
-                        _fit_flatfields()
+                        with self.timers.time('flatfield_fit'):
+                            self.compute_flatfields()
                         manifest.save_flatfields(self.flatfields)
 
             try:
@@ -1442,13 +1497,15 @@ class StitchPipeline:
                     except Exception:
                         pass
                 raise
-            if ff_future is not None:
-                ff_future.result()  # surface fit errors before fusing
-                manifest.save_flatfields(self.flatfields)
             manifest.save()
             self._manifest = manifest
 
+            # NOT waiting on ff_future here: regions fusing through the
+            # host streaming path ride the per-channel gate; every other
+            # consumer reaches the fields via _await_ff (below), which
+            # surfaces fit errors and persists the fits exactly once.
             final_path = self._process_regions(manifest) or ''
+            self._await_ff()
 
             do_merge = (self.params.merge_timepoints
                         or self.params.merge_hcs_regions)

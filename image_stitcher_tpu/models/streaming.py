@@ -88,6 +88,50 @@ def partition_jobs_by_band(jobs: Sequence, tile_h: int, height: int,
     return tasks, n_jobs
 
 
+class FlatfieldGate:
+    """Per-channel flatfield readiness gate.
+
+    The ADMM fit runs per channel; fusion of channel c only needs
+    channel c's field. Publishing each fit as it lands lets the band
+    fusers start streaming while later channels are still solving —
+    on the serial reference flow the whole fit is dead time before the
+    first tile is placed (stitcher.py:374-394 fits every channel up
+    front). ``recip`` is the shared (C, th, tw) reciprocal stack; row c
+    is immutable once its event is set, so readers gated on ``wait(c)``
+    never observe a partial row.
+    """
+
+    def __init__(self, num_c: int, tile_hw: Tuple[int, int]):
+        import threading
+        self.recip = np.ones((num_c,) + tuple(tile_hw), np.float32)
+        self._events = [threading.Event() for _ in range(num_c)]
+        self._error: Optional[BaseException] = None
+
+    def publish(self, c: int, field: Optional[np.ndarray]) -> None:
+        """Record channel ``c``'s fitted field (None keeps identity)."""
+        if field is not None:
+            np.divide(1.0, field, out=self.recip[c])
+        self._events[c].set()
+
+    def finish(self) -> None:
+        """All fits done: release channels that never got a field."""
+        for e in self._events:
+            e.set()
+
+    def fail(self, exc: BaseException) -> None:
+        """Unblock every waiter with the fit's error (re-raised there,
+        preserving the type so cancellation classification survives)."""
+        self._error = exc
+        for e in self._events:
+            e.set()
+
+    def wait(self, c: int) -> np.ndarray:
+        self._events[c].wait()
+        if self._error is not None:
+            raise self._error
+        return self.recip
+
+
 class StreamingFuser:
     """Fuse per-plane bands and stream them into a MultiscaleWriter."""
 
@@ -96,7 +140,8 @@ class StreamingFuser:
                  num_levels: int, downsample_mode: str = 'nearest',
                  chunk_rows: int = 2048, num_threads: int = 2,
                  ff_recip: Optional[np.ndarray] = None,
-                 blend_method: str = 'overwrite', blend_px: int = 64):
+                 blend_method: str = 'overwrite', blend_px: int = 64,
+                 ff_gate: Optional[FlatfieldGate] = None):
         self.writer = writer
         self.num_c, self.num_z = num_c, num_z
         self.height, self.width = height, width
@@ -107,6 +152,7 @@ class StreamingFuser:
         self.band = band_rows_for(chunk_rows, num_levels)
         self.num_threads = num_threads
         self.ff_recip = ff_recip
+        self.ff_gate = ff_gate
         self.blend = blend_method
         self.blend_px = blend_px
         # per-stage wall-clock accumulators (summed across band threads)
@@ -177,6 +223,11 @@ class StreamingFuser:
                       jobs: Sequence, load_fn: Callable,
                       progress_cb=None, stop_check=None) -> None:
         import time as _time
+        if self.ff_gate is not None:
+            # block this band until channel c's fit lands; the overlapped
+            # fit publishes channels in order, so only the first bands of
+            # later channels ever park here
+            self.ff_recip = self.ff_gate.wait(c)
         rows = min(self.band, self.height - band0)
         if self.blend == 'feather':
             buf = (np.zeros((rows, self.width), np.float32),

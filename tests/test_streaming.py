@@ -167,3 +167,86 @@ def test_device_streaming_cancel_joins_writer(tmp_path):
         import time
         time.sleep(0.1)
     assert not any(t.name == 'band-writer' for t in threading.enumerate())
+
+
+def test_flatfield_gate_semantics():
+    """Unit: per-channel publish/wait, identity rows, error re-raise
+    with the original exception TYPE (stop classification depends on
+    it)."""
+    import threading
+
+    from image_stitcher_tpu.models.streaming import FlatfieldGate
+    from image_stitcher_tpu.utils.progress import StitchCancelled
+
+    g = FlatfieldGate(3, (4, 4))
+    field = np.full((4, 4), 2.0, np.float32)
+    g.publish(0, field)
+    r = g.wait(0)
+    np.testing.assert_allclose(r[0], 0.5)
+    # channel 1 not yet published: wait would block; finish releases it
+    # with the identity reciprocal
+    assert not g._events[1].is_set()
+    g.finish()
+    np.testing.assert_array_equal(g.wait(1)[1], np.ones((4, 4), np.float32))
+
+    g2 = FlatfieldGate(2, (4, 4))
+    waiter_err = []
+
+    def waits():
+        try:
+            g2.wait(1)
+        except BaseException as e:
+            waiter_err.append(e)
+
+    t = threading.Thread(target=waits)
+    t.start()
+    g2.fail(StitchCancelled("stop"))
+    t.join(5)
+    assert not t.is_alive()
+    assert isinstance(waiter_err[0], StitchCancelled)
+
+
+def test_gated_flatfield_matches_ungated(tmp_path):
+    """The per-channel gate (overlap_prep on, fusion starts while later
+    channels still fit) must be byte-identical to the fully serial fit
+    (overlap_prep off), registration off so the gate is the ONLY
+    overlap in play."""
+    results = {}
+    for mode in (True, False):
+        acq_dir = str(tmp_path / f"acq_{mode}")
+        write_synthetic_acquisition(
+            acq_dir, grid_cols=3, grid_rows=3, tile_w=96, tile_h=96,
+            overlap=32, channels=["Fluorescence 488 nm Ex",
+                                  "Fluorescence 561 nm Ex",
+                                  "Fluorescence 638 nm Ex"],
+            vignette=np.clip(1.0 - 0.4 * np.hypot(
+                *np.meshgrid(np.linspace(-1, 1, 96),
+                             np.linspace(-1, 1, 96))), 0.3, 1.0
+                             ).astype(np.float32))
+        stitch(acq_dir, apply_flatfield=True, use_registration=False,
+               options=EngineOptions(streaming='on',
+                                     chunks=(1, 1, 1, 64, 64),
+                                     fusion_device='host',
+                                     overlap_prep=mode))
+        results[mode] = _outputs(acq_dir)
+    for lv in results[True]:
+        np.testing.assert_array_equal(results[True][lv], results[False][lv])
+
+
+def test_gated_flatfield_fit_failure_surfaces(tmp_path, monkeypatch):
+    """A fit that dies mid-run must unblock gated fusion bands and
+    surface (no hang, no partial success)."""
+    import image_stitcher_tpu.ops.flatfield as ffmod
+
+    def boom(*a, **k):
+        raise RuntimeError("fit exploded")
+
+    monkeypatch.setattr(ffmod, "fit_flatfield_stack_np", boom)
+    acq_dir = str(tmp_path / "acq")
+    write_synthetic_acquisition(acq_dir, grid_cols=2, grid_rows=2,
+                                tile_w=64, tile_h=64, overlap=16)
+    with pytest.raises(RuntimeError, match="fit exploded"):
+        stitch(acq_dir, apply_flatfield=True, use_registration=False,
+               options=EngineOptions(streaming='on',
+                                     chunks=(1, 1, 1, 32, 32),
+                                     fusion_device='host'))

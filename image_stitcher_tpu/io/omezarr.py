@@ -224,18 +224,22 @@ class MultiscaleWriter:
         self._lock = threading.Lock()
 
     def write_level(self, level: int, data: np.ndarray, sel: Optional[Tuple] = None,
-                    block: bool = False):
+                    block: bool = False) -> bool:
         """Write a full level or a slab (sel = tuple of slices).
 
         Writes land asynchronously (tensorstore compresses + commits on
         its own executor) with backpressure: once ``max_pending_bytes``
         of slabs are in flight, the oldest futures are drained first so
         bounded-memory streaming stays bounded end to end.
+
+        Returns True when ``data`` was fully consumed before returning
+        (the raw synchronous path, or block=True) — the caller may then
+        reuse the buffer; False means the writer still references it.
         """
         if self._raw is not None:
             raw = self._raw[level]
             if raw.try_write(sel, data):
-                return
+                return True
             # mixing gate: one fallback disables raw for this level for
             # good. v3 shards repack bodies in write-order subset
             # layout; v2 raw writes zero-pad each touched chunk row to
@@ -249,7 +253,7 @@ class MultiscaleWriter:
         fut = target.write(data)
         if block:
             fut.result()
-            return
+            return True
         drain = []
         with self._lock:
             self._pending.append((fut, data.nbytes))
@@ -260,6 +264,7 @@ class MultiscaleWriter:
                 drain.append(old)
         for old in drain:
             old.result()
+        return False
 
     def close(self):
         with self._lock:

@@ -510,10 +510,14 @@ class StreamingTiffWriter:
             st.counts[idx] = len(data)
 
     def write_level(self, level: int, data: np.ndarray,
-                    sel: Optional[Tuple] = None, block: bool = False):
+                    sel: Optional[Tuple] = None, block: bool = False) -> bool:
         """Accept one (c, z) band slab, shaped (1, 1, 1, rows, w) with
         ``sel`` carrying the channel/z/row placement (the contract
-        write_band_levels uses)."""
+        write_band_levels uses).
+
+        Always returns False: the row streams park VIEWS of ``data``
+        until their strip rows complete, so callers must not reuse the
+        buffer."""
         if sel is None:
             # whole-level write (tiny canvases): one band at row 0
             full = np.asarray(data)
@@ -525,7 +529,7 @@ class StreamingTiffWriter:
                              slice(zi, zi + 1),
                              slice(0, full.shape[-2]),
                              slice(0, full.shape[-1])))
-            return
+            return False
         ci, zi, y0 = sel[1].start, sel[2].start, sel[3].start
         rows = np.ascontiguousarray(np.asarray(data)[0, 0, 0])
         page = zi if self.rgb else ci * self.num_z + zi
@@ -547,6 +551,7 @@ class StreamingTiffWriter:
             self.peak_buffer_bytes = max(
                 self.peak_buffer_bytes,
                 sum(s_.buffered_bytes() for s_ in self.streams.values()))
+        return False
 
     # ------------------------------------------------------------- close
 

@@ -33,17 +33,21 @@ def band_rows_for(chunk_rows: int, num_levels: int) -> int:
 
 def write_band_levels(writer: MultiscaleWriter, c: int, z: int, band0: int,
                       buf: np.ndarray, num_levels: int, mode: str,
-                      width: int, tick: Optional[Callable] = None) -> None:
+                      width: int, tick: Optional[Callable] = None) -> bool:
     """Write one finished (c, z) band to level 0 and fold it into every
     pyramid level (band rows are a multiple of 2^(levels-1), so pooling
     windows never cross bands). Shared by the host and device streaming
-    fusers; ``tick(stage, t0)`` hooks the host fuser's stage stats."""
+    fusers; ``tick(stage, t0)`` hooks the host fuser's stage stats.
+
+    Returns True when the writer consumed ``buf`` before returning
+    (synchronous raw path) — the caller may then reuse the band buffer;
+    pyramid slabs are freshly allocated per call either way."""
     import time as _time
     t0 = _time.perf_counter()
     rows = buf.shape[0]
     sel0 = (slice(0, 1), slice(c, c + 1), slice(z, z + 1),
             slice(band0, band0 + rows), slice(0, width))
-    writer.write_level(0, buf[None, None, None], sel=sel0)
+    released = writer.write_level(0, buf[None, None, None], sel=sel0)
     if tick:
         t0 = tick('write', t0)
     level = buf
@@ -60,6 +64,7 @@ def write_band_levels(writer: MultiscaleWriter, c: int, z: int, band0: int,
         writer.write_level(lv, level[None, None, None], sel=sel)
         if tick:
             t0 = tick('write', t0)
+    return released is True
 
 
 def partition_jobs_by_band(jobs: Sequence, tile_h: int, height: int,
@@ -160,6 +165,13 @@ class StreamingFuser:
                       'pyramid': 0.0, 'write': 0.0, 'close': 0.0}
         import threading as _threading
         self._stats_lock = _threading.Lock()
+        # per-thread band buffer pool: fresh np.zeros per band costs a
+        # first-touch page fault per 4 KiB (GBs of kernel zeroing per
+        # run); a reused hot buffer + explicit fill(0) doesn't. Reuse is
+        # only legal while the writer consumes slabs synchronously
+        # (write_band_levels reports it), so an async fallback drops the
+        # thread's buffer and reverts to fresh allocation.
+        self._tl = _threading.local()
 
     def _tick(self, key: str, t0: float) -> float:
         import time as _time
@@ -230,10 +242,23 @@ class StreamingFuser:
             self.ff_recip = self.ff_gate.wait(c)
         rows = min(self.band, self.height - band0)
         if self.blend == 'feather':
-            buf = (np.zeros((rows, self.width), np.float32),
-                   np.zeros((rows, self.width), np.float32))
+            # acc/wsum never reach the writer (finalize produces a fresh
+            # cast) — always reusable
+            pair = getattr(self._tl, 'feather', None)
+            if pair is None:
+                pair = (np.empty((self.band, self.width), np.float32),
+                        np.empty((self.band, self.width), np.float32))
+                self._tl.feather = pair
+            buf = (pair[0][:rows], pair[1][:rows])
+            buf[0].fill(0.0)
+            buf[1].fill(0.0)
         else:
-            buf = np.zeros((rows, self.width), self.dtype)
+            buf = getattr(self._tl, 'band', None)
+            if buf is None or buf.dtype != self.dtype:
+                buf = np.empty((self.band, self.width), self.dtype)
+                self._tl.band = buf
+            buf = buf[:rows]
+            buf.fill(0)
         for job, is_primary in jobs:
             if stop_check is not None:
                 stop_check()  # per-tile cancellation, like HostCanvas
@@ -254,8 +279,15 @@ class StreamingFuser:
                 out = np.clip(np.round(out), info.min, info.max)
             buf = out.astype(self.dtype)
         self._tick('finalize', t0)
-        write_band_levels(self.writer, c, z, band0, buf, self.num_levels,
-                          self.mode, self.width, tick=self._tick)
+        released = write_band_levels(self.writer, c, z, band0, buf,
+                                     self.num_levels, self.mode, self.width,
+                                     tick=self._tick)
+        if not released and self.blend != 'feather':
+            # async writer (tensorstore fallback / TIFF row streams)
+            # still references the overwrite-path buffer: orphan it and
+            # let the next band allocate fresh. Feather buffers never
+            # reach the writer (finalize casts into a new array).
+            self._tl.band = None
 
     # ------------------------------------------------------------------
 

@@ -146,7 +146,8 @@ class StreamingFuser:
                  chunk_rows: int = 2048, num_threads: int = 2,
                  ff_recip: Optional[np.ndarray] = None,
                  blend_method: str = 'overwrite', blend_px: int = 64,
-                 ff_gate: Optional[FlatfieldGate] = None):
+                 ff_gate: Optional[FlatfieldGate] = None,
+                 pad_width_to: int = 0):
         self.writer = writer
         self.num_c, self.num_z = num_c, num_z
         self.height, self.width = height, width
@@ -172,6 +173,14 @@ class StreamingFuser:
         # (write_band_levels reports it), so an async fallback drops the
         # thread's buffer and reverts to fresh allocation.
         self._tl = _threading.local()
+        # width-pad the pool to the chunk grid (zarr outputs): with a
+        # page-aligned buffer and a 4096-multiple row pitch, every full
+        # chunk column's rows are O_DIRECT-aligned IN PLACE, so the raw
+        # writer gather-pwritevs straight from the band — no staging
+        # pack. Tiles never touch the pad columns (x is clamped to
+        # ``width``) and fill(0) keeps them zero.
+        self.alloc_width = (-(-width // pad_width_to) * pad_width_to
+                            if pad_width_to > 0 else width)
 
     def _tick(self, key: str, t0: float) -> float:
         import time as _time
@@ -255,7 +264,14 @@ class StreamingFuser:
         else:
             buf = getattr(self._tl, 'band', None)
             if buf is None or buf.dtype != self.dtype:
-                buf = np.empty((self.band, self.width), self.dtype)
+                # anonymous mmap => page-aligned base, a requirement of
+                # the zero-copy O_DIRECT gather (np.empty won't do)
+                import mmap as _mmap
+                n_elems = self.band * self.alloc_width
+                mm = _mmap.mmap(-1, max(n_elems * self.dtype.itemsize,
+                                        _mmap.PAGESIZE))
+                buf = np.frombuffer(mm, self.dtype, count=n_elems
+                                    ).reshape(self.band, self.alloc_width)
                 self._tl.band = buf
             buf = buf[:rows]
             buf.fill(0)
@@ -278,6 +294,10 @@ class StreamingFuser:
                 info = np.iinfo(self.dtype)
                 out = np.clip(np.round(out), info.min, info.max)
             buf = out.astype(self.dtype)
+        elif buf.shape[1] != self.width:
+            # the writer sees the canvas-width view; its padded row
+            # pitch is what makes the zero-copy O_DIRECT gather legal
+            buf = buf[:, :self.width]
         self._tick('finalize', t0)
         released = write_band_levels(self.writer, c, z, band0, buf,
                                      self.num_levels, self.mode, self.width,

@@ -12,7 +12,8 @@ import numpy as np
 import pytest
 
 from image_stitcher_tpu.io.raw_zarr import RawV2SlabWriter
-from image_stitcher_tpu.io.zarr_store import create_zarr_array
+from image_stitcher_tpu.io.zarr_store import (create_zarr_array,
+                                               open_zarr_array)
 from image_stitcher_tpu.native import get_lib
 
 pytestmark = pytest.mark.skipif(
@@ -580,3 +581,45 @@ def test_direct_io_probe_cached(tmp_path, monkeypatch):
     e2 = directio.probe_direct_io(str(tmp_path))
     assert e2 == e1
     directio._mem_cache.clear()  # leave no cross-test state
+
+
+def test_direct_io_zero_copy_gather_parity(tmp_path, rng):
+    """The zero-copy O_DIRECT gather (page-aligned width-padded source,
+    as the streaming fuser's band pool arranges) must produce chunk
+    files byte-identical to the buffered path; the misaligned edge
+    column rides the staging pack in the same run."""
+    if not _direct_supported(tmp_path):
+        pytest.skip("O_DIRECT unsupported on this filesystem")
+    import mmap
+
+    # width 3000 -> one full 2048 chunk column (aligned, zero-copy) +
+    # one 952-px edge column (staging); pad to 4096 like the band pool
+    shape, chunks = (1, 1, 1, 700, 3000), (1, 1, 1, 256, 2048)
+    alloc_w = 4096
+    rows = 700
+    mm = mmap.mmap(-1, rows * alloc_w * 2)
+    padded = np.frombuffer(mm, np.uint16).reshape(rows, alloc_w)
+    padded[:] = 0
+    padded[:, :3000] = rng.integers(0, 65535, (rows, 3000), dtype=np.uint16)
+    view = padded[:, :3000]
+    assert view.ctypes.data % 4096 == 0 and view.strides[0] % 4096 == 0
+
+    dirs = {}
+    for mode in ("off", "on"):
+        d = str(tmp_path / f"zc_{mode}")
+        create_zarr_array(d, shape, chunks, np.uint16, cname=None)
+        w = RawV2SlabWriter(d, shape, chunks, np.uint16, direct_io=mode)
+        assert w.ok
+        # two slabs: chunk-row aligned + a partial straddle
+        for y0, y1 in ((0, 256), (256, 700)):
+            sel = (slice(0, 1), slice(0, 1), slice(0, 1), slice(y0, y1),
+                   slice(0, 3000))
+            assert w.try_write(sel, view[y0:y1][None, None, None])
+        if mode == "on" and not w.direct:
+            pytest.skip("O_DIRECT fell back mid-run")
+        dirs[mode] = d
+    _assert_file_parity(dirs["off"], dirs["on"])
+
+    # and the store reads back exactly the source
+    arr = open_zarr_array(dirs["on"]).read().result()
+    np.testing.assert_array_equal(np.asarray(arr)[0, 0, 0], view)

@@ -110,29 +110,16 @@ class _RawSlabWriterBase:
         chunk pitch) into a contiguous file region — O_DIRECT via the
         aligned staging pack, else the pwritev C kernel."""
         if is_direct:
-            from .directio import ALIGN, pwrite_direct
-            base = (plane.ctypes.data + src_row0 * plane.strides[0]
-                    + src_col0 * self.dtype.itemsize)
-            lib = get_lib()
-            if (pad_bytes == 0 and lib is not None
-                    and base % ALIGN == 0
-                    and plane.strides[0] % ALIGN == 0
-                    and plane.strides[1] == self.dtype.itemsize
-                    and row_bytes % ALIGN == 0
-                    and off0 % ALIGN == 0):
-                # the source rows are themselves O_DIRECT-aligned (the
-                # width-padded band pool arranges this for every full
-                # chunk column): gather-pwritev STRAIGHT from the band
-                # buffer — the ~canvas-sized staging pack memcpy
-                # disappears from the write path
-                rc = lib.write_rows_contig(
-                    fd, ctypes.c_void_p(base), plane.strides[0],
-                    nrows, row_bytes, None, 0, off0)
-                if rc == 0:
-                    return
-                # aligned but refused (exotic fs/driver EINVAL): the
-                # packed retry below rewrites the whole region, so a
-                # partially-landed gather is harmless
+            # NOT zero-copy on purpose: a gather-pwritev straight from
+            # an aligned strided source (page-aligned band pool, 4096-
+            # multiple pitch) was measured 15-20% SLOWER than this
+            # pack-then-one-contiguous-pwrite on the bench device
+            # (847-1174 vs 1075-1402 MB/s interleaved best-of-3) — the
+            # kernel pins and splits 2048 scattered 4 KiB iovec segments
+            # per chunk, which costs more than the 8 MiB staging memcpy
+            # saves. Revisit only with a chunk-contiguous band layout
+            # (single iovec, no pack).
+            from .directio import pwrite_direct
             pwrite_direct(fd, self._staging, plane, self.dtype, src_row0,
                           src_col0, nrows, row_bytes,
                           row_bytes + pad_bytes, off0)

@@ -1176,12 +1176,7 @@ class StitchPipeline:
                 chunk_rows=opts.write_band_rows(),
                 num_threads=opts.resolved_fusion_threads(),
                 ff_recip=ff, blend_method=opts.blend_method,
-                blend_px=opts.feather_px, ff_gate=gate,
-                # zarr: pad band rows to the chunk grid so the raw
-                # writer's zero-copy O_DIRECT gather applies; TIFF row
-                # streams park views and want exact-width slabs
-                pad_width_to=(0 if self.output_format.endswith('.tiff')
-                              else opts.chunks[-1]))
+                blend_px=opts.feather_px, ff_gate=gate)
 
         fuser.run(jobs, load_tile_plane,
                   progress_cb=self.reporter.update_progress,

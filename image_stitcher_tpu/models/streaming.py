@@ -173,12 +173,15 @@ class StreamingFuser:
         # (write_band_levels reports it), so an async fallback drops the
         # thread's buffer and reverts to fresh allocation.
         self._tl = _threading.local()
-        # width-pad the pool to the chunk grid (zarr outputs): with a
+        # optional width-pad of the pool to the chunk grid: with a
         # page-aligned buffer and a 4096-multiple row pitch, every full
-        # chunk column's rows are O_DIRECT-aligned IN PLACE, so the raw
-        # writer gather-pwritevs straight from the band — no staging
-        # pack. Tiles never touch the pad columns (x is clamped to
-        # ``width``) and fill(0) keeps them zero.
+        # chunk column's rows are O_DIRECT-aligned in place. Kept as a
+        # mechanism (tested) but NOT requested by the pipeline: a
+        # gather-pwritev from the strided source measured 15-20% slower
+        # than the staging pack on the bench device (see
+        # raw_zarr._pwrite_rows), so padding currently buys nothing.
+        # Tiles never touch the pad columns (x is clamped to ``width``)
+        # and fill(0) keeps them zero.
         self.alloc_width = (-(-width // pad_width_to) * pad_width_to
                             if pad_width_to > 0 else width)
 
@@ -264,8 +267,8 @@ class StreamingFuser:
         else:
             buf = getattr(self._tl, 'band', None)
             if buf is None or buf.dtype != self.dtype:
-                # anonymous mmap => page-aligned base, a requirement of
-                # the zero-copy O_DIRECT gather (np.empty won't do)
+                # anonymous mmap => page-aligned base (any future
+                # direct-IO-from-band path needs it; np.empty won't do)
                 import mmap as _mmap
                 n_elems = self.band * self.alloc_width
                 mm = _mmap.mmap(-1, max(n_elems * self.dtype.itemsize,

@@ -223,6 +223,41 @@ class MultiscaleWriter:
         import threading
         self._lock = threading.Lock()
 
+    def block_spec(self, level: int = 0):
+        """(chunk_rows, chunk_cols) when ``level`` accepts chunk-
+        contiguous block writes (raw v2 path), else None. A chunk-
+        column-blocked band fuser then writes each chunk file with one
+        contiguous pwrite — no row gather, no staging pack."""
+        if self._raw is None:
+            return None
+        raw = self._raw[level]
+        spec = getattr(raw, 'block_spec', None)
+        return spec() if spec is not None else None
+
+    def write_level_block(self, level: int, c: int, z: int, y0: int,
+                          cxi: int, block: np.ndarray) -> bool:
+        """Write one chunk-column block (see RawV2SlabWriter.
+        try_write_block). Falls back to a tensorstore slab write of the
+        in-canvas columns when the raw path refuses.
+
+        Returns True when ``block`` was consumed before returning (the
+        caller may reuse the buffer), False when tensorstore still
+        references it."""
+        raw = self._raw[level] if self._raw is not None else None
+        if raw is not None and getattr(raw, 'try_write_block', None):
+            if raw.try_write_block(0, c, z, y0, cxi, block):
+                return True
+            if raw.disable_on_fallback:
+                raw.ok = False
+        cx = block.shape[1]
+        w = self.shapes[level][4]
+        x0 = cxi * cx
+        x1 = min(x0 + cx, w)
+        sel = (slice(0, 1), slice(c, c + 1), slice(z, z + 1),
+               slice(y0, y0 + block.shape[0]), slice(x0, x1))
+        return self.write_level(level, block[None, None, None, :, :x1 - x0],
+                                sel=sel)
+
     def write_level(self, level: int, data: np.ndarray, sel: Optional[Tuple] = None,
                     block: bool = False) -> bool:
         """Write a full level or a slab (sel = tuple of slices).

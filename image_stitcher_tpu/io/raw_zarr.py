@@ -261,6 +261,65 @@ class RawV2SlabWriter(_RawSlabWriterBase):
                 finally:
                     os.close(fd)
 
+    # -------------------------------------------------- chunk-block API
+
+    def block_spec(self):
+        """(chunk_rows, chunk_cols) when this writer accepts chunk-
+        contiguous block writes, else None. A fuser that lays its band
+        out as chunk-column blocks gets single-contiguous-pwrite chunk
+        files — no row gather, no staging pack."""
+        return (self.chunks[3], self.chunks[4]) if self.ok else None
+
+    def try_write_block(self, t: int, c: int, z: int, y0: int,
+                        cxi: int, block: np.ndarray) -> bool:
+        """Write one chunk-column block: ``block`` is (rows, chunk_cols)
+        C-contiguous, covering canvas rows [y0, y0+rows) of chunk column
+        ``cxi``, with any columns beyond the canvas width already zero
+        (exactly the bytes a v2 chunk file stores — the row path
+        zero-pads tails to the same effect). ``y0`` must sit on a chunk-
+        row boundary; rows may span several chunk rows (each chunk row's
+        span within the block is itself contiguous, so every chunk file
+        gets ONE contiguous pwrite).
+
+        Returns False (nothing written) for any shape/alignment outside
+        that contract — the caller falls back to the row path.
+        """
+        if not self.ok:
+            return False
+        cy, cx = self.chunks[3], self.chunks[4]
+        rows = block.shape[0]
+        if (block.dtype != self.dtype or block.ndim != 2
+                or block.shape[1] != cx
+                or not block.flags.c_contiguous
+                or y0 % cy != 0 or rows <= 0
+                or y0 + rows > self.shape[3]
+                or cxi < 0 or cxi >= -(-self.shape[4] // cx)):
+            return False
+        if self.direct and block.ctypes.data % 4096 != 0:
+            # an O_DIRECT store needs page-aligned sources for the
+            # zero-copy pwrite; misaligned callers ride the row path
+            # (its staging pack realigns)
+            return False
+        flat = block.reshape(-1).view(np.uint8).data  # zero-copy bytes
+        for j, ry0 in enumerate(range(0, rows, cy)):
+            nrows = min(cy, rows - ry0)
+            nbytes = nrows * self.pitch
+            byte0 = ry0 * self.pitch
+            fpath = self._chunk_file(t, c, z, y0 // cy + j, cxi)
+            fd, _ = self._open_chunk(fpath)
+            try:
+                if nrows < cy and os.fstat(fd).st_size < self.chunk_bytes:
+                    # bottom-band partial chunk row: sparse-extend so
+                    # untouched rows read as fill zeros
+                    os.ftruncate(fd, self.chunk_bytes)
+                done = 0
+                while done < nbytes:
+                    done += os.pwrite(fd, flat[byte0 + done:byte0 + nbytes],
+                                      done)
+            finally:
+                os.close(fd)
+        return True
+
 
 class RawV3ShardWriter(_RawSlabWriterBase):
     """Writes band slabs into a raw (codecs: bytes-only) zarr v3

@@ -184,6 +184,18 @@ class StreamingFuser:
         # and fill(0) keeps them zero.
         self.alloc_width = (-(-width // pad_width_to) * pad_width_to
                             if pad_width_to > 0 else width)
+        # chunk-column block mode: the band lives as (ncx, band, cx)
+        # chunk-shaped blocks, so every level-0 chunk file is ONE
+        # contiguous pwrite straight from the pool — no row gather, no
+        # staging pack (measured: the row path's O_DIRECT staging pack
+        # is the write stage's main CPU). Only for overwrite blending on
+        # writers that expose chunk-contiguous block writes (raw v2).
+        self._block_cx = 0
+        if blend_method == 'overwrite':
+            spec = getattr(writer, 'block_spec', None)
+            bs = spec(0) if spec is not None else None
+            if bs and bs[0] > 0 and self.band % bs[0] == 0:
+                self._block_cx = int(bs[1])
 
     def _tick(self, key: str, t0: float) -> float:
         import time as _time
@@ -211,7 +223,9 @@ class StreamingFuser:
         yy, xx = job.y + top, job.x + left
         y1 = min(y1, y0 + (self.height - yy))
         x1 = min(x1, x0 + (self.width - xx))
-        n_rows = buf[0].shape[0] if isinstance(buf, tuple) else buf.shape[0]
+        blocked = not isinstance(buf, tuple) and buf.ndim == 3
+        n_rows = (buf[0].shape[0] if isinstance(buf, tuple)
+                  else buf.shape[1] if blocked else buf.shape[0])
         b_lo, b_hi = band0, band0 + n_rows
         if yy < b_lo:
             y0 += b_lo - yy
@@ -221,6 +235,28 @@ class StreamingFuser:
             return
         c = job.channel_idx
         ff_c = self.ff_recip[c] if self.ff_recip is not None else None
+        if blocked:
+            # chunk-column block layout: split the window at chunk
+            # boundaries (a tile touches at most ceil(tw/cx)+1 blocks)
+            # and place each segment into its block
+            cx = self._block_cx
+            native_ok = self.dtype == tile.dtype
+            t = None
+            for cxi in range(xx // cx, (xx + (x1 - x0) - 1) // cx + 1):
+                gx0 = max(xx, cxi * cx)
+                gx1 = min(xx + (x1 - x0), (cxi + 1) * cx)
+                tx0 = x0 + (gx0 - xx)
+                tx1 = tx0 + (gx1 - gx0)
+                dx = gx0 - cxi * cx
+                if native_ok and place_window_native(
+                        buf[cxi], tile, ff_c, y0, y1, tx0, tx1,
+                        yy - band0, dx):
+                    continue
+                if t is None:
+                    t = self._correct(tile, c)
+                buf[cxi][yy - band0:yy - band0 + (y1 - y0),
+                         dx:dx + (tx1 - tx0)] = t[y0:y1, tx0:tx1]
+            return
         feather = ((top, wy1, left, wx1, 1.0 / float(self.blend_px))
                    if self.blend == 'feather' else None)
         if self.dtype == tile.dtype and place_window_native(
@@ -264,6 +300,20 @@ class StreamingFuser:
             buf = (pair[0][:rows], pair[1][:rows])
             buf[0].fill(0.0)
             buf[1].fill(0.0)
+        elif self._block_cx:
+            buf = getattr(self._tl, 'blocks', None)
+            if buf is None or buf.dtype != self.dtype:
+                import mmap as _mmap
+                cx = self._block_cx
+                ncx = -(-self.width // cx)
+                n_elems = ncx * self.band * cx
+                mm = _mmap.mmap(-1, max(n_elems * self.dtype.itemsize,
+                                        _mmap.PAGESIZE))
+                buf = np.frombuffer(mm, self.dtype, count=n_elems
+                                    ).reshape(ncx, self.band, cx)
+                self._tl.blocks = buf
+            buf = buf[:, :rows]
+            buf.fill(0)
         else:
             buf = getattr(self._tl, 'band', None)
             if buf is None or buf.dtype != self.dtype:
@@ -289,6 +339,11 @@ class StreamingFuser:
             if progress_cb is not None and is_primary:
                 progress_cb()
         t0 = _time.perf_counter()
+        if not isinstance(buf, tuple) and buf.ndim == 3:
+            self._tick('finalize', t0)
+            if not self._write_blocks(c, z, band0, buf):
+                self._tl.blocks = None
+            return
         if self.blend == 'feather':
             acc, wsum = buf
             out = acc / np.maximum(wsum, 1e-6)
@@ -298,8 +353,7 @@ class StreamingFuser:
                 out = np.clip(np.round(out), info.min, info.max)
             buf = out.astype(self.dtype)
         elif buf.shape[1] != self.width:
-            # the writer sees the canvas-width view; its padded row
-            # pitch is what makes the zero-copy O_DIRECT gather legal
+            # the writer sees the canvas-width view of the padded pool
             buf = buf[:, :self.width]
         self._tick('finalize', t0)
         released = write_band_levels(self.writer, c, z, band0, buf,
@@ -311,6 +365,47 @@ class StreamingFuser:
             # let the next band allocate fresh. Feather buffers never
             # reach the writer (finalize casts into a new array).
             self._tl.band = None
+
+    def _write_blocks(self, c: int, z: int, band0: int,
+                      blocks: np.ndarray) -> bool:
+        """Block-mode band output: level 0 lands chunk-by-chunk straight
+        from the pool (one contiguous pwrite each); pyramid levels are
+        assembled from per-block downsamples (chunk widths are even, so
+        2x2 pooling windows never straddle blocks — byte-identical to
+        downsampling the row-major band, tested).
+
+        Returns False when any write retained a view of the pool (the
+        caller then orphans it)."""
+        import time as _time
+        ncx = blocks.shape[0]
+        released = True
+        t0 = _time.perf_counter()
+        for cxi in range(ncx):
+            ok = self.writer.write_level_block(0, c, z, band0, cxi,
+                                               blocks[cxi])
+            released = released and bool(ok)
+        t0 = self._tick('write', t0)
+        if self.num_levels <= 1:
+            return released
+        rows = blocks.shape[1]
+        w1, h1 = self.width // 2, rows // 2
+        if h1 == 0 or w1 == 0:
+            return released
+        level = np.concatenate([host_downsample(blocks[i], self.mode)
+                                for i in range(ncx)], axis=1)[:h1, :w1]
+        for lv in range(1, self.num_levels):
+            if lv > 1:
+                level = host_downsample(level, self.mode)
+            b_lv = band0 >> lv
+            h_lv, w_lv = level.shape
+            if h_lv == 0 or w_lv == 0:
+                break
+            t0 = self._tick('pyramid', t0)
+            sel = (slice(0, 1), slice(c, c + 1), slice(z, z + 1),
+                   slice(b_lv, b_lv + h_lv), slice(0, w_lv))
+            self.writer.write_level(lv, level[None, None, None], sel=sel)
+            t0 = self._tick('write', t0)
+        return released
 
     # ------------------------------------------------------------------
 

@@ -623,3 +623,55 @@ def test_direct_io_zero_copy_gather_parity(tmp_path, rng):
     # and the store reads back exactly the source
     arr = open_zarr_array(dirs["on"]).read().result()
     np.testing.assert_array_equal(np.asarray(arr)[0, 0, 0], view)
+
+
+def test_chunk_block_writes_match_tensorstore(tmp_path, rng):
+    """try_write_block (chunk-contiguous, one pwrite per chunk file)
+    must produce stores identical to a plain tensorstore write: full
+    chunks, a multi-chunk-row band (j loop), a partial bottom band, and
+    an edge column carrying its own zero padding."""
+    import mmap
+
+    shape, chunks = (1, 1, 1, 300, 3000), (1, 1, 1, 128, 2048)
+    cy, cx = 128, 2048
+    ncx = 2
+    full = rng.integers(0, 65535, (300, 3000), dtype=np.uint16)
+
+    d_raw = str(tmp_path / "blocks")
+    create_zarr_array(d_raw, shape, chunks, np.uint16, cname=None)
+    w = RawV2SlabWriter(d_raw, shape, chunks, np.uint16, direct_io="auto")
+    assert w.ok
+    assert w.block_spec() == (cy, cx)
+
+    # page-aligned pool like the fuser's: (ncx, band, cx)
+    band = 256  # two chunk rows per band
+    mm = mmap.mmap(-1, ncx * band * cx * 2)
+    pool = np.frombuffer(mm, np.uint16).reshape(ncx, band, cx)
+    for band0 in (0, 256):
+        rows = min(band, 300 - band0)
+        blocks = pool[:, :rows]
+        blocks.fill(0)
+        for cxi in range(ncx):
+            x0, x1 = cxi * cx, min((cxi + 1) * cx, 3000)
+            blocks[cxi][:, :x1 - x0] = full[band0:band0 + rows, x0:x1]
+            assert w.try_write_block(0, 0, 0, band0, cxi, blocks[cxi])
+
+    d_ts = str(tmp_path / "ts")
+    create_zarr_array(d_ts, shape, chunks, np.uint16, cname=None)
+    open_zarr_array(d_ts, writable=True)[0, 0, 0].write(full).result()
+    _assert_file_parity(d_ts, d_raw)
+
+
+def test_chunk_block_rejects_bad_shapes(tmp_path, rng):
+    shape, chunks = (1, 1, 1, 256, 2048), (1, 1, 1, 128, 2048)
+    d = str(tmp_path / "b")
+    create_zarr_array(d, shape, chunks, np.uint16, cname=None)
+    w = RawV2SlabWriter(d, shape, chunks, np.uint16, direct_io="off")
+    good = np.zeros((128, 2048), np.uint16)
+    assert w.try_write_block(0, 0, 0, 0, 0, good)
+    assert not w.try_write_block(0, 0, 0, 0, 0, good[:, :100])   # wrong cx
+    assert not w.try_write_block(0, 0, 0, 64, 0, good)           # y0 misaligned
+    assert not w.try_write_block(0, 0, 0, 0, 1, good)            # cxi out of grid
+    assert not w.try_write_block(0, 0, 0, 192, 0, good)          # past bottom
+    assert not w.try_write_block(0, 0, 0, 0, 0,
+                                 good.astype(np.uint8))          # dtype

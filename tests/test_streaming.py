@@ -250,3 +250,50 @@ def test_gated_flatfield_fit_failure_surfaces(tmp_path, monkeypatch):
                options=EngineOptions(streaming='on',
                                      chunks=(1, 1, 1, 32, 32),
                                      fusion_device='host'))
+
+
+def test_block_mode_matches_row_mode(tmp_path):
+    """Chunk-column block banding (one contiguous pwrite per chunk) must
+    produce byte-identical stores to the row-major band path, including
+    pyramid levels assembled from per-block downsamples."""
+    import filecmp
+
+    acq_dir = str(tmp_path / "acq")
+    write_synthetic_acquisition(acq_dir, grid_cols=3, grid_rows=3,
+                                tile_w=96, tile_h=96, overlap=32,
+                                num_z=2)
+    from image_stitcher_tpu.models import streaming as st
+
+    outs = {}
+    for mode in ("block", "row"):
+        if mode == "row":
+            orig = st.StreamingFuser.__init__
+
+            def no_blocks(self, *a, **k):
+                orig(self, *a, **k)
+                self._block_cx = 0
+
+            st.StreamingFuser.__init__ = no_blocks
+        try:
+            stitch(acq_dir, apply_flatfield=True,
+                   options=EngineOptions(streaming='on',
+                                         chunks=(1, 1, 1, 64, 64),
+                                         fusion_device='host'))
+        finally:
+            if mode == "row":
+                st.StreamingFuser.__init__ = orig
+        out = sorted(glob.glob(acq_dir + "_stitched_*"))[-1]
+        outs[mode] = os.path.join(out, "0_stitched",
+                                  "A1_stitched.ome.zarr")
+
+    files_b = sorted(os.path.relpath(os.path.join(r, f), outs["block"])
+                     for r, _, fs in os.walk(outs["block"]) for f in fs)
+    files_r = sorted(os.path.relpath(os.path.join(r, f), outs["row"])
+                     for r, _, fs in os.walk(outs["row"]) for f in fs)
+    assert files_b == files_r and files_b
+    for rel in files_b:
+        if rel.endswith((".zattrs", ".zgroup")):
+            continue
+        assert filecmp.cmp(os.path.join(outs["block"], rel),
+                           os.path.join(outs["row"], rel),
+                           shallow=False), rel

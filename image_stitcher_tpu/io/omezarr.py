@@ -248,6 +248,10 @@ class MultiscaleWriter:
             if raw.try_write_block(0, c, z, y0, cxi, block):
                 return True
             if raw.disable_on_fallback:
+                # conservative: once anything in this level goes through
+                # tensorstore, later raw zero-padding writes could clobber
+                # it — same mixing gate as the row path. Callers honoring
+                # try_write_block's contract never trip this.
                 raw.ok = False
         cx = block.shape[1]
         w = self.shapes[level][4]

@@ -282,7 +282,10 @@ class RawV2SlabWriter(_RawSlabWriterBase):
         gets ONE contiguous pwrite).
 
         Returns False (nothing written) for any shape/alignment outside
-        that contract — the caller falls back to the row path.
+        that contract. The owning MultiscaleWriter treats a refusal as
+        a mixing hazard and permanently routes the level through
+        tensorstore — callers must satisfy the contract up front (the
+        streaming fuser's pooled blocks do by construction).
         """
         if not self.ok:
             return False
@@ -297,8 +300,11 @@ class RawV2SlabWriter(_RawSlabWriterBase):
             return False
         if self.direct and block.ctypes.data % 4096 != 0:
             # an O_DIRECT store needs page-aligned sources for the
-            # zero-copy pwrite; misaligned callers ride the row path
-            # (its staging pack realigns)
+            # zero-copy pwrite. False means NOTHING was written; note
+            # the caller (MultiscaleWriter.write_level_block) treats any
+            # refusal as a mixing hazard and routes the level to
+            # tensorstore for good — satisfy the alignment contract to
+            # stay on the raw path
             return False
         flat = block.reshape(-1).view(np.uint8).data  # zero-copy bytes
         for j, ry0 in enumerate(range(0, rows, cy)):

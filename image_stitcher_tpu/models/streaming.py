@@ -33,35 +33,37 @@ def band_rows_for(chunk_rows: int, num_levels: int) -> int:
 
 def write_band_levels(writer: MultiscaleWriter, c: int, z: int, band0: int,
                       buf: np.ndarray, num_levels: int, mode: str,
-                      width: int, tick: Optional[Callable] = None) -> bool:
-    """Write one finished (c, z) band to level 0 and fold it into every
-    pyramid level (band rows are a multiple of 2^(levels-1), so pooling
-    windows never cross bands). Shared by the host and device streaming
-    fusers; ``tick(stage, t0)`` hooks the host fuser's stage stats.
+                      width: int, tick: Optional[Callable] = None,
+                      first_level: int = 0) -> bool:
+    """Write one finished (c, z) band to level ``first_level`` and fold
+    it into every deeper pyramid level (band rows are a multiple of
+    2^(levels-1), so pooling windows never cross bands). Shared by the
+    host and device streaming fusers — and, with ``first_level=1``, by
+    the block-banding path, whose level-0 chunks land separately;
+    ``band0`` is always in LEVEL-0 rows. ``tick(stage, t0)`` hooks the
+    host fuser's stage stats.
 
     Returns True when the writer consumed ``buf`` before returning
     (synchronous raw path) — the caller may then reuse the band buffer;
-    pyramid slabs are freshly allocated per call either way."""
+    deeper-level slabs are freshly allocated per call either way."""
     import time as _time
     t0 = _time.perf_counter()
-    rows = buf.shape[0]
-    sel0 = (slice(0, 1), slice(c, c + 1), slice(z, z + 1),
-            slice(band0, band0 + rows), slice(0, width))
-    released = writer.write_level(0, buf[None, None, None], sel=sel0)
-    if tick:
-        t0 = tick('write', t0)
+    released = None
     level = buf
-    for lv in range(1, num_levels):
-        level = host_downsample(level, mode)
-        b_lv = band0 >> lv
+    for lv in range(first_level, num_levels):
+        if lv > first_level:
+            level = host_downsample(level, mode)
+            if tick:
+                t0 = tick('pyramid', t0)
         h_lv, w_lv = level.shape
         if h_lv == 0 or w_lv == 0:
             break
-        if tick:
-            t0 = tick('pyramid', t0)
+        b_lv = band0 >> lv
         sel = (slice(0, 1), slice(c, c + 1), slice(z, z + 1),
                slice(b_lv, b_lv + h_lv), slice(0, w_lv))
-        writer.write_level(lv, level[None, None, None], sel=sel)
+        r = writer.write_level(lv, level[None, None, None], sel=sel)
+        if lv == first_level:
+            released = r
         if tick:
             t0 = tick('write', t0)
     return released is True
@@ -194,7 +196,12 @@ class StreamingFuser:
         if blend_method == 'overwrite':
             spec = getattr(writer, 'block_spec', None)
             bs = spec(0) if spec is not None else None
-            if bs and bs[0] > 0 and self.band % bs[0] == 0:
+            # chunk width must be EVEN: pyramid level 1 is assembled
+            # from per-block downsamples, whose 2-column windows must
+            # never straddle a block boundary (byte parity with the
+            # row-major band)
+            if (bs and bs[0] > 0 and self.band % bs[0] == 0
+                    and bs[1] % 2 == 0):
                 self._block_cx = int(bs[1])
 
     def _tick(self, key: str, t0: float) -> float:
@@ -391,20 +398,12 @@ class StreamingFuser:
         w1, h1 = self.width // 2, rows // 2
         if h1 == 0 or w1 == 0:
             return released
-        level = np.concatenate([host_downsample(blocks[i], self.mode)
-                                for i in range(ncx)], axis=1)[:h1, :w1]
-        for lv in range(1, self.num_levels):
-            if lv > 1:
-                level = host_downsample(level, self.mode)
-            b_lv = band0 >> lv
-            h_lv, w_lv = level.shape
-            if h_lv == 0 or w_lv == 0:
-                break
-            t0 = self._tick('pyramid', t0)
-            sel = (slice(0, 1), slice(c, c + 1), slice(z, z + 1),
-                   slice(b_lv, b_lv + h_lv), slice(0, w_lv))
-            self.writer.write_level(lv, level[None, None, None], sel=sel)
-            t0 = self._tick('write', t0)
+        level1 = np.concatenate([host_downsample(blocks[i], self.mode)
+                                 for i in range(ncx)], axis=1)[:h1, :w1]
+        self._tick('pyramid', t0)
+        write_band_levels(self.writer, c, z, band0, level1,
+                          self.num_levels, self.mode, self.width,
+                          tick=self._tick, first_level=1)
         return released
 
     # ------------------------------------------------------------------

@@ -639,8 +639,13 @@ def test_chunk_block_writes_match_tensorstore(tmp_path, rng):
 
     d_raw = str(tmp_path / "blocks")
     create_zarr_array(d_raw, shape, chunks, np.uint16, cname=None)
-    w = RawV2SlabWriter(d_raw, shape, chunks, np.uint16, direct_io="auto")
+    # force O_DIRECT so the zero-copy pwrite branch is the one tested
+    # (skip where the fs refuses, like the other direct-io tests)
+    mode = "on" if _direct_supported(tmp_path) else "off"
+    w = RawV2SlabWriter(d_raw, shape, chunks, np.uint16, direct_io=mode)
     assert w.ok
+    if mode == "on":
+        assert w.direct
     assert w.block_spec() == (cy, cx)
 
     # page-aligned pool like the fuser's: (ncx, band, cx)

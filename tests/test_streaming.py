@@ -297,3 +297,40 @@ def test_block_mode_matches_row_mode(tmp_path):
         assert filecmp.cmp(os.path.join(outs["block"], rel),
                            os.path.join(outs["row"], rel),
                            shallow=False), rel
+
+
+def test_block_mode_declines_odd_chunk_width(tmp_path):
+    """Odd chunk widths must NOT take block mode: pyramid level 1 is
+    assembled from per-block downsamples whose 2-column windows would
+    straddle odd block boundaries. The row path serves them (and the
+    output still matches the in-RAM fuser)."""
+    import numpy as np
+
+    from image_stitcher_tpu.io.omezarr import MultiscaleWriter
+    from image_stitcher_tpu.models.streaming import StreamingFuser
+
+    w = MultiscaleWriter(str(tmp_path / "x.ome.zarr"),
+                         (1, 1, 1, 250, 250), 3, np.uint16,
+                         (1, 1, 1, 64, 63), "t", 1.0, 1.0,
+                         ["c"], [0xFFFFFF], cname=None)
+    f = StreamingFuser(w, 1, 1, 250, 250, 96, 96, np.uint16, 3,
+                       chunk_rows=64)
+    assert f._block_cx == 0
+    w.close()
+
+    acq_dir = str(tmp_path / "acq")
+    write_synthetic_acquisition(acq_dir, grid_cols=3, grid_rows=3,
+                                tile_w=96, tile_h=96, overlap=32)
+    stitch(acq_dir, apply_flatfield=True,
+           options=EngineOptions(streaming='on', chunks=(1, 1, 1, 64, 63),
+                                 fusion_device='host'))
+    stream_out = _outputs(acq_dir)
+    acq2 = str(tmp_path / "acq2")
+    write_synthetic_acquisition(acq2, grid_cols=3, grid_rows=3,
+                                tile_w=96, tile_h=96, overlap=32)
+    stitch(acq2, apply_flatfield=True,
+           options=EngineOptions(streaming='off', chunks=(1, 1, 1, 64, 63),
+                                 fusion_device='host'))
+    ram_out = _outputs(acq2)
+    for lv in stream_out:
+        np.testing.assert_array_equal(stream_out[lv], ram_out[lv])

@@ -299,6 +299,8 @@ def run_ours(acq_dir, stage_choice=None, rep_timeout=None):
         watchdog = threading.Timer(rep_timeout, stop_event.set)
         watchdog.daemon = True
         watchdog.start()
+    import resource
+    ru0 = resource.getrusage(resource.RUSAGE_SELF)
     t0 = time.perf_counter()
     cancelled = False
     try:
@@ -316,6 +318,17 @@ def run_ours(acq_dir, stage_choice=None, rep_timeout=None):
         if watchdog is not None:
             watchdog.cancel()
     dt = time.perf_counter() - t0
+    ru1 = resource.getrusage(resource.RUSAGE_SELF)
+    cpu = (ru1.ru_utime - ru0.ru_utime) + (ru1.ru_stime - ru0.ru_stime)
+    try:
+        load1 = open('/proc/loadavg').read().split()[0]
+    except OSError:
+        load1 = '?'
+    # weather line: cpu share ~1.0 means this process HELD a core for
+    # the whole rep; far below means the host starved it (see
+    # BENCH_NOTES methodology) — makes every capture self-diagnosing
+    log(f"  weather: cpu {cpu:.1f}s = {cpu / max(dt, 1e-9):.2f} "
+        f"cores avg over {dt:.1f}s wall, load1={load1}")
     log(f"  config: registration_scope={options.registration_scope} "
         f"(threshold={options.registration_device_threshold}), "
         f"flatfield_device={options.flatfield_device}")

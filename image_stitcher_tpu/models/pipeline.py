@@ -42,6 +42,18 @@ from ..utils.progress import ProgressReporter, StitchCancelled
 _COMPRESSOR_PROBE_LOCK = threading.Lock()
 
 
+def _deprioritize_thread():
+    """Nice (+5) the calling thread: flatfield sample/fit work runs
+    concurrently with fusion, which is partly IO-blocked — deprioritized
+    prep fills those gaps instead of stealing runnable time on starved
+    hosts. Per-thread on Linux (setpriority takes the TID); harmless
+    no-op elsewhere."""
+    try:
+        os.setpriority(os.PRIO_PROCESS, threading.get_native_id(), 5)
+    except (AttributeError, OSError):
+        pass
+
+
 class StitchPipeline:
     """Orchestrates a full stitching run for one acquisition."""
 
@@ -223,7 +235,8 @@ class StitchPipeline:
         self._ff_recip_dev_cache = None
         opts = self.options
         rnd = random.Random(0)
-        pool = ThreadPoolExecutor(opts.resolved_reader_threads())
+        pool = ThreadPoolExecutor(opts.resolved_reader_threads(),
+                                  initializer=_deprioritize_thread)
         try:
             self._compute_flatfields_inner(acq, opts, rnd, pool)
         finally:
@@ -268,7 +281,8 @@ class StitchPipeline:
         workers = (1 if use_device else
                    max(1, min(len(acq.monochrome_channels), 4,
                               _available_cpus())))
-        fit_pool = _TPE(workers) if workers > 1 else None
+        fit_pool = (_TPE(workers, initializer=_deprioritize_thread)
+                    if workers > 1 else None)
         futures = []   # (monochrome idx, future), submit order
         drained = 0    # prefix of futures already recorded
 
@@ -1429,6 +1443,7 @@ class StitchPipeline:
                         self._ff_gate = gate
 
                         def _fit_flatfields():
+                            _deprioritize_thread()
                             try:
                                 with self.timers.time('flatfield_fit'):
                                     self.compute_flatfields()

@@ -434,8 +434,19 @@ class StreamingFuser:
             if stop_check is not None:
                 stop_check()
             c, z, band0 = key
-            self._process_band(c, z, band0, tasks[key], load_fn, progress,
-                               stop_check=stop_check)
+            import time as _time
+            cpu0 = _time.thread_time()
+            try:
+                self._process_band(c, z, band0, tasks[key], load_fn,
+                                   progress, stop_check=stop_check)
+            finally:
+                # compute-vs-wait split: stats[...] above are thread
+                # WALL sums (they bill IO blocks and scheduler
+                # starvation); 'cpu' is actual on-core time, the number
+                # that bounds a full-core run
+                with self._stats_lock:
+                    self.stats['cpu'] = (self.stats.get('cpu', 0.0)
+                                         + _time.thread_time() - cpu0)
 
         # (z, band0, c) order: all channels of one band row complete
         # near each other, so an RGB TIFF writer (which interleaves the

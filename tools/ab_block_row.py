@@ -14,11 +14,13 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-ACQ = "/tmp/bench_fixture_v2_g10_t2048/acq"
-
 
 def main():
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    import bench
+    global ACQ
+    ACQ = bench.cached_acquisition()
+    bench.prewarm(ACQ)
     from image_stitcher_tpu import EngineOptions, StitchingParameters
     from image_stitcher_tpu.models import streaming as st
     from image_stitcher_tpu.models.pipeline import StitchPipeline
@@ -55,8 +57,10 @@ def main():
             best[name] = dt if best[name] is None else min(best[name], dt)
             print(f"rep{rep} {name:5s}: {dt:.2f}s  (best {best[name]:.2f})",
                   flush=True)
-    print(f"RESULT best block={best['block']:.2f}s row={best['row']:.2f}s "
-          f"({best['row'] / best['block']:.3f}x)")
+    if best["block"] and best["row"]:
+        print(f"RESULT best block={best['block']:.2f}s "
+              f"row={best['row']:.2f}s "
+              f"({best['row'] / best['block']:.3f}x)")
 
 
 if __name__ == "__main__":

@@ -163,7 +163,9 @@ def test_stitcher_process_spawned_child(tmp_path):
     acq_dir = str(tmp_path / "acq")
     write_synthetic_acquisition(acq_dir, grid_cols=2, grid_rows=1,
                                 tile_w=48, tile_h=48, overlap=16)
-    params = StitchingParameters(input_folder=acq_dir)
+    # flatfield on: the spawned child runs the overlapped per-channel
+    # fit gate end to end under the queue protocol
+    params = StitchingParameters(input_folder=acq_dir, apply_flatfield=True)
     sp = StitcherProcess(params, options=EngineOptions(fusion_device='host'))
     sp.start()
     sp.join(timeout=180)

@@ -482,3 +482,66 @@ class RawV3ShardWriter(_RawSlabWriterBase):
                                 off0, fpath, is_direct)
                 finally:
                     os.close(fd)
+
+    # -------------------------------------------------- chunk-block API
+
+    def block_spec(self):
+        """(chunk_rows, chunk_cols) when this writer accepts chunk-
+        contiguous block writes (see RawV2SlabWriter.block_spec); shard
+        bodies are fixed-size at known ordinals, so a block lands as one
+        contiguous pwrite into its shard file."""
+        return (self.chunks[3], self.chunks[4]) if self.ok else None
+
+    def try_write_block(self, t: int, c: int, z: int, y0: int,
+                        cxi: int, block: np.ndarray) -> bool:
+        """v3 twin of RawV2SlabWriter.try_write_block — same contract
+        (C-contiguous (rows, chunk_cols) block, chunk-row-aligned y0,
+        pad columns already zero), same refusal semantics."""
+        if not self.ok:
+            return False
+        cy, cx = self.chunks[3], self.chunks[4]
+        rows = block.shape[0]
+        if (block.dtype != self.dtype or block.ndim != 2
+                or block.shape[1] != cx
+                or not block.flags.c_contiguous
+                or y0 % cy != 0 or rows <= 0
+                or y0 + rows > self.shape[3]
+                or cxi < 0 or cxi >= -(-self.shape[4] // cx)):
+            return False
+        if self.direct and block.ctypes.data % 4096 != 0:
+            return False
+        sy_rows, sx_cols = self.shard[3], self.shard[4]
+        gx0 = cxi * cx
+        sxi = gx0 // sx_cols
+        ix = (gx0 - sxi * sx_cols) // cx
+        flat = block.reshape(-1).view(np.uint8).data  # zero-copy bytes
+        for ry0 in range(0, rows, cy):
+            nrows = min(cy, rows - ry0)
+            gy0 = y0 + ry0
+            syi = gy0 // sy_rows
+            iy = (gy0 - syi * sy_rows) // cy
+            lin = iy * self.inner[4] + ix
+            fpath = self._shard_file(t, c, z, syi, sxi)
+            ordinals = self._present_ordinals(syi, sxi)
+            if self.direct:
+                # the index write is byte-grained: create/extend the
+                # shard through a plain fd, then write the body direct
+                pfd = os.open(fpath, os.O_WRONLY | os.O_CREAT, 0o644)
+                try:
+                    self._ensure_shard(pfd, ordinals)
+                finally:
+                    os.close(pfd)
+            fd, is_direct = self._open_chunk(fpath)
+            try:
+                if not is_direct:
+                    self._ensure_shard(fd, ordinals)
+                off0 = ordinals[lin] * self.chunk_nbytes
+                nbytes = nrows * self.pitch
+                byte0 = ry0 * self.pitch
+                done = 0
+                while done < nbytes:
+                    done += os.pwrite(fd, flat[byte0 + done:byte0 + nbytes],
+                                      off0 + done)
+            finally:
+                os.close(fd)
+        return True

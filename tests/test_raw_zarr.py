@@ -680,3 +680,50 @@ def test_chunk_block_rejects_bad_shapes(tmp_path, rng):
     assert not w.try_write_block(0, 0, 0, 192, 0, good)          # past bottom
     assert not w.try_write_block(0, 0, 0, 0, 0,
                                  good.astype(np.uint8))          # dtype
+
+
+def test_v3_chunk_block_writes_match_tensorstore(tmp_path, rng):
+    """v3 twin of the block-write parity test: chunk-contiguous blocks
+    into shard bodies, multi-chunk-row band, partial bottom, edge
+    column with in-buffer zero padding."""
+    import mmap
+
+    from image_stitcher_tpu.io.raw_zarr import RawV3ShardWriter
+    from image_stitcher_tpu.io.zarr_store import (
+        compute_shard_shape, create_zarr3_sharded_array)
+
+    shape, chunks = (1, 1, 1, 300, 3000), (1, 1, 1, 128, 2048)
+    cy, cx = 128, 2048
+    ncx = 2
+    full = rng.integers(0, 65535, (300, 3000), dtype=np.uint16)
+    cl, sh = compute_shard_shape(shape, chunks, 2)
+
+    d_raw = str(tmp_path / "v3blocks")
+    create_zarr3_sharded_array(d_raw, shape, chunks, np.uint16,
+                               shard_multiple=2, cname=None)
+    mode = "on" if _direct_supported(tmp_path) else "off"
+    w = RawV3ShardWriter(d_raw, shape, cl, sh, np.uint16, direct_io=mode)
+    assert w.ok
+    assert w.block_spec() == (cy, cx)
+
+    band = 256
+    mm = mmap.mmap(-1, ncx * band * cx * 2)
+    pool = np.frombuffer(mm, np.uint16).reshape(ncx, band, cx)
+    for band0 in (0, 256):
+        rows = min(band, 300 - band0)
+        blocks = pool[:, :rows]
+        blocks.fill(0)
+        for cxi in range(ncx):
+            x0, x1 = cxi * cx, min((cxi + 1) * cx, 3000)
+            blocks[cxi][:, :x1 - x0] = full[band0:band0 + rows, x0:x1]
+            assert w.try_write_block(0, 0, 0, band0, cxi, blocks[cxi])
+
+    arr = np.asarray(open_zarr_array(d_raw).read().result())
+    np.testing.assert_array_equal(arr[0, 0, 0], full)
+
+    # byte parity with a full tensorstore write of the same array
+    d_ts = str(tmp_path / "v3ts")
+    create_zarr3_sharded_array(d_ts, shape, chunks, np.uint16,
+                               shard_multiple=2, cname=None)
+    open_zarr_array(d_ts, writable=True)[0, 0, 0].write(full).result()
+    _assert_file_parity(d_ts, d_raw)

@@ -334,3 +334,48 @@ def test_block_mode_declines_odd_chunk_width(tmp_path):
     ram_out = _outputs(acq2)
     for lv in stream_out:
         np.testing.assert_array_equal(stream_out[lv], ram_out[lv])
+
+
+def test_block_mode_matches_row_mode_v3(tmp_path):
+    """Same store-file parity for zarr v3 sharded output (shard bodies
+    + index bytes identical between block and row banding)."""
+    import filecmp
+
+    acq_dir = str(tmp_path / "acq")
+    write_synthetic_acquisition(acq_dir, grid_cols=3, grid_rows=3,
+                                tile_w=96, tile_h=96, overlap=32)
+    from image_stitcher_tpu.models import streaming as st
+
+    outs = {}
+    for mode in ("block", "row"):
+        if mode == "row":
+            orig = st.StreamingFuser.__init__
+
+            def no_blocks(self, *a, **k):
+                orig(self, *a, **k)
+                self._block_cx = 0
+
+            st.StreamingFuser.__init__ = no_blocks
+        try:
+            stitch(acq_dir, apply_flatfield=True,
+                   options=EngineOptions(streaming='on', zarr_format=3,
+                                         chunks=(1, 1, 1, 64, 64),
+                                         fusion_device='host'))
+        finally:
+            if mode == "row":
+                st.StreamingFuser.__init__ = orig
+        out = sorted(glob.glob(acq_dir + "_stitched_*"))[-1]
+        outs[mode] = os.path.join(out, "0_stitched",
+                                  "A1_stitched.ome.zarr")
+
+    files_b = sorted(os.path.relpath(os.path.join(r, f), outs["block"])
+                     for r, _, fs in os.walk(outs["block"]) for f in fs)
+    files_r = sorted(os.path.relpath(os.path.join(r, f), outs["row"])
+                     for r, _, fs in os.walk(outs["row"]) for f in fs)
+    assert files_b == files_r and files_b
+    for rel in files_b:
+        if rel.endswith(("zarr.json",)):
+            continue
+        assert filecmp.cmp(os.path.join(outs["block"], rel),
+                           os.path.join(outs["row"], rel),
+                           shallow=False), rel

@@ -19,7 +19,13 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LOG = os.path.join(REPO, "CAPTURES_r4.log")
+STATE = os.path.join(REPO, ".weather_best.json")
 THRESHOLD = float(os.environ.get("WEATHER_MIN_SHARE", "0.85"))
+# fraction of the best-ever observed work rate required to capture:
+# the host's EFFECTIVE core speed swings ~4x (process CPU seconds for
+# identical work measured 5.2-6.3 s in good windows vs 22-26 s in bad
+# ones), which a share probe cannot see — only a rate probe can
+RATE_FRAC = float(os.environ.get("WEATHER_MIN_RATE_FRAC", "0.75"))
 
 
 def core_share(seconds: float = 2.0) -> float:
@@ -32,15 +38,49 @@ def core_share(seconds: float = 2.0) -> float:
     return (time.thread_time() - t0c) / (time.perf_counter() - t0w)
 
 
+def work_rate(seconds: float = 1.5) -> float:
+    """Memory+ALU throughput proxy (arbitrary units/s): a fixed uint16
+    multiply-clip-cast pass like the place kernel's, timed on wall."""
+    import numpy as np
+    t = (np.arange(4 << 20, dtype=np.uint16) * 3).astype(np.uint16)
+    ff = np.full(t.shape, 1.01, np.float32)
+    n = 0
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < seconds:
+        v = t * ff
+        np.clip(v, 0, 65535, out=v)
+        v.astype(np.uint16)
+        n += 1
+    return n / (time.perf_counter() - t0)
+
+
+def best_rate(rate: float) -> float:
+    """Roll the best-ever observed rate through STATE; returns max."""
+    best = rate
+    try:
+        best = max(best, float(json.load(open(STATE))["rate"]))
+    except (OSError, ValueError, KeyError):
+        pass
+    try:
+        json.dump({"rate": best}, open(STATE, "w"))
+    except OSError:
+        pass
+    return best
+
+
 def main() -> int:
     share = core_share()
+    rate = work_rate()
+    best = best_rate(rate)
     try:
         load1 = open("/proc/loadavg").read().split()[0]
     except OSError:
         load1 = "?"
     stamp = time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime())
-    head = (f"{stamp} share={share:.2f} load1={load1}")
-    if share < THRESHOLD and "--force" not in sys.argv:
+    head = (f"{stamp} share={share:.2f} rate={rate:.1f}/s "
+            f"(best {best:.1f}) load1={load1}")
+    if ((share < THRESHOLD or rate < RATE_FRAC * best)
+            and "--force" not in sys.argv):
         with open(LOG, "a") as f:
             f.write(head + " SKIP (starved window)\n")
         print(head, "-> skip")

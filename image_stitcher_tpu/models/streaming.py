@@ -398,8 +398,14 @@ class StreamingFuser:
         w1, h1 = self.width // 2, rows // 2
         if h1 == 0 or w1 == 0:
             return released
-        level1 = np.concatenate([host_downsample(blocks[i], self.mode)
-                                 for i in range(ncx)], axis=1)[:h1, :w1]
+        cw1 = blocks.shape[2] // 2
+        level1 = np.empty((h1, ncx * cw1), self.dtype)
+        for i in range(ncx):
+            # strided out= column: native kernel writes its dst stride,
+            # so no per-block copy + no concatenate pass
+            host_downsample(blocks[i], self.mode,
+                            out=level1[:, i * cw1:(i + 1) * cw1])
+        level1 = level1[:, :w1]
         self._tick('pyramid', t0)
         write_band_levels(self.writer, c, z, band0, level1,
                           self.num_levels, self.mode, self.width,

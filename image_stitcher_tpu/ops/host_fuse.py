@@ -235,13 +235,18 @@ class HostCanvas:
 
 
 def _downsample2x_native(x: np.ndarray, out_h: int, out_w: int,
-                         mode: str = 'nearest'):
+                         mode: str = 'nearest', out: np.ndarray = None):
     """C 2x downsample (native/hostops.c); None -> NumPy fallback.
 
     'nearest' copies exactly the elements of x[::2, ::2]. 'mean' (uint
     only) computes floor(mean of each 2x2 window) with integer
     arithmetic — bit-identical to the NumPy float32 path because the
-    4-term sum is < 2^24 (exact in f32) and /4 is a power of two."""
+    4-term sum is < 2^24 (exact in f32) and /4 is a power of two.
+
+    ``out`` (2-D inputs only): write the result into this array — rows
+    may be strided (a column slice of a wider buffer), so the block-
+    banding fuser can downsample chunk blocks straight into their
+    columns of a pooled level-1 band with no concatenate copy."""
     from ..native import get_lib
     lib = get_lib()
     if lib is None or not hasattr(lib, 'downsample2x2_mean_u16'):
@@ -255,27 +260,54 @@ def _downsample2x_native(x: np.ndarray, out_h: int, out_w: int,
         return None
     if out_h <= 0 or out_w <= 0 or x.strides[-1] != x.dtype.itemsize:
         return None
+    es = x.dtype.itemsize
+    if (out is not None and x.ndim == 2 and out.ndim == 2
+            and out.dtype == x.dtype and out.shape == (out_h, out_w)
+            and out.strides[-1] == es):
+        fn(x.ctypes.data, x.strides[0] // es,
+           out.ctypes.data, out.strides[0] // es, out_h, out_w)
+        return out
     lead = x.shape[:-2]
     src = x.reshape((-1,) + x.shape[-2:]) if lead else x[None]
     if src.strides[-1] != x.dtype.itemsize:
         return None
-    out = np.empty((src.shape[0], out_h, out_w), x.dtype)
-    es = x.dtype.itemsize
+    res = np.empty((src.shape[0], out_h, out_w), x.dtype)
     for i in range(src.shape[0]):
         plane = src[i]
         fn(plane.ctypes.data, plane.strides[0] // es,
-           out[i].ctypes.data, out[i].strides[0] // es, out_h, out_w)
-    return out.reshape(lead + (out_h, out_w))
+           res[i].ctypes.data, res[i].strides[0] // es, out_h, out_w)
+    return res.reshape(lead + (out_h, out_w))
 
 
-def host_downsample(x: np.ndarray, mode: str) -> np.ndarray:
-    """NumPy twin of ops/pyramid.downsample (levels from the host canvas)."""
+def host_downsample(x: np.ndarray, mode: str,
+                    out: np.ndarray = None) -> np.ndarray:
+    """NumPy twin of ops/pyramid.downsample (levels from the host canvas).
+
+    ``out`` (2-D inputs only) writes the result in place — see
+    :func:`_downsample2x_native`. Every path honors it: the fallbacks
+    copy, and a shape/dtype mismatch raises rather than silently
+    returning a fresh array (a caller that passed ``out`` is reusing a
+    pooled buffer and must be able to rely on it being filled)."""
+    if out is not None and (x.ndim != 2 or out.ndim != 2):
+        raise ValueError('host_downsample out= requires 2-D in and out')
     h2, w2 = (x.shape[-2] // 2) * 2, (x.shape[-1] // 2) * 2
-    out = _downsample2x_native(x, h2 // 2, w2 // 2, mode)
-    if out is not None:
-        return out
+    if out is not None and (out.shape != (h2 // 2, w2 // 2)
+                            or out.dtype != x.dtype):
+        raise ValueError(
+            f'host_downsample out= shape/dtype mismatch: '
+            f'{out.shape}/{out.dtype} vs {(h2 // 2, w2 // 2)}/{x.dtype}')
+    res = _downsample2x_native(x, h2 // 2, w2 // 2, mode, out=out)
+    if res is not None:
+        if out is not None and res is not out:
+            np.copyto(out, res)
+            return out
+        return res
     if mode == 'nearest':
-        return np.ascontiguousarray(x[..., :h2:2, :w2:2])
+        r = x[..., :h2:2, :w2:2]
+        if out is not None:
+            np.copyto(out, r)
+            return out
+        return np.ascontiguousarray(r)
     t = x[..., :h2, :w2].astype(np.float32)
     lead = t.shape[:-2]
     m = t.reshape(lead + (h2 // 2, 2, w2 // 2, 2)).mean(axis=(-3, -1))
@@ -283,4 +315,8 @@ def host_downsample(x: np.ndarray, mode: str) -> np.ndarray:
         # trunc, not floor: astype-from-float truncates toward zero, and
         # floor would bias negative values of signed canvases by -1
         m = np.trunc(m)
-    return m.astype(x.dtype)
+    m = m.astype(x.dtype)
+    if out is not None:
+        np.copyto(out, m)
+        return out
+    return m

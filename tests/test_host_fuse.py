@@ -49,6 +49,35 @@ def test_host_downsample_matches_device(rng):
             host_downsample(x, mode), np.asarray(downsample(jnp.asarray(x), mode)))
 
 
+def test_host_downsample_out_strided_columns(rng):
+    """out= fills strided column slices of a pooled band byte-identically
+    to the concatenate-of-copies path it replaces (streaming.py block
+    banding), for both kernels and both dtypes."""
+    import pytest
+    for dtype in (np.uint16, np.uint8):
+        hi = np.iinfo(dtype).max
+        blocks = rng.integers(0, hi, (3, 34, 48), dtype=dtype)
+        for mode in ('nearest', 'mean'):
+            ref = np.concatenate([host_downsample(blocks[i], mode)
+                                  for i in range(3)], axis=1)
+            pool = np.zeros((17, 3 * 24 + 5), dtype)  # wider than needed
+            for i in range(3):
+                got = host_downsample(blocks[i], mode,
+                                      out=pool[:, i * 24:(i + 1) * 24])
+                assert got.base is pool or got is pool
+            np.testing.assert_array_equal(pool[:, :72], ref)
+    # float falls through to the NumPy mean path; out must still be honored
+    xf = rng.random((10, 12)).astype(np.float32)
+    outf = np.empty((5, 6), np.float32)
+    assert host_downsample(xf, 'mean', out=outf) is outf
+    np.testing.assert_array_equal(outf, host_downsample(xf, 'mean'))
+    # mismatched out is an error, never silently ignored
+    with pytest.raises(ValueError):
+        host_downsample(xf, 'mean', out=np.empty((4, 6), np.float32))
+    with pytest.raises(ValueError):
+        host_downsample(xf, 'mean', out=np.empty((5, 6), np.float64))
+
+
 def test_host_vs_device_e2e_identical(tmp_path):
     """The two fusion backends must produce byte-identical zarr output."""
     results = {}

@@ -394,17 +394,51 @@ class StitchPipeline:
             ratio = float(np.median(ratios))
             detail = ", ".join(f"{n}={r:.2f}"
                                for n, r in zip(probed, ratios))
-            if ratio > 0.92:
+            # lz4 pays twice: compress CPU (~300-400 MB/s/core through
+            # the tensorstore writer) AND the detour off the raw
+            # O_DIRECT pwritev fast path. Measured interleaved on a
+            # 1-core/fast-disk host (tools/ab_compressor.py,
+            # compressible fixture): blosc-lz4 at actual ratio 0.80 ran
+            # 27.4 s e2e vs raw 5.4 s. So compression must clear TWO
+            # gates: content that genuinely compresses (the zlib-1
+            # probe under-reports blosc's achieved ratio, hence 0.6 not
+            # 0.92) and a disk slow enough that shrinking bytes beats
+            # burning cores (per-core compressor throughput x cores).
+            reason = None
+            if ratio > 0.6:
+                reason = "content doesn't compress enough"
+            else:
+                disk = self._probed_disk_mbps()
+                ncores = len(os.sched_getaffinity(0))
+                if disk is not None and disk >= 300.0 * ncores:
+                    reason = (f"disk {disk:.0f} MB/s outruns "
+                              f"{ncores}-core lz4")
+            if reason is not None:
                 self._compressor_choice = (None, 0, 0)
                 self.reporter.status(
                     f"compressor auto: median ratio {ratio:.2f} "
-                    f"({detail}) — storing raw chunks", False)
+                    f"({detail}) — storing raw chunks ({reason})", False)
             else:
                 self._compressor_choice = ('lz4', 5, 1)
                 self.reporter.status(
                     f"compressor auto: median ratio {ratio:.2f} "
                     f"({detail}) — blosc-lz4-5", False)
         return self._compressor_choice
+
+    def _probed_disk_mbps(self):
+        """Measured write bandwidth of the output device (best of the
+        cached buffered/direct probe arms), or None if unprobed and the
+        probe fails — None keeps the decision on the ratio gate alone."""
+        try:
+            from ..io.directio import probe_direct_io
+            d = os.path.dirname(self.output_folder) or '.'
+            entry = probe_direct_io(d)
+            if entry:
+                return max(float(entry.get('buffered_mbps', 0.0)),
+                           float(entry.get('direct_mbps', 0.0)))
+        except Exception:
+            pass
+        return None
 
     def _await_ff(self):
         """Join the overlapped flatfield fit (no-op when none is in

@@ -75,7 +75,10 @@ def make_ground_truth(height: int, width: int, seed: int = 0,
     maxval = np.iinfo(dtype).max if np.issubdtype(dtype, np.integer) else 1.0
     out = (acc * maxval * 0.8 + maxval * 0.1).astype(dtype)
     if quantize_bits and np.issubdtype(dtype, np.integer):
-        out &= np.array(~((1 << quantize_bits) - 1), dtype)
+        # mask the low bits; & max keeps the literal in the dtype's
+        # unsigned range (numpy 2 rejects out-of-bounds Python ints)
+        mask = ~((1 << quantize_bits) - 1) & int(np.iinfo(dtype).max)
+        out &= np.array(mask, dtype)
     return out
 
 

@@ -349,14 +349,20 @@ def test_flatfield_device_matches_host(tmp_path):
     assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.98
 
 
-def test_compressor_auto(tmp_path):
+def test_compressor_auto(tmp_path, monkeypatch):
     """'auto' stores raw chunks for incompressible content and keeps
-    blosc for compressible content — one decision per run, applied to
-    region writers and merges alike."""
+    blosc for compressible content on a disk-bound host — one decision
+    per run, applied to region writers and merges alike. The disk probe
+    is pinned slow here so the decision under test is the content gate
+    (the disk gate has its own test)."""
     import json
 
     from fixtures import write_synthetic_acquisition
     from image_stitcher_tpu import EngineOptions, stitch
+    from image_stitcher_tpu.models.pipeline import StitchPipeline
+
+    monkeypatch.setattr(StitchPipeline, '_probed_disk_mbps',
+                        lambda self: 120.0)
 
     # random uint16 texture: incompressible -> raw
     acq1 = str(tmp_path / "noise")

@@ -161,14 +161,18 @@ def test_gui_stop_keeps_complete_when_child_finished():
 # ------------------------------------------------------- compressor probe
 
 
-def test_compressor_auto_median_survives_one_noisy_tile(tmp_path):
+def test_compressor_auto_median_survives_one_noisy_tile(tmp_path,
+                                                        monkeypatch):
     """ADVICE r2 #3: one incompressible tile on an otherwise
     compressible plate must not commit the run to raw storage — the
-    decision is the MEDIAN of first/center/last probes."""
+    decision is the MEDIAN of first/center/last probes. Disk probe
+    pinned slow so the content gate is what's under test."""
     from image_stitcher_tpu import EngineOptions, StitchingParameters
     from image_stitcher_tpu.io.acquisition import scan_acquisition
     from image_stitcher_tpu.models.pipeline import StitchPipeline
 
+    monkeypatch.setattr(StitchPipeline, '_probed_disk_mbps',
+                        lambda self: 120.0)
     acq_dir = str(tmp_path / "acq")
     write_synthetic_acquisition(acq_dir, grid_cols=3, grid_rows=1,
                                 tile_w=64, tile_h=64, overlap=16,

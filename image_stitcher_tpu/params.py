@@ -130,10 +130,12 @@ class EngineOptions:
     # (stitcher.py:818 zarr.storage.default_compressor); the production
     # zarr_stitcher edition's zstd-1 (zarr_stitcher.py:409) is one knob
     # away. lz4 is ~2x faster per core at similar microscopy ratios.
-    # 'auto' probes a sample tile at write time and stores RAW when the
-    # content doesn't compress (>0.92 ratio): on incompressible data
-    # blosc burns CPU for zero size benefit — the compress stage of a
-    # 2.9 GB output costs seconds of core time on starved hosts.
+    # 'auto' probes sample tiles at write time and compresses only when
+    # BOTH gates pass: median probe ratio <= 0.6 (content genuinely
+    # compresses) and measured output-device bandwidth < 300 MB/s x
+    # cores (the disk, not the CPU, is the bottleneck). Measured: on a
+    # 1-core/1 GB/s-disk host, lz4 ran 5x slower e2e than raw chunks
+    # while saving 20% of bytes (BENCH_NOTES round-4 compressor A/B).
     compressor_cname: str = 'lz4'
     compressor_clevel: int = 5
     compressor_shuffle: int = 1

@@ -286,6 +286,51 @@ class StreamingFuser:
         else:
             buf[yy - band0:yy - band0 + t.shape[0], xx:xx + t.shape[1]] = t
 
+    def _band_covered(self, jobs: Sequence, band0: int, rows: int) -> bool:
+        """True iff the jobs' nominal visible rects tile the whole band.
+
+        Overwrite mode then skips the band's zero fill — the pooled
+        buffer's previous contents are fully overwritten anyway, and
+        the fill is real CPU (band rows x canvas width x itemsize per
+        band per channel: ~2.3 GB of memset per g10 bench run, the
+        band pool's last avoidable pass). Rects use the NOMINAL tile
+        dims; `_process_band` verifies each loaded tile against them
+        and falls back to a zeroed replay on mismatch, so correctness
+        never rests on this estimate.
+
+        Union test: y-sweep over slab boundaries; every slab's
+        x-interval union must span [0, width). O(jobs^2) worst case on
+        a few dozen rects — noise next to one tile decode."""
+        th, tw = self.tile_h, self.tile_w
+        b_lo, b_hi = band0, band0 + rows
+        rects = []
+        for job, _ in jobs:
+            top, bottom, left, right = job.crops
+            y0 = max(job.y + top, b_lo)
+            y1 = min(job.y + (th - bottom if bottom else th),
+                     self.height, b_hi)
+            x0 = job.x + left
+            x1 = min(job.x + (tw - right if right else tw), self.width)
+            if y1 > y0 and x1 > x0 and y0 >= 0 and x0 >= 0:
+                rects.append((y0, y1, x0, x1))
+        if not rects:
+            return rows <= 0
+        rects.sort(key=lambda r: r[2])  # the sweep scans x0-ascending
+        ys = sorted({v for r in rects for v in r[:2]} | {b_lo, b_hi})
+        for ya, yb in zip(ys, ys[1:]):
+            if yb <= b_lo or ya >= b_hi:
+                continue
+            reach = 0
+            for y0, y1, x0, x1 in rects:
+                # intervals pre-sorted by x0 via rect sort below
+                if y0 <= ya and y1 >= yb:
+                    if x0 > reach:
+                        return False
+                    reach = max(reach, x1)
+            if reach < self.width:
+                return False
+        return True
+
     def _process_band(self, c: int, z: int, band0: int,
                       jobs: Sequence, load_fn: Callable,
                       progress_cb=None, stop_check=None) -> None:
@@ -320,7 +365,18 @@ class StreamingFuser:
                                     ).reshape(ncx, self.band, cx)
                 self._tl.blocks = buf
             buf = buf[:, :rows]
-            buf.fill(0)
+            if self._band_covered(jobs, band0, rows):
+                # fully-overwritten band: skip the memset, but the last
+                # block's padded tail columns (>= width) DO land in the
+                # level-0 chunk file and must stay fill-value zero
+                ncx, _, cx = buf.shape
+                tail0 = self.width - (ncx - 1) * cx
+                if tail0 < cx:
+                    buf[-1][:, tail0:] = 0
+                filled = False
+            else:
+                buf.fill(0)
+                filled = True
         else:
             buf = getattr(self._tl, 'band', None)
             if buf is None or buf.dtype != self.dtype:
@@ -334,17 +390,40 @@ class StreamingFuser:
                                     ).reshape(self.band, self.alloc_width)
                 self._tl.band = buf
             buf = buf[:rows]
-            buf.fill(0)
-        for job, is_primary in jobs:
+            if self._band_covered(jobs, band0, rows):
+                filled = False  # writers only see buf[:, :width]
+            else:
+                buf.fill(0)
+                filled = True
+        if self.blend == 'feather':
+            filled = True  # accumulators above start from zero
+        nominal = (self.tile_h, self.tile_w)
+        reported = -1  # highest job index whose progress already fired
+        i = 0
+        while i < len(jobs):
+            job, is_primary = jobs[i]
             if stop_check is not None:
                 stop_check()  # per-tile cancellation, like HostCanvas
             t0 = _time.perf_counter()
             tile = load_fn(job)
             t0 = self._tick('decode', t0)
+            if not filled and tile.shape[-2:] != nominal:
+                # a tile smaller than its nominal rect breaks the
+                # coverage proof the fill skip rested on: zero the band
+                # and REPLAY placements (progress below never re-fires)
+                if buf.ndim == 3:
+                    buf.fill(0)
+                else:
+                    buf[:, :self.width].fill(0)
+                filled = True
+                i = 0
+                continue
             self._place_in_band(buf, band0, job, tile)
             self._tick('place', t0)
-            if progress_cb is not None and is_primary:
+            if progress_cb is not None and is_primary and i > reported:
+                reported = i
                 progress_cb()
+            i += 1
         t0 = _time.perf_counter()
         if not isinstance(buf, tuple) and buf.ndim == 3:
             self._tick('finalize', t0)

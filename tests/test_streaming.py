@@ -379,3 +379,95 @@ def test_block_mode_matches_row_mode_v3(tmp_path):
         assert filecmp.cmp(os.path.join(outs["block"], rel),
                            os.path.join(outs["row"], rel),
                            shallow=False), rel
+
+
+# ------------------------------------------------- band fill-skip coverage
+
+
+def _covered(jobs, band0, rows, *, h=200, w=300, th=100, tw=100):
+    """Drive StreamingFuser._band_covered on a minimal stand-in self."""
+    from types import SimpleNamespace
+    import image_stitcher_tpu.models.streaming as st
+    self_like = SimpleNamespace(tile_h=th, tile_w=tw, height=h, width=w)
+    wrapped = [(SimpleNamespace(y=y, x=x, crops=crops), True)
+               for y, x, crops in jobs]
+    return st.StreamingFuser._band_covered(self_like, wrapped, band0, rows)
+
+
+def test_band_covered_geometry():
+    z = (0, 0, 0, 0)
+    # 2x3 grid of 100^2 tiles tiles a 200x300 band exactly
+    grid = [(y, x, z) for y in (0, 100) for x in (0, 100, 200)]
+    assert _covered(grid, 0, 200)
+    assert _covered(grid, 100, 100)      # lower band alone
+    # a missing tile opens a gap
+    assert not _covered(grid[:-1], 0, 200)
+    assert not _covered(grid[:-1], 100, 100)
+    # the gap in the OTHER band doesn't break this band
+    assert _covered([j for j in grid if j[0] == 0], 0, 100)
+    # overlapping tiles still cover
+    over = [(y, x, z) for y in (0, 80) for x in (0, 80, 160, 200)]
+    assert _covered(over, 0, 180)
+    # crops shrink the rect: a cropped column opens a seam
+    cropped = list(grid)
+    cropped[1] = (0, 100, (0, 0, 5, 0))  # left crop on the middle tile
+    assert not _covered(cropped, 0, 100)
+    # ...unless a neighbor overlaps past the seam
+    cropped[0] = (0, -5, z)              # negative x -> rect discarded
+    assert not _covered(cropped, 0, 100)
+    # empty band
+    assert not _covered([], 0, 100)
+
+
+def test_streaming_dirty_pool_reuse_byte_parity(tmp_path):
+    """Fill-skip adversary: tiny chunk rows force MANY bands per thread,
+    so the pooled band buffer is reused dirty across bands/z/channels
+    with DIFFERENT content. Fully-covered bands skip the zero fill; the
+    output must still be byte-identical to the materialized device
+    canvas."""
+    results = {}
+    for backend in ("host", "device"):
+        acq = str(tmp_path / f"acq_{backend}")
+        write_synthetic_acquisition(acq, grid_cols=3, grid_rows=3,
+                                    tile_w=96, tile_h=96, overlap=32,
+                                    channels=["Fluorescence 488 nm Ex",
+                                              "Fluorescence 561 nm Ex"],
+                                    num_z=2)
+        stitch(acq, apply_flatfield=True,
+               options=EngineOptions(
+                   streaming='on' if backend == 'host' else 'off',
+                   chunks=(1, 1, 1, 32, 32),
+                   fusion_device=backend, fusion_batch=4))
+        out = sorted(glob.glob(acq + "_stitched_*"))[-1]
+        zp = os.path.join(out, "0_stitched", "A1_stitched.ome.zarr", "0")
+        results[backend] = np.asarray(open_zarr_array(zp).read().result())
+    np.testing.assert_array_equal(results['host'], results['device'])
+
+
+def test_streaming_undersized_tile_triggers_zeroed_replay(tmp_path):
+    """A tile smaller than nominal breaks the coverage proof behind the
+    fill skip; the band must zero itself and replay, ending byte-equal
+    to the in-RAM HostCanvas (which clamps to actual shapes natively)."""
+    import cv2
+
+    results = {}
+    for mode in ("on", "off"):
+        acq = str(tmp_path / f"acq_{mode}")
+        write_synthetic_acquisition(acq, grid_cols=3, grid_rows=3,
+                                    tile_w=96, tile_h=96, overlap=32)
+        # shrink the CENTER tile's file: its nominal rect goes uncovered
+        from image_stitcher_tpu.io.acquisition import (read_image,
+                                                       scan_acquisition)
+        a = scan_acquisition(acq)
+        keys = sorted(a.tiles.keys())
+        center = a.tiles[keys[len(keys) // 2]].filepath
+        small = read_image(center)[:64, :64].copy()
+        assert cv2.imwrite(center, small,
+                           [int(cv2.IMWRITE_TIFF_COMPRESSION), 1])
+        stitch(acq, options=EngineOptions(streaming=mode,
+                                          chunks=(1, 1, 1, 32, 32),
+                                          fusion_device='host'))
+        out = sorted(glob.glob(acq + "_stitched_*"))[-1]
+        zp = os.path.join(out, "0_stitched", "A1_stitched.ome.zarr", "0")
+        results[mode] = np.asarray(open_zarr_array(zp).read().result())
+    np.testing.assert_array_equal(results['on'], results['off'])

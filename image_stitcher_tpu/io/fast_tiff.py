@@ -132,13 +132,19 @@ def read_tiff_fast(path: str,
         # a declared strip must actually HOLD the pixels: a short strip
         # (truncated writer, oversized ImageLength) would otherwise let
         # frombuffer read adjacent file bytes — IFD entries, tag data —
-        # as image content instead of falling back
-        covered = (counts is not None and len(counts) == len(offsets)
-                   and sum(counts) >= expected)
-        contiguous = (len(offsets) == 1 and (counts is None or covered)) or (
-            covered
-            and all(offsets[i] + counts[i] == offsets[i + 1]
-                    for i in range(len(offsets) - 1)))
+        # as image content instead of falling back. Vectorized: strip-
+        # per-2-rows writers (cv2) put ~1k strips per tile, and this
+        # check runs on every band-touch re-read of every tile.
+        if counts is not None and len(counts) == len(offsets):
+            cnt_a = np.asarray(counts, np.int64)
+            off_a = np.asarray(offsets, np.int64)
+            covered = bool(cnt_a.sum() >= expected)
+            contiguous = len(offsets) == 1 and covered or (
+                covered
+                and bool((off_a[:-1] + cnt_a[:-1] == off_a[1:]).all()))
+        else:
+            covered = False
+            contiguous = len(offsets) == 1 and counts is None
         if contiguous:
             start = offsets[0]
             if start + expected > len(data):

@@ -110,3 +110,77 @@ def test_fast_multistrip(tmp_path):
     out = read_tiff_fast(p)
     assert out is not None
     np.testing.assert_array_equal(out, img)
+
+
+def _synth_strip_tiff(path, img, rows_per_strip=4, gap=0, last_count_delta=0):
+    """Hand-rolled classic multi-strip TIFF; ``gap`` bytes between strips
+    (non-contiguous layout), ``last_count_delta`` lies in the final
+    StripByteCounts entry (a truncated writer)."""
+    import struct
+    h, w = img.shape
+    strips = [img[i:i + rows_per_strip].tobytes()
+              for i in range(0, h, rows_per_strip)]
+    header = struct.pack('<2sHI', b'II', 42, 8)
+    n = 10
+    ifd_size = 2 + n * 12 + 4
+    off_array_pos = 8 + ifd_size
+    cnt_array_pos = off_array_pos + len(strips) * 4
+    data_start = cnt_array_pos + len(strips) * 4
+    strip_offsets = []
+    pos = data_start
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s) + gap
+    counts = [len(s) for s in strips]
+    counts[-1] += last_count_delta
+
+    def entry(tag, ty, count, value):
+        return struct.pack('<HHI4s', tag, ty, count, value)
+
+    def inline_short(v):
+        return struct.pack('<HH', v, 0)
+
+    def inline_long(v):
+        return struct.pack('<I', v)
+
+    entries = [
+        entry(256, 3, 1, inline_short(w)),
+        entry(257, 3, 1, inline_short(h)),
+        entry(258, 3, 1, inline_short(16)),
+        entry(259, 3, 1, inline_short(1)),
+        entry(262, 3, 1, inline_short(1)),
+        entry(273, 4, len(strips), inline_long(off_array_pos)),
+        entry(277, 3, 1, inline_short(1)),
+        entry(278, 3, 1, inline_short(rows_per_strip)),
+        entry(279, 4, len(strips), inline_long(cnt_array_pos)),
+        entry(339, 3, 1, inline_short(1)),
+    ]
+    blob = (header + struct.pack('<H', n) + b''.join(entries)
+            + struct.pack('<I', 0))
+    blob += b''.join(struct.pack('<I', o) for o in strip_offsets)
+    blob += b''.join(struct.pack('<I', c) for c in counts)
+    for s in strips:
+        blob += s + b'\0' * gap
+    with open(path, 'wb') as f:
+        f.write(blob)
+
+
+def test_fast_noncontiguous_strips(tmp_path):
+    """Gapped strip layout: the parser must take the per-strip gather
+    path and still reconstruct exactly."""
+    img = np.arange(16 * 8, dtype=np.uint16).reshape(16, 8)
+    p = str(tmp_path / "gap.tiff")
+    _synth_strip_tiff(p, img, gap=6)
+    out = read_tiff_fast(p)
+    assert out is not None
+    np.testing.assert_array_equal(out, img)
+
+
+def test_fast_rejects_short_strips(tmp_path):
+    """StripByteCounts that don't cover ImageLength rows (truncated
+    writer): reading on would interpret adjacent file bytes as pixels —
+    the fast path must decline."""
+    img = np.arange(16 * 8, dtype=np.uint16).reshape(16, 8)
+    p = str(tmp_path / "short.tiff")
+    _synth_strip_tiff(p, img, last_count_delta=-10)
+    assert read_tiff_fast(p) is None

@@ -356,12 +356,15 @@ class StitchPipeline:
         self._check_stop()
 
     def resolved_compressor(self):
-        """(cname, clevel, shuffle) for the zarr writers. 'auto' probes
-        one tile's content with zlib-1 and stores RAW when it doesn't
-        compress (ratio > 0.92): blosc on incompressible content burns
-        seconds of core time per GB for zero size benefit. The probe is
-        conservative — anything that compresses at all keeps blosc-lz4.
-        Cached per run so every writer (regions + merges) agrees."""
+        """(cname, clevel, shuffle) for the zarr writers. 'auto' stores
+        RAW unless BOTH gates pass: the median zlib-1 probe ratio over
+        first/center/last tiles is <= 0.6 (content genuinely
+        compresses; zlib-1 under-reports blosc's achieved ratio), and
+        the measured output-device bandwidth is < 300 MB/s x cores (the
+        disk, not the CPU, is the bottleneck — on a fast-disk host lz4
+        burns the cores AND forfeits the raw O_DIRECT writer; measured
+        5x slower e2e, BENCH_NOTES round-4 compressor A/B). Cached per
+        run so every writer (regions + merges) agrees."""
         opts = self.options
         if opts.compressor_cname != 'auto':
             return (opts.compressor_cname, opts.compressor_clevel,
@@ -408,8 +411,9 @@ class StitchPipeline:
             if ratio > 0.6:
                 reason = "content doesn't compress enough"
             else:
+                from ..params import _available_cpus
                 disk = self._probed_disk_mbps()
-                ncores = len(os.sched_getaffinity(0))
+                ncores = _available_cpus()
                 if disk is not None and disk >= 300.0 * ncores:
                     reason = (f"disk {disk:.0f} MB/s outruns "
                               f"{ncores}-core lz4")
@@ -427,15 +431,19 @@ class StitchPipeline:
 
     def _probed_disk_mbps(self):
         """Measured write bandwidth of the output device (best of the
-        cached buffered/direct probe arms), or None if unprobed and the
-        probe fails — None keeps the decision on the ratio gate alone."""
+        cached buffered/direct probe arms), or None when there is no
+        real measurement — unprobed, probe failure, or the probe's
+        O_DIRECT-unsupported sentinel (0.0 rates on tmpfs/FUSE) — so
+        the decision degrades to the ratio gate alone."""
         try:
             from ..io.directio import probe_direct_io
             d = os.path.dirname(self.output_folder) or '.'
             entry = probe_direct_io(d)
             if entry:
-                return max(float(entry.get('buffered_mbps', 0.0)),
+                best = max(float(entry.get('buffered_mbps', 0.0)),
                            float(entry.get('direct_mbps', 0.0)))
+                if best > 0.0:
+                    return best
         except Exception:
             pass
         return None

@@ -192,6 +192,10 @@ class StreamingFuser:
         # staging pack (measured: the row path's O_DIRECT staging pack
         # is the write stage's main CPU). Only for overwrite blending on
         # writers that expose chunk-contiguous block writes (raw v2).
+        # flips False on the first loaded tile whose shape contradicts
+        # the nominal dims — the band fill-skip's coverage proofs rest
+        # on them (see _band_covered)
+        self._nominal_dims_ok = True
         self._block_cx = 0
         if blend_method == 'overwrite':
             spec = getattr(writer, 'block_spec', None)
@@ -301,6 +305,11 @@ class StreamingFuser:
         Union test: y-sweep over slab boundaries; every slab's
         x-interval union must span [0, width). O(jobs^2) worst case on
         a few dozen rects — noise next to one tile decode."""
+        if not self._nominal_dims_ok:
+            # a loaded tile already contradicted the nominal dims: every
+            # further coverage proof would fail the same way, and each
+            # failed proof costs a full band re-decode (replay). Fill.
+            return False
         th, tw = self.tile_h, self.tile_w
         b_lo, b_hi = band0, band0 + rows
         rects = []
@@ -391,7 +400,12 @@ class StreamingFuser:
                 self._tl.band = buf
             buf = buf[:rows]
             if self._band_covered(jobs, band0, rows):
-                filled = False  # writers only see buf[:, :width]
+                # writers only see buf[:, :width]; the pad columns
+                # (pad_width_to in-place O_DIRECT layouts) still promise
+                # zeros past width — keep that invariant cheaply
+                if buf.shape[1] > self.width:
+                    buf[:, self.width:] = 0
+                filled = False
             else:
                 buf.fill(0)
                 filled = True
@@ -410,11 +424,11 @@ class StreamingFuser:
             if not filled and tile.shape[-2:] != nominal:
                 # a tile smaller than its nominal rect breaks the
                 # coverage proof the fill skip rested on: zero the band
-                # and REPLAY placements (progress below never re-fires)
-                if buf.ndim == 3:
-                    buf.fill(0)
-                else:
-                    buf[:, :self.width].fill(0)
+                # and REPLAY placements (progress below never re-fires).
+                # Remember instance-wide so later bands fill up front
+                # instead of each paying a full re-decode.
+                self._nominal_dims_ok = False
+                buf.fill(0)
                 filled = True
                 i = 0
                 continue

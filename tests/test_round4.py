@@ -29,13 +29,10 @@ def _auto_pipe(tmp_path):
 def test_compressor_auto_fast_disk_stays_raw(tmp_path, monkeypatch):
     """Compressible content + a disk that outruns the compressor ->
     raw chunks (shrinking bytes can't pay for burning the cores)."""
+    from image_stitcher_tpu.params import _available_cpus
+    ncores = _available_cpus()
     monkeypatch.setattr(StitchPipeline, '_probed_disk_mbps',
-                        lambda self: 1000.0)
-    import os
-    ncores = len(os.sched_getaffinity(0))
-    if 1000.0 < 300.0 * ncores:  # huge-core hosts legitimately compress
-        monkeypatch.setattr(StitchPipeline, '_probed_disk_mbps',
-                            lambda self: 400.0 * ncores)
+                        lambda self: max(1000.0, 400.0 * ncores))
     pipe = _auto_pipe(tmp_path)
     assert pipe.resolved_compressor()[0] is None
 

@@ -388,7 +388,8 @@ def _covered(jobs, band0, rows, *, h=200, w=300, th=100, tw=100):
     """Drive StreamingFuser._band_covered on a minimal stand-in self."""
     from types import SimpleNamespace
     import image_stitcher_tpu.models.streaming as st
-    self_like = SimpleNamespace(tile_h=th, tile_w=tw, height=h, width=w)
+    self_like = SimpleNamespace(tile_h=th, tile_w=tw, height=h, width=w,
+                                _nominal_dims_ok=True)
     wrapped = [(SimpleNamespace(y=y, x=x, crops=crops), True)
                for y, x, crops in jobs]
     return st.StreamingFuser._band_covered(self_like, wrapped, band0, rows)
@@ -471,3 +472,16 @@ def test_streaming_undersized_tile_triggers_zeroed_replay(tmp_path):
         zp = os.path.join(out, "0_stitched", "A1_stitched.ome.zarr", "0")
         results[mode] = np.asarray(open_zarr_array(zp).read().result())
     np.testing.assert_array_equal(results['on'], results['off'])
+
+
+def test_band_covered_disabled_after_nominal_mismatch():
+    """Once a loaded tile contradicts the nominal dims, every later
+    coverage proof is declined up front (one replay, not one per band)."""
+    from types import SimpleNamespace
+    import image_stitcher_tpu.models.streaming as st
+    s = SimpleNamespace(tile_h=100, tile_w=100, height=100, width=100,
+                        _nominal_dims_ok=True)
+    jobs = [(SimpleNamespace(y=0, x=0, crops=(0, 0, 0, 0)), True)]
+    assert st.StreamingFuser._band_covered(s, jobs, 0, 100)
+    s._nominal_dims_ok = False
+    assert not st.StreamingFuser._band_covered(s, jobs, 0, 100)

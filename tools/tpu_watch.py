@@ -9,7 +9,7 @@ image_stitcher_tpu/parallel/autotune.py:_run_probe for the rationale).
 One invocation = one watch step:
   1. force a fresh link-bandwidth probe (subprocess, 240 s deadline),
      append the result to PROBE_LOG_r4.md;
-  2. if BOTH directions clear 50 MiB/s: run the on-chip validations
+  2. if BOTH directions clear 50 MB/s: run the on-chip validations
      (tpu_kernel_check, tpu_e2e_check), leave the probe cache fresh so
      bench reps pick device stages, then run a weather-gated capture
      (tools/weather_capture.py --force) so the live window lands in
@@ -26,7 +26,8 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PROBE_LOG = os.path.join(REPO, "PROBE_LOG_r4.md")
-LIVE_MIBS = 50.0
+# probe_link_bandwidth reports MB/s (h2d_mbps/d2h_mbps)
+LIVE_MBS = 50.0
 
 PROBE_CODE = """
 import json, sys
@@ -49,19 +50,26 @@ def now() -> str:
 
 
 def probe():
-    """Fresh link probe in a subprocess. Returns rates dict or None."""
+    """Fresh link probe in a subprocess.
+
+    Returns (rates dict, None) on success, (None, reason) otherwise —
+    a killed-at-deadline child and a crashed child are DIFFERENT
+    observations (the latter means the watch itself is broken, not the
+    tunnel) and must be logged distinguishably."""
     try:
         out = subprocess.run([sys.executable, "-c", PROBE_CODE],
                              capture_output=True, timeout=240, text=True)
     except subprocess.TimeoutExpired:
-        return None
+        return None, "probe child killed at 240s deadline — link DEAD"
     for line in out.stdout.splitlines():
         if line.startswith("WATCH_JSON "):
             try:
-                return json.loads(line[len("WATCH_JSON "):])
+                return json.loads(line[len("WATCH_JSON "):]), None
             except Exception:
-                return None
-    return None
+                break
+    return None, (f"PROBE CHILD BROKEN (rc={out.returncode}) — fix the "
+                  f"watch, this says nothing about the link; stderr: "
+                  f"{out.stderr.strip()[-200:]!r}")
 
 
 def run_step(argv, timeout_s, label):
@@ -76,22 +84,27 @@ def run_step(argv, timeout_s, label):
 
 
 def main() -> int:
-    rates = probe()
-    if not rates:
-        log(f"| {now()} | 0.001 | 0.001 | probe child killed at deadline "
-            f"— link DEAD |")
+    rates, reason = probe()
+    if rates is None:
+        log(f"| {now()} | - | - | {reason} |")
         return 0
     h2d = float(rates.get("h2d_mbps", rates.get("h2d", 0.0)) or 0.0)
     d2h = float(rates.get("d2h_mbps", rates.get("d2h", 0.0)) or 0.0)
-    if h2d < LIVE_MIBS or d2h < LIVE_MIBS:
-        log(f"| {now()} | {h2d:.1f} | {d2h:.1f} | below {LIVE_MIBS:.0f} "
-            f"MiB/s gate — device stages unusable |")
+    if h2d < LIVE_MBS or d2h < LIVE_MBS:
+        log(f"| {now()} | {h2d:.1f} | {d2h:.1f} | below {LIVE_MBS:.0f} "
+            f"MB/s gate — device stages unusable |")
         return 0
     log(f"| {now()} | {h2d:.1f} | {d2h:.1f} | LIVE — validating on-chip |")
+    ok = True
     for mod, budget in (("image_stitcher_tpu.tools.tpu_kernel_check", 900),
                         ("image_stitcher_tpu.tools.tpu_e2e_check", 900)):
         rc, tail = run_step([sys.executable, "-m", mod], budget, mod)
         log(f"    {mod}: rc={rc} {tail!r}")
+        ok = ok and rc == 0
+    if not ok:
+        log("    capture SKIPPED: on-chip validation failed — a capture "
+            "through a half-dead device would be invalid")
+        return 0
     rc, tail = run_step(
         [sys.executable, os.path.join(REPO, "tools", "weather_capture.py"),
          "--force"], 2400, "weather_capture")

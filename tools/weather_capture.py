@@ -55,14 +55,24 @@ def work_rate(seconds: float = 1.5) -> float:
 
 
 def best_rate(rate: float) -> float:
-    """Roll the best-ever observed rate through STATE; returns max."""
+    """Roll the best observed rate through STATE, decaying 4%/hour.
+
+    Without decay one freak fast window ratchets the bar so high that
+    every later (perfectly usable) window reads as starved and the
+    tool never captures again — observed: a 140/s best set at 05:50
+    gated out a whole morning of 99-128/s windows. 4%/hour brings a
+    stale best down to a typical window's level in ~8 h, i.e. within
+    a round, while still preferring genuinely fast windows for hours."""
+    now = time.time()
     best = rate
     try:
-        best = max(best, float(json.load(open(STATE))["rate"]))
+        d = json.load(open(STATE))
+        age_h = max(0.0, now - float(d.get("ts", now))) / 3600.0
+        best = max(best, float(d["rate"]) * 0.96 ** age_h)
     except (OSError, ValueError, KeyError):
         pass
     try:
-        json.dump({"rate": best}, open(STATE, "w"))
+        json.dump({"rate": best, "ts": now}, open(STATE, "w"))
     except OSError:
         pass
     return best

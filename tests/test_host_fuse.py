@@ -145,7 +145,11 @@ def test_probe_host_bandwidth_measures_and_caches(tmp_path, monkeypatch):
                         str(tmp_path / 'linkprobe.json'))
     monkeypatch.setattr(autotune, '_HOST_PROBE_CACHE', None)
     rate = autotune.probe_host_bandwidth(size_mb=4, force=True)
-    assert 1e7 < rate < 1e12  # 10 MB/s .. 1 TB/s: a real memory rate
+    # 1 MB/s .. 1 TB/s: a real memory rate. The lower bound is loose on
+    # purpose — this shared host's scheduler has starved the probe below
+    # 10 MB/s mid-suite (observed 2026-08-18), and the test asserts
+    # plausibility + caching, not the machine's mood.
+    assert 1e6 < rate < 1e12
     import json
     saved = json.loads((tmp_path / 'linkprobe.json').read_text())
     assert saved['host_bps'] == rate

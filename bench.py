@@ -337,6 +337,64 @@ def run_ours(acq_dir, stage_choice=None, rep_timeout=None):
     return (None if cancelled else dt), pipe
 
 
+class WeatherGate:
+    """Bounded pre-rep weather gate for the shared 1-core host.
+
+    The host's EFFECTIVE memory throughput stalls in bursts: identical
+    uint16 multiply-clip-cast passes have measured 16 ms and 2.5 s
+    minutes apart (2026-08-18) while an ALU spin still read 0.92 of a
+    core. A rep launched into such a window burns 3-8x its fair time.
+    Before each rep, probe the place-kernel-shaped work rate; if it
+    sits far below the best rate seen THIS run, sleep briefly and
+    re-probe instead of burning the rep. Self-calibrating (only pauses
+    after better weather has been observed in-run), and the total
+    pause time is capped so a run that is uniformly stormy degrades to
+    exactly the old behavior plus a few probe-seconds.
+    """
+
+    def __init__(self, time_budget):
+        self.best_rate = 0.0
+        self.pause_left = min(240.0, 0.25 * time_budget)
+        self._buf = None
+
+    def _rate(self, seconds=0.25, tries=2):
+        """Best-of short probes (a single probe can land inside a
+        micro-stall and misread a recovering window as dead)."""
+        if self._buf is None:
+            t = (np.arange(4 << 20, dtype=np.uint16) * 3).astype(np.uint16)
+            self._buf = (t, np.full(t.shape, 1.01, np.float32))
+        t, ff = self._buf
+        best = 0.0
+        for _ in range(tries):
+            n = 0
+            t0 = time.perf_counter()
+            while time.perf_counter() - t0 < seconds:
+                v = t * ff
+                np.clip(v, 0, 65535, out=v)
+                v.astype(np.uint16)
+                n += 1
+            best = max(best, n / (time.perf_counter() - t0))
+        return best
+
+    def wait_for_window(self, rep):
+        """Probe; pause (bounded) while the window is storm-grade."""
+        rate = self._rate()
+        self.best_rate = max(self.best_rate, rate)
+        log(f"  weather gate: rate {rate:.1f}/s (best this run "
+            f"{self.best_rate:.1f}/s)")
+        if rep == 0:
+            return  # always put a number on the board first
+        while (rate < 0.6 * self.best_rate and self.pause_left > 0):
+            nap = min(12.0, self.pause_left)
+            log(f"  weather gate: rate {rate:.1f}/s vs best "
+                f"{self.best_rate:.1f}/s — pausing {nap:.0f}s "
+                f"({self.pause_left:.0f}s pause budget left)")
+            time.sleep(nap)
+            self.pause_left -= nap
+            rate = self._rate()
+            self.best_rate = max(self.best_rate, rate)
+
+
 def run_baseline(acq_dir, num_levels):
     """Reference-faithful sequential path (see module docstring)."""
     import cv2
@@ -719,10 +777,15 @@ def main():
             apply_link_gate(stage_choice, probe_timings, lp2)
 
         slow_choice_reps = 0
+        gate = WeatherGate(time_budget)
         for rep in range(repeats):
             if rep > 0 and time.perf_counter() - bench_t0 > time_budget:
                 log(f"time budget reached after {rep} repeat(s)")
                 break
+            # storm-grade window? pause (bounded) rather than burn the
+            # rep; the baseline rep that follows a gated ours rep runs
+            # in the same window, so the comparison stays fair
+            gate.wait_for_window(rep)
             # rep 0 runs all-host regardless of the probe: the one rep
             # guaranteed immune to device weather, so a number always
             # lands inside any budget. Later reps use the probe choice.

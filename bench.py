@@ -287,8 +287,8 @@ def run_ours(acq_dir, stage_choice=None, rep_timeout=None):
     reporter = ProgressReporter(
         status=lambda msg, s=False: (
             log("  " + msg) if msg.startswith(
-                ("stream stages", "fusion backend", "pallas kernel",
-                 "compressor auto"))
+                ("stream stages", "stream cpu", "fusion backend",
+                 "pallas kernel", "compressor auto"))
             else None))
     import threading
     stop_event = threading.Event()

@@ -1241,6 +1241,13 @@ class StitchPipeline:
             self.reporter.status(
                 "stream stages: " + " ".join(
                     f"{k}={v:.2f}s" for k, v in fuser.stats.items()), False)
+        if getattr(fuser, 'cpu', None):
+            # on-core per-stage sums: the CPU-floor decomposition (wall
+            # sums above bill contention/IO to whatever stage held the
+            # thread; see StreamingFuser.cpu)
+            self.reporter.status(
+                "stream cpu: " + " ".join(
+                    f"{k}={v:.2f}s" for k, v in fuser.cpu.items()), False)
         return output_path
 
     def _stitch_region_sharded(self, loader, height: int, width: int,

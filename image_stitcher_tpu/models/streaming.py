@@ -166,6 +166,11 @@ class StreamingFuser:
         # per-stage wall-clock accumulators (summed across band threads)
         self.stats = {'decode': 0.0, 'place': 0.0, 'finalize': 0.0,
                       'pyramid': 0.0, 'write': 0.0, 'close': 0.0}
+        # per-stage ON-CORE time (thread_time sums): on a contended host
+        # the wall sums above bill scheduler starvation and IO blocks to
+        # whatever stage was running; these are the numbers that bound a
+        # full-core run (the e2e CPU floor decomposition)
+        self.cpu: Dict[str, float] = {}
         import threading as _threading
         self._stats_lock = _threading.Lock()
         # per-thread band buffer pool: fresh np.zeros per band costs a
@@ -211,9 +216,23 @@ class StreamingFuser:
     def _tick(self, key: str, t0: float) -> float:
         import time as _time
         t1 = _time.perf_counter()
+        c1 = _time.thread_time()
+        # cpu0 tracks the calling thread's last tick (or segment start
+        # via _cpu_mark); chained ticks segment CPU exactly like wall
+        c0 = getattr(self._tl, 'cpu0', c1)
         with self._stats_lock:
-            self.stats[key] += t1 - t0
+            self.stats[key] = self.stats.get(key, 0.0) + (t1 - t0)
+            self.cpu[key] = self.cpu.get(key, 0.0) + (c1 - c0)
+        self._tl.cpu0 = c1
         return t1
+
+    def _cpu_mark(self) -> None:
+        """Start a CPU segment on this thread (wall segments start by
+        reading perf_counter; CPU segments must reset the thread-local
+        base too, or the first tick after an un-ticked gap — gate waits,
+        pool scheduling — absorbs that gap's on-core time)."""
+        import time as _time
+        self._tl.cpu0 = _time.thread_time()
 
     # ------------------------------------------------------------------
 
@@ -350,6 +369,8 @@ class StreamingFuser:
             # later channels ever park here
             self.ff_recip = self.ff_gate.wait(c)
         rows = min(self.band, self.height - band0)
+        t0 = _time.perf_counter()
+        self._cpu_mark()  # band buffer prep (pool alloc + zero fill)
         if self.blend == 'feather':
             # acc/wsum never reach the writer (finalize produces a fresh
             # cast) — always reusable
@@ -411,6 +432,7 @@ class StreamingFuser:
                 filled = True
         if self.blend == 'feather':
             filled = True  # accumulators above start from zero
+        self._tick('fill', t0)
         nominal = (self.tile_h, self.tile_w)
         reported = -1  # highest job index whose progress already fired
         i = 0
@@ -565,6 +587,7 @@ class StreamingFuser:
             pool.shutdown(wait=True)
         import time as _time
         t0 = _time.perf_counter()
+        self._cpu_mark()
         self.writer.close()
         self._tick('close', t0)
 

@@ -49,6 +49,45 @@ def test_streaming_matches_in_ram(tmp_path, use_registration):
         np.testing.assert_array_equal(results["on"][lv], results["off"][lv])
 
 
+def test_streaming_stage_cpu_accounting(tmp_path):
+    """The fuser reports per-stage ON-CORE time alongside wall sums:
+    every wall-summed stage has a CPU twin, each CPU sum is bounded by
+    its wall sum (thread_time <= wall per segment), and the status line
+    reaches the reporter (bench captures decompose the CPU floor from
+    it)."""
+    from image_stitcher_tpu import ProgressReporter, stitch
+
+    acq_dir = str(tmp_path / "acq")
+    write_synthetic_acquisition(acq_dir, grid_cols=3, grid_rows=3,
+                                tile_w=96, tile_h=96, overlap=32)
+    lines = []
+    pipe = stitch(acq_dir, apply_flatfield=True,
+                  reporter=ProgressReporter(
+                      status=lambda m, s=False: lines.append(m)),
+                  options=EngineOptions(streaming='on',
+                                        chunks=(1, 1, 1, 64, 64),
+                                        fusion_device='host'))
+    assert pipe is not None
+    assert any(m.startswith("stream cpu:") for m in lines)
+    # parse the reported lines instead of reaching into pipeline internals
+    cpu_line = next(m for m in lines if m.startswith("stream cpu:"))
+    wall_line = next(m for m in lines if m.startswith("stream stages:"))
+
+    def parse(line):
+        return {kv.split("=")[0]: float(kv.split("=")[1][:-1])
+                for kv in line.split(":", 1)[1].split()}
+
+    cpu, wall = parse(cpu_line), parse(wall_line)
+    for key in ("decode", "place", "fill", "write"):
+        assert key in cpu, key
+        assert cpu[key] >= 0.0
+    for key, v in cpu.items():
+        if key in wall:
+            # small epsilon: thread_time and perf_counter are separate
+            # clocks; segments are many and short on this tiny fixture
+            assert v <= wall[key] + 0.25, (key, v, wall[key])
+
+
 def test_streaming_auto_threshold(tmp_path):
     acq_dir = str(tmp_path / "acq")
     write_synthetic_acquisition(acq_dir, grid_cols=2, grid_rows=2,

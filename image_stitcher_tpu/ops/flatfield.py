@@ -29,13 +29,15 @@ WORKING_SIZE = 128
 # ADMM penalty schedule, shared by the jitted solver and its NumPy twin.
 # The solve converges once the terminal penalty mu0*rho^iters reaches
 # ~1e2 (the soft thresholds 1/mu and lam/(mu*bsq) have shrunk to
-# noise); (0.02, 1.2, 50) reaches the same terminal mu as the textbook
-# (0.01, 1.1, 100) in HALF the stack passes, with measured ground-truth
-# field error identical to 4 decimals (see BENCH_NOTES round 4). The
-# solve is the flatfield stage's dominant CPU on 1-core hosts.
+# noise); (0.02, 1.3, 35) reaches the same terminal mu as the textbook
+# (0.01, 1.1, 100) in a THIRD of the stack passes, with measured
+# ground-truth field error identical (0.02610 vs textbook 0.02714 mean
+# |err| on synthetic vignette+foreground stacks; the r4 intermediate
+# (0.02, 1.2, 50) scored 0.02611 — see BENCH_NOTES round 4). The solve
+# is the flatfield stage's dominant CPU on 1-core hosts.
 MU0 = 0.02
-MU_RHO = 1.2
-DEFAULT_MAX_ITERS = 50
+MU_RHO = 1.3
+DEFAULT_MAX_ITERS = 35
 
 
 def dct_matrix(n: int) -> np.ndarray:
@@ -127,36 +129,55 @@ def fit_flatfield_stack_np(images: np.ndarray, smoothness: float = 1.0,
     step-for-step correspondence with the jitted version (tested).
     """
     from scipy.fft import dctn, idctn
-    n, h, w = images.shape
+    n, h, w_ = images.shape
     d = images.astype(np.float32)
     d = d / np.maximum(d.mean(axis=(1, 2), keepdims=True), 1e-6)
     lam = smoothness
 
-    def soft(x, t):
+    def soft_small(x, t):
         return np.sign(x) * np.maximum(np.abs(x) - t, 0.0)
 
-    # z = y/mu form with hoisted w = d + z — see the jitted twin's
-    # derivation; the stack-sized passes per iteration drop ~1.6x wall
-    # on a memory-bound host, with iterates identical up to f32 rounding
+    # Same z = y/mu iteration as the jitted twin, written for a
+    # memory-bound host: every (N, h, w) op lands in a preallocated
+    # buffer (out=), reductions against b/s run as one-pass GEMVs, and
+    # the E soft threshold uses the exact identity
+    #   soft(x, t) = x - clip(x, -t, t)
+    # (case-identical in f32), which also hands v = w - e and the z
+    # update the shared clip term:  v = b*s + cl,  z' = (mu/mu')*cl
+    # since z' = (mu/mu')*(v - b'*s) with b' refit AFTER e. Net: ~26
+    # stack passes/iteration vs ~47 for the naive form, iterates equal
+    # to the jitted twin up to f32 reduction order (tested).
     s = d.mean(axis=0)
     e = np.zeros_like(d)
-    b = np.ones((n, 1, 1), np.float32)
     z = np.zeros_like(d)
+    b = np.ones(n, np.float32)
+    # scratch stacks: w (= d + z), x (= w - b*s, also reused as u/v), and
+    # the shared clip term; bs holds the b*s broadcast product
+    w = np.empty_like(d)
+    x = np.empty_like(d)
+    cl = np.empty_like(d)
+    bs = np.empty_like(d)
     mu = np.float32(MU0)
     for _ in range(max_iters):
-        w = d + z
-        u = w - e
-        bsq = float((b * b).sum()) + 1e-6
-        s_ls = (b * u).sum(axis=0) / bsq
-        s = idctn(soft(dctn(s_ls, norm='ortho'), lam / (mu * bsq)),
+        np.add(d, z, out=w)
+        np.subtract(w, e, out=x)                     # u = w - e
+        bsq = float(b @ b) + 1e-6
+        s_ls = (b @ x.reshape(n, -1)).reshape(h, w_) / bsq
+        s = idctn(soft_small(dctn(s_ls, norm='ortho'), lam / (mu * bsq)),
                   norm='ortho').astype(np.float32)
-        e = soft(w - b * s, 1.0 / mu)
-        v = w - e
-        ssq = float((s * s).sum()) + 1e-6
-        b = np.maximum((v * s).sum(axis=(1, 2), keepdims=True)
-                       / ssq, 0.0).astype(np.float32)
+        np.multiply(b[:, None, None], s, out=bs)
+        np.subtract(w, bs, out=x)                    # x = w - b*s
+        thr = np.float32(1.0 / mu)
+        np.clip(x, -thr, thr, out=cl)
+        np.subtract(x, cl, out=e)                    # e = soft(x, 1/mu)
+        np.add(bs, cl, out=x)                        # v = w - e = b*s + cl
+        ssq = float(s.ravel() @ s.ravel()) + 1e-6
+        b = np.maximum(x.reshape(n, -1) @ s.ravel() / ssq,
+                       0.0).astype(np.float32)
         mu_new = np.float32(min(mu * MU_RHO, 1e6))
-        z = (mu / mu_new) * (v - b * s)
+        np.multiply(b[:, None, None], s, out=bs)     # b'*s (refit b)
+        np.subtract(x, bs, out=z)                    # v - b'*s
+        z *= np.float32(mu / mu_new)
         mu = mu_new
     s = np.maximum(s, 1e-3)
     return (s / s.mean()).astype(np.float32)

@@ -122,3 +122,56 @@ def test_pooled_channel_fits_match_sequential(tmp_path, monkeypatch):
     pooled = fields(4)
     for i in seq:
         np.testing.assert_allclose(pooled[i], seq[i], rtol=0, atol=0)
+
+
+def test_buffered_np_solver_matches_naive_textbook_form():
+    """The buffered fit (out= buffers, GEMV reductions, clip-form soft
+    threshold) must produce the same iterates as a straightforward
+    transcription of the same scaled-multiplier iteration — guards the
+    in-place rewrite against buffer-aliasing bugs. soft(x, t) and
+    x - clip(x, -t, t) are case-identical in f32, so only reduction
+    order (BLAS vs np.sum) may differ."""
+    from scipy.fft import dctn, idctn
+
+    from image_stitcher_tpu.ops.flatfield import (MU0, MU_RHO,
+                                                  fit_flatfield_stack_np)
+
+    def naive(images, smoothness=1.0, max_iters=35):
+        n, h, w = images.shape
+        d = images.astype(np.float32)
+        d = d / np.maximum(d.mean(axis=(1, 2), keepdims=True), 1e-6)
+        lam = smoothness
+
+        def soft(x, t):
+            return np.sign(x) * np.maximum(np.abs(x) - t, 0.0)
+
+        s = d.mean(axis=0)
+        e = np.zeros_like(d)
+        b = np.ones((n, 1, 1), np.float32)
+        z = np.zeros_like(d)
+        mu = np.float32(MU0)
+        for _ in range(max_iters):
+            w_ = d + z
+            u = w_ - e
+            bsq = float((b * b).sum()) + 1e-6
+            s_ls = (b * u).sum(axis=0) / bsq
+            s = idctn(soft(dctn(s_ls, norm='ortho'), lam / (mu * bsq)),
+                      norm='ortho').astype(np.float32)
+            e = soft(w_ - b * s, 1.0 / mu)
+            v = w_ - e
+            ssq = float((s * s).sum()) + 1e-6
+            b = np.maximum((v * s).sum(axis=(1, 2), keepdims=True)
+                           / ssq, 0.0).astype(np.float32)
+            mu_new = np.float32(min(mu * MU_RHO, 1e6))
+            z = (mu / mu_new) * (v - b * s)
+            mu = mu_new
+        s = np.maximum(s, 1e-3)
+        return (s / s.mean()).astype(np.float32)
+
+    rng = np.random.default_rng(3)
+    vign = make_vignette(64, 64)
+    stack = ((rng.random((16, 64, 64)).astype(np.float32) + 0.4)
+             * vign)
+    got = fit_flatfield_stack_np(stack, max_iters=35)
+    want = naive(stack, max_iters=35)
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)

@@ -108,6 +108,21 @@ def main() -> int:
         if line.startswith("{") and '"metric"' in line:
             result = line
             break
+    # persist the per-rep bench log (stderr) so every capture line in
+    # CAPTURES_r4.log is auditable (which reps ran, which window the
+    # baseline got) — a bare best-of JSON can hide a weather-skewed
+    # ratio (observed: baseline reps starved 4x while ours-best rode a
+    # later calm window)
+    logdir = os.path.join(REPO, ".capture_logs")
+    os.makedirs(logdir, exist_ok=True)
+    tag = stamp.replace(" ", "_").replace(":", "")
+    try:
+        with open(os.path.join(logdir, f"bench_{tag}.log"), "w") as f:
+            f.write(proc.stderr or "")
+            f.write("\n--- stdout ---\n")
+            f.write(proc.stdout or "")
+    except OSError:
+        pass
     with open(LOG, "a") as f:
         f.write(f"{head} CAPTURE ({dt:.0f}s, rc={proc.returncode}): "
                 f"{result or '(no JSON line)'}\n")

@@ -11,8 +11,17 @@ with S the smooth multiplicative flatfield (sparse in DCT domain), B_i a
 per-tile baseline, and E_i a sparse residual (foreground objects). Fit by
 ADMM; the DCT-domain prox is two dense matmuls with the orthonormal
 DCT-II matrix — exactly MXU-shaped work. The whole solver is one jitted
-``lax.fori_loop``; fitting runs at a fixed working resolution like
-basicpy (128x128) and the flatfield is resized back to full tile size.
+``lax.fori_loop``; fitting runs at a fixed working resolution (basicpy
+uses 128x128) and the flatfield is resized back to full tile size.
+
+Working resolution: 96 (not basicpy's 128). The shading field is smooth
+by construction (DCT-sparse), so the working size sets CPU cost, not
+accuracy: on ground-truth vignette sweeps (2048^2 tiles, 3 seeds,
+realistic foreground) mean |field/gt - 1| measured 0.00385 at 128,
+0.00329 at 96, 0.00449 at 64 — 96 is the accuracy *winner* while
+halving the solve CPU (0.145 -> 0.070 s/channel at n=32); harsh
+contaminated stacks fail identically at every size (the model, not the
+resolution, is the limit there). See BENCH_NOTES round 4.
 """
 
 from __future__ import annotations
@@ -24,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-WORKING_SIZE = 128
+WORKING_SIZE = 96
 
 # ADMM penalty schedule, shared by the jitted solver and its NumPy twin.
 # The solve converges once the terminal penalty mu0*rho^iters reaches

@@ -84,6 +84,41 @@ def test_flatfield_robust_to_sparse_foreground():
     assert corr > 0.95
 
 
+def test_default_working_size_ground_truth_accuracy():
+    """Pin the default working resolution's ground-truth accuracy.
+
+    WORKING_SIZE dropped 128 -> 96 in round 4 after a sweep showed the
+    smooth (DCT-sparse) field's accuracy is set by the model, not the
+    grid: mean |field/gt - 1| measured 0.00385 @128 / 0.00329 @96 /
+    0.00449 @64 on 2048^2 fixtures (BENCH_NOTES round 4). This bounds
+    the same metric at the DEFAULT size on a scaled-down fixture so a
+    future size change must re-prove accuracy, not just speed."""
+    from image_stitcher_tpu.ops.flatfield import (
+        WORKING_SIZE, decimate_to_working, finalize_flatfield,
+        fit_flatfield_stack_np)
+    rng = np.random.default_rng(11)
+    h = w = 512
+    vign = make_vignette(h, w, strength=0.45)
+    tiles = []
+    for i in range(16):
+        img = np.full((h, w), float(rng.uniform(300, 800)), np.float32)
+        for _ in range(rng.integers(2, 7)):   # sparse foreground blobs
+            y, x = int(rng.integers(0, h)), int(rng.integers(0, w))
+            r = int(rng.integers(10, 60))
+            ys, ye = max(0, y - r), min(h, y + r)
+            xs, xe = max(0, x - r), min(w, x + r)
+            yy, xx = np.mgrid[ys:ye, xs:xe]
+            img[ys:ye, xs:xe] += float(rng.uniform(2000, 20000)) * np.exp(
+                -(((yy - y) ** 2 + (xx - x) ** 2) / (0.3 * r * r + 1)))
+        img *= vign
+        img += rng.normal(0, 25, (h, w))
+        tiles.append(np.clip(img, 0, 65535).astype(np.uint16))
+    small = np.stack([decimate_to_working(t, WORKING_SIZE) for t in tiles])
+    full = finalize_flatfield(fit_flatfield_stack_np(small), (h, w))
+    err = np.abs(full / (vign / vign.mean()) - 1.0).mean()
+    assert err < 0.012, f"default-size GT field error too high: {err:.5f}"
+
+
 def test_pooled_channel_fits_match_sequential(tmp_path, monkeypatch):
     """compute_flatfields dispatches channel fits to a thread pool on
     multi-core hosts, submitting each fit AS its sample stack loads

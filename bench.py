@@ -267,6 +267,24 @@ def apply_link_gate(stage_choice, probe_timings, lp2):
     return stage_choice
 
 
+def paired_score(pairs):
+    """Median and IQR of per-pair base/ours ratios.
+
+    Each pair was measured back-to-back in the same weather window, so
+    its ratio is fair even on a host whose core allocation swings
+    several-fold between windows; the median over pairs is the
+    defensible cross-window score (best-vs-best can flatter either
+    side). Returns (median, (q1, q3), sorted_ratios).
+    """
+    ratios = sorted(b / o for o, b in pairs)
+    n = len(ratios)
+    med = (ratios[n // 2] if n % 2 else
+           0.5 * (ratios[n // 2 - 1] + ratios[n // 2]))
+    q1 = ratios[max(0, (n - 1) // 4)]
+    q3 = ratios[min(n - 1, (3 * (n - 1) + 3) // 4)]
+    return med, (q1, q3), ratios
+
+
 def run_ours(acq_dir, stage_choice=None, rep_timeout=None):
     """One full pipeline run with probe-chosen stage backends.
 
@@ -776,6 +794,15 @@ def main():
             lp2 = probe_link_bandwidth(force=True)
             apply_link_gate(stage_choice, probe_timings, lp2)
 
+        # Paired-rep scoring: every baseline run immediately follows an
+        # ours rep in the SAME weather window, giving one per-pair ratio
+        # base/ours that is fair regardless of how the host's core
+        # allocation swings between windows. The capture scores the
+        # MEDIAN of those ratios (plus IQR) alongside the best-of-best
+        # ratio, so the headline can't be flattered by one lucky window
+        # on either side.
+        pair_target = int(os.environ.get("BENCH_PAIR_TARGET", "5"))
+        pairs = []  # (ours_dt, base_dt) measured back-to-back
         slow_choice_reps = 0
         gate = WeatherGate(time_budget)
         for rep in range(repeats):
@@ -838,14 +865,20 @@ def main():
             if ours_dt is None:
                 continue  # no finished pipeline to hand the baseline
 
-            if base_best is not None and (
-                    rep >= 2 or time.perf_counter() - bench_t0 > time_budget):
-                continue  # baseline is stable; spend the budget on ours
+            # pair this ours rep with a baseline run in the same window,
+            # until the pair target is met or the remaining budget can't
+            # absorb another baseline (est. by the best one seen)
+            est_base = base_best if base_best is not None else 200.0
+            elapsed = time.perf_counter() - bench_t0
+            if len(pairs) >= pair_target or elapsed + est_base > time_budget:
+                continue  # enough pairs; spend the budget on ours
             base_dt, base_shifts = run_baseline(acq_dir,
                                                 pipe.num_pyramid_levels)
             log(f"baseline[{rep}]: {base_dt:.1f}s "
-                f"(shifts h={base_shifts.h_shift} v={base_shifts.v_shift})")
+                f"(shifts h={base_shifts.h_shift} v={base_shifts.v_shift}) "
+                f"— pair ratio {base_dt / ours_dt:.2f}x")
             base_best = base_dt if base_best is None else min(base_best, base_dt)
+            pairs.append((ours_dt, base_dt))
 
         if ours_best is None:
             # every capped rep lost its watchdog (apocalyptic weather):
@@ -861,13 +894,22 @@ def main():
         base_tps = n_tiles / base_best
         log(f"best ours {ours_best:.1f}s = {ours_tps:.2f} tiles/s; "
             f"best baseline {base_best:.1f}s = {base_tps:.2f} tiles/s")
-        print(json.dumps({
+        result = {
             "metric": f"tiles/sec registered+fused+written at {TILE}^2 "
                       f"({GRID}x{GRID}x{len(CHANNELS)}ch uint16, e2e disk->OME-Zarr)",
             "value": round(ours_tps, 2),
             "unit": "tiles/s",
             "vs_baseline": round(ours_tps / base_tps, 2),
-        }))
+        }
+        if pairs:
+            med, (q1, q3), ratios = paired_score(pairs)
+            log(f"paired ratios ({len(ratios)}): "
+                + " ".join(f"{r:.1f}x" for r in ratios)
+                + f" -> median {med:.2f}x, IQR [{q1:.2f}, {q3:.2f}]")
+            result["vs_baseline_median"] = round(med, 2)
+            result["vs_baseline_iqr"] = [round(q1, 2), round(q3, 2)]
+            result["n_pairs"] = len(ratios)
+        print(json.dumps(result))
     finally:
         for d in __import__('glob').glob(acq_dir + "_stitched_*"):
             shutil.rmtree(d, ignore_errors=True)

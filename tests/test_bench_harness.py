@@ -92,3 +92,28 @@ def test_gate_real_probe_returns_positive_rate():
     gate = bench.WeatherGate(900.0)
     rate = gate._rate(seconds=0.05, tries=1)
     assert rate > 0.0
+
+
+def test_paired_score_median_and_iqr():
+    # 5 same-window pairs with one lucky and one stormy window: the
+    # median must land on the typical ratio, not the extremes
+    pairs = [(10.0, 150.0),   # 15x
+             (5.0, 140.0),    # 28x (lucky ours window)
+             (8.0, 160.0),    # 20x
+             (40.0, 400.0),   # 10x (storm on both sides)
+             (7.0, 154.0)]    # 22x
+    med, (q1, q3), ratios = bench.paired_score(pairs)
+    assert ratios == sorted(ratios)
+    assert med == 20.0
+    assert q1 == 15.0 and q3 == 22.0
+
+
+def test_paired_score_even_count_interpolates():
+    med, (q1, q3), _ = bench.paired_score([(1.0, 10.0), (1.0, 20.0)])
+    assert med == 15.0
+    assert (q1, q3) == (10.0, 20.0)
+
+
+def test_paired_score_single_pair():
+    med, (q1, q3), ratios = bench.paired_score([(2.0, 30.0)])
+    assert med == q1 == q3 == 15.0 and ratios == [15.0]

@@ -68,6 +68,14 @@ def parse_args(argv=None) -> argparse.Namespace:
                         default='auto',
                         help="Bounded-memory band-streaming fusion "
                              "(default: auto above the canvas threshold)")
+    parser.add_argument('--tiff-compression',
+                        choices=['deflate', 'raw', 'jpeg'], default='deflate',
+                        help=".ome.tiff tile codec: deflate (lossless, "
+                             "default), raw, or jpeg (lossy, uint8 only — "
+                             "the reference's pyvips production default)")
+    parser.add_argument('--tiff-jpeg-quality', type=int, default=85,
+                        help="JPEG quality 1-100 for --tiff-compression "
+                             "jpeg (default 85)")
     parser.add_argument('--resume', action='store_true',
                         help="Continue the most recent interrupted run for this acquisition")
     parser.add_argument('--continue-on-error', action='store_true',
@@ -113,6 +121,8 @@ def create_options(args: argparse.Namespace) -> EngineOptions:
                             or ('all-pairs' if args.dynamic_registration
                                 else 'center')),
         registration_report=getattr(args, 'registration_report', False),
+        tiff_compression=getattr(args, 'tiff_compression', 'deflate'),
+        tiff_jpeg_quality=getattr(args, 'tiff_jpeg_quality', 85),
     )
 
 

@@ -50,5 +50,7 @@ def write_ome_tiff_region(pipeline, t, region: str, canvas, output_path: str,
         pixel_size_um=acq.pixel_size_um,
         dz_um=acq.dz_um,
         rgb=rgb,
-        position_um=position_um)
+        position_um=position_um,
+        compression=pipeline.options.tiff_compression,
+        jpeg_quality=pipeline.options.tiff_jpeg_quality)
     return output_path

@@ -35,6 +35,7 @@ T_TILEBYTECOUNTS = 325
 T_SUBIFDS = 330
 T_SAMPLEFORMAT = 339
 T_PLANARCONFIG = 284
+T_YCBCRSUBSAMPLING = 530
 
 # TIFF types
 TY_SHORT = 3      # u16
@@ -49,6 +50,33 @@ _TY_FMT = {TY_SHORT: '<H', TY_LONG: '<I', TY_LONG8: '<Q', TY_IFD8: '<Q'}
 TILE_SIZE = 256
 
 
+def _encode_jpeg(block: np.ndarray, quality: int) -> bytes:
+    """One tile as a complete JFIF stream (new-style TIFF/JPEG,
+    Compression=7: every tile carries its own tables, so no JPEGTables
+    tag is needed and tiles stay independently decodable).
+
+    8-bit only — the same limitation the reference inherits from
+    pyvips/libtiff (its production path hands uint16 to
+    ``tiffsave(compression='jpeg')``, stitcher_process.py:1502-1549,
+    which libvips rejects for >8-bit data). RGB tiles are encoded
+    4:2:0 YCbCr, libvips' default for this path.
+    """
+    import cv2
+    if block.dtype != np.uint8:
+        raise ValueError(
+            f"jpeg compression supports uint8 only, got {block.dtype} "
+            "(libtiff/pyvips limitation; convert or use 'deflate')")
+    params = [cv2.IMWRITE_JPEG_QUALITY, int(quality)]
+    if block.ndim == 3:  # writer carries RGB; cv2 encodes BGR
+        params += [cv2.IMWRITE_JPEG_SAMPLING_FACTOR,
+                   cv2.IMWRITE_JPEG_SAMPLING_FACTOR_420]
+        block = block[:, :, ::-1]
+    ok, data = cv2.imencode('.jpg', np.ascontiguousarray(block), params)
+    if not ok:
+        raise RuntimeError("cv2.imencode('.jpg') failed")
+    return data.tobytes()
+
+
 def _sample_format(dtype: np.dtype) -> int:
     if np.issubdtype(dtype, np.floating):
         return 3
@@ -61,10 +89,15 @@ class BigTiffWriter:
     """Minimal streaming BigTIFF writer with SubIFD pyramid support."""
 
     def __init__(self, path: str, compression: str = 'deflate',
-                 compression_level: int = 1, tile_size: int = TILE_SIZE):
+                 compression_level: int = 1, tile_size: int = TILE_SIZE,
+                 jpeg_quality: int = 85):
+        if compression not in ('deflate', 'raw', 'jpeg'):
+            raise ValueError(f"unknown tiff compression {compression!r} "
+                             "(deflate | raw | jpeg)")
         self.f = open(path, 'wb')
         self.compression = compression
         self.level = compression_level
+        self.jpeg_quality = jpeg_quality
         self.tile = tile_size
         # BigTIFF header: II, 43, offsetsize 8, pad 0, first IFD offset (patched)
         self.f.write(struct.pack('<2sHHHQ', b'II', 43, 8, 0, 0))
@@ -92,9 +125,12 @@ class BigTiffWriter:
                 block = np.zeros(shape, plane.dtype)
                 sub = plane[ty:ty + ts, tx:tx + ts]
                 block[:sub.shape[0], :sub.shape[1]] = sub
-                raw = block.tobytes()
-                data = zlib.compress(raw, self.level) \
-                    if self.compression == 'deflate' else raw
+                if self.compression == 'jpeg':
+                    data = _encode_jpeg(block, self.jpeg_quality)
+                elif self.compression == 'deflate':
+                    data = zlib.compress(block.tobytes(), self.level)
+                else:
+                    data = block.tobytes()
                 self._align()
                 offsets.append(self.f.tell())
                 counts.append(len(data))
@@ -174,14 +210,19 @@ class BigTiffWriter:
                             offsets, counts, subfile: int):
         dtype = np.dtype(dtype)
         bits = dtype.itemsize * 8
-        comp = 8 if self.compression == 'deflate' else 1
+        comp = {'deflate': 8, 'jpeg': 7}.get(self.compression, 1)
+        # JPEG RGB streams are 4:2:0 YCbCr (see _encode_jpeg):
+        # PhotometricInterpretation=6 + the subsampling tag, the layout
+        # libtiff/libvips write for compression='jpeg' RGB pyramids
+        jpeg_rgb = self.compression == 'jpeg' and spp == 3
         entries = [
             (T_NEWSUBFILETYPE, TY_LONG, [subfile]),
             (T_IMAGEWIDTH, TY_LONG, [w]),
             (T_IMAGELENGTH, TY_LONG, [h]),
             (T_BITSPERSAMPLE, TY_SHORT, [bits] * spp),
             (T_COMPRESSION, TY_SHORT, [comp]),
-            (T_PHOTOMETRIC, TY_SHORT, [2 if spp == 3 else 1]),
+            (T_PHOTOMETRIC, TY_SHORT,
+             [6 if jpeg_rgb else 2 if spp == 3 else 1]),
             (T_SAMPLESPERPIXEL, TY_SHORT, [spp]),
             (T_SOFTWARE, TY_ASCII, 'image_stitcher_tpu'),
             (T_TILEWIDTH, TY_SHORT, [self.tile]),
@@ -192,6 +233,8 @@ class BigTiffWriter:
         ]
         if spp > 1:
             entries.append((T_PLANARCONFIG, TY_SHORT, [1]))
+        if jpeg_rgb:
+            entries.append((T_YCBCRSUBSAMPLING, TY_SHORT, [2, 2]))
         return entries
 
     def append_tile_data(self, data: bytes) -> int:
@@ -285,7 +328,8 @@ def write_ome_tiff_pyramid(path: str, levels: List[np.ndarray],
                            thumbnail: bool = True,
                            thumbnail_max: int = 512,
                            rgb: bool = False,
-                           position_um: Optional[Sequence[float]] = None) -> str:
+                           position_um: Optional[Sequence[float]] = None,
+                           jpeg_quality: int = 85) -> str:
     """Write a (C, Z, H, W) multiscale stack as pyramidal OME-TIFF.
 
     ``levels`` are the pyramid levels, level 0 first, each (C, Z, h, w).
@@ -300,6 +344,10 @@ def write_ome_tiff_pyramid(path: str, levels: List[np.ndarray],
     c, z, h, w = levels[0].shape
     if rgb and c != 3:
         raise ValueError(f"rgb output needs exactly 3 channels, got {c}")
+    if compression == 'jpeg' and levels[0].dtype != np.uint8:
+        raise ValueError(
+            f"jpeg compression supports uint8 only, got {levels[0].dtype} "
+            "(libtiff/pyvips limitation; convert or use 'deflate')")
     planes = []
     for ci in range(1 if rgb else c):
         for zi in range(z):
@@ -312,7 +360,8 @@ def write_ome_tiff_pyramid(path: str, levels: List[np.ndarray],
     xml = ome_xml(image_name, w, h, z, c, 1, levels[0].dtype,
                   channel_names, channel_colors, pixel_size_um, dz_um,
                   rgb=rgb, planes=planes)
-    writer = BigTiffWriter(path, compression=compression)
+    writer = BigTiffWriter(path, compression=compression,
+                           jpeg_quality=jpeg_quality)
     first = True
     # Plane order matches DimensionOrder="XYZCT": Z varies fastest, then C.
     for ci in range(1 if rgb else c):
@@ -433,20 +482,25 @@ class StreamingTiffWriter:
                  tile_size: int = TILE_SIZE,
                  thumbnail: bool = True, thumbnail_max: int = 512,
                  position_um: Optional[Sequence[float]] = None,
-                 rgb: bool = False):
+                 rgb: bool = False, jpeg_quality: int = 85):
         import threading
         from ..ops.pyramid import level_shapes
         _, self.num_c, self.num_z, self.height, self.width = base_shape
         if rgb and self.num_c != 3:
             raise ValueError(
                 f"rgb output needs exactly 3 channels, got {self.num_c}")
+        if compression == 'jpeg' and np.dtype(dtype) != np.uint8:
+            raise ValueError(
+                f"jpeg compression supports uint8 only, got {np.dtype(dtype)} "
+                "(libtiff/pyvips limitation; convert or use 'deflate')")
         self.rgb = rgb
         self.spp = 3 if rgb else 1
         self.num_levels = num_levels
         self.dtype = np.dtype(dtype)
         self.ts = tile_size
         self.core = BigTiffWriter(path, compression=compression,
-                                  tile_size=tile_size)
+                                  tile_size=tile_size,
+                                  jpeg_quality=jpeg_quality)
         self.path = path
         self._lock = threading.RLock()
         shapes = level_shapes((1, self.num_c, self.num_z,
@@ -502,9 +556,12 @@ class StreamingTiffWriter:
             block = np.zeros(shape, self.dtype)
             sub = rows[:, tx * ts:(tx + 1) * ts]
             block[:sub.shape[0], :sub.shape[1]] = sub
-            raw = block.tobytes()
-            data = (zlib.compress(raw, self.core.level)
-                    if self.core.compression == 'deflate' else raw)
+            if self.core.compression == 'jpeg':
+                data = _encode_jpeg(block, self.core.jpeg_quality)
+            elif self.core.compression == 'deflate':
+                data = zlib.compress(block.tobytes(), self.core.level)
+            else:
+                data = block.tobytes()
             idx = strip * st.tiles_x + tx
             st.offsets[idx] = self.core.append_tile_data(data)
             st.counts[idx] = len(data)

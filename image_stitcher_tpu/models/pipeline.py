@@ -1194,7 +1194,9 @@ class StitchPipeline:
                 f"{region}_t{t}", acq.dz_um, acq.pixel_size_um,
                 acq.monochrome_channels, acq.monochrome_colors,
                 position_um=region_position_um(acq, t, region),
-                rgb=tiff_rgb_mode(acq))
+                rgb=tiff_rgb_mode(acq),
+                compression=opts.tiff_compression,
+                jpeg_quality=opts.tiff_jpeg_quality)
         else:
             writer = MultiscaleWriter(
                 output_path, (1, acq.num_c, acq.num_z, height, width),

@@ -194,6 +194,13 @@ class EngineOptions:
     host_fusion_threads: Optional[int] = None  # None = auto from affinity
     # Feather ramp width in px (blend_method='feather').
     feather_px: int = 64
+    # .ome.tiff tile codec: 'deflate' (lossless, any dtype — our
+    # default), 'raw', or 'jpeg' (lossy Q=tiff_jpeg_quality, uint8 only
+    # — the reference's production pyvips default,
+    # stitcher_process.py:1502-1549, which inherits libtiff's 8-bit
+    # JPEG limit).
+    tiff_compression: str = 'deflate'
+    tiff_jpeg_quality: int = 85
     # Host reader threads feeding the device; None = auto from the
     # process's actual CPU affinity (oversubscribing a starved cgroup
     # with threads costs more in context churn than it buys).
@@ -324,3 +331,8 @@ class EngineOptions:
             raise ValueError("chunks must be a 5-tuple (T,C,Z,Y,X)")
         if self.device_band_multiple < 1:
             raise ValueError("device_band_multiple must be >= 1")
+        if self.tiff_compression not in ('deflate', 'raw', 'jpeg'):
+            raise ValueError(
+                "tiff_compression must be 'deflate', 'raw' or 'jpeg'")
+        if not 1 <= self.tiff_jpeg_quality <= 100:
+            raise ValueError("tiff_jpeg_quality must be in [1, 100]")

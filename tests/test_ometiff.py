@@ -385,3 +385,132 @@ def test_streaming_rgb_writer_bounded_and_out_of_order(tmp_path):
     lv1_full = np.stack([host_downsample(data[ci, 0], 'nearest')
                          for ci in range(3)], axis=-1)
     np.testing.assert_array_equal(th, lv1_full[::1, ::1])
+
+
+# ------------------------------------------------------------------ jpeg
+
+def test_jpeg_grayscale_round_trip_via_pil(tmp_path):
+    """JPEG-compressed pages (Compression=7) decode in a standard
+    libtiff-backed viewer and match the source within lossy tolerance."""
+    from PIL import Image
+    rng = np.random.default_rng(1)
+    # smooth content: JPEG error stays small and the PSNR bound is
+    # meaningful (pure noise would be dominated by codec error)
+    yy, xx = np.mgrid[0:300, 0:400]
+    base = (120 + 60 * np.sin(yy / 17.0) + 50 * np.cos(xx / 23.0))
+    data = np.clip(base + rng.normal(0, 3, base.shape), 0, 255)[None, None]
+    data = data.astype(np.uint8)
+    levels = [data, np.ascontiguousarray(data[..., ::2, ::2])]
+    path = str(tmp_path / "j.ome.tiff")
+    write_ome_tiff_pyramid(path, levels, "img", ["ch0"], [0xFF0000],
+                           0.5, 1.5, compression='jpeg', jpeg_quality=90)
+    img = Image.open(path)
+    img.seek(0)
+    assert img.tag_v2[259] == 7  # new-style JPEG
+    arr = np.asarray(img)
+    assert arr.shape == data[0, 0].shape and arr.dtype == np.uint8
+    err = arr.astype(np.float64) - data[0, 0]
+    psnr = 10 * np.log10(255.0 ** 2 / max((err ** 2).mean(), 1e-12))
+    assert psnr > 35.0, psnr
+
+
+def test_jpeg_rgb_round_trip_via_pil(tmp_path):
+    from PIL import Image
+    yy, xx = np.mgrid[0:280, 0:260]
+    planes = [np.clip(100 + a * np.sin(yy / s) + b * np.cos(xx / t), 0, 255)
+              for a, b, s, t in ((70, 40, 19.0, 31.0), (50, 60, 23.0, 13.0),
+                                 (30, 80, 29.0, 17.0))]
+    data = np.stack(planes).astype(np.uint8)[:, None]  # (3, 1, h, w)
+    path = str(tmp_path / "jr.ome.tiff")
+    write_ome_tiff_pyramid(path, [data], "img", ["x_R", "x_G", "x_B"],
+                           [0xFF0000, 0x00FF00, 0x0000FF], 0.5, 1.5,
+                           compression='jpeg', rgb=True, thumbnail=False)
+    img = Image.open(path)
+    img.seek(0)
+    assert img.tag_v2[259] == 7
+    assert img.tag_v2[262] == 6  # PhotometricInterpretation = YCbCr
+    arr = np.asarray(img.convert('RGB'))
+    ref = np.moveaxis(data[:, 0], 0, -1)
+    assert arr.shape == ref.shape
+    err = arr.astype(np.float64) - ref
+    psnr = 10 * np.log10(255.0 ** 2 / max((err ** 2).mean(), 1e-12))
+    assert psnr > 30.0, psnr  # 4:2:0 chroma subsampling is lossier
+
+
+def test_jpeg_rejects_uint16(tmp_path):
+    data = make_stack(c=1, z=1, h=64, w=64)  # uint16
+    with pytest.raises(ValueError, match="uint8 only"):
+        write_ome_tiff_pyramid(str(tmp_path / "b.ome.tiff"), [data], "img",
+                               ["c"], [0xFFFFFF], 1.0, 1.0,
+                               compression='jpeg')
+
+
+def test_jpeg_streaming_writer_matches_in_ram(tmp_path):
+    """The band-streamed writer's JPEG pages must decode identically to
+    the in-RAM writer's for the same input (same codec, same tiles)."""
+    from PIL import Image
+    from image_stitcher_tpu.io.tiffwriter import StreamingTiffWriter
+    yy, xx = np.mgrid[0:520, 0:470]
+    img2d = np.clip(128 + 90 * np.sin(yy / 41.0) * np.cos(xx / 37.0),
+                    0, 255).astype(np.uint8)
+    data = img2d[None, None]                       # (c, z, h, w)
+    lv1 = np.ascontiguousarray(data[..., ::2, ::2])
+    p_ram = str(tmp_path / "ram.ome.tiff")
+    write_ome_tiff_pyramid(p_ram, [data, lv1], "img", ["c"], [0xFFFFFF],
+                           1.0, 1.0, compression='jpeg', thumbnail=False)
+    p_st = str(tmp_path / "st.ome.tiff")
+    w = StreamingTiffWriter(p_st, (1, 1, 1, 520, 470), 2, np.uint8,
+                            "img", 1.0, 1.0, ["c"], [0xFFFFFF],
+                            compression='jpeg', thumbnail=False)
+    # feed level 0 in two out-of-order bands, level 1 whole
+    sel = lambda y0, y1, wd: (slice(0, 1), slice(0, 1), slice(0, 1),
+                              slice(y0, y1), slice(0, wd))
+    slab = lambda rows: rows[None, None, None]     # (1,1,1,rows,w)
+    w.write_level(0, slab(img2d[300:520]), sel=sel(300, 520, 470))
+    w.write_level(0, slab(img2d[0:300]), sel=sel(0, 300, 470))
+    w.write_level(1, slab(img2d[::2, ::2]), sel=sel(0, 260, 235))
+    w.close()
+    a, b = Image.open(p_ram), Image.open(p_st)
+    a.seek(0); b.seek(0)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_jpeg_streaming_rejects_uint16(tmp_path):
+    from image_stitcher_tpu.io.tiffwriter import StreamingTiffWriter
+    with pytest.raises(ValueError, match="uint8 only"):
+        StreamingTiffWriter(str(tmp_path / "x.ome.tiff"),
+                            (1, 1, 1, 64, 64), 1, np.uint16, "img",
+                            1.0, 1.0, ["c"], [0xFFFFFF],
+                            compression='jpeg')
+
+
+def test_jpeg_pipeline_e2e(tmp_path):
+    """CLI-surface e2e: uint8 acquisition -> .ome.tiff with
+    tiff_compression='jpeg' opens in PIL and matches the lossless
+    deflate output within JPEG tolerance (reference production default:
+    pyvips tiffsave(compression='jpeg'), stitcher_process.py:1502-1549)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from PIL import Image
+    from fixtures import write_synthetic_acquisition
+    from image_stitcher_tpu import EngineOptions, StitchingParameters
+    from image_stitcher_tpu.models.pipeline import StitchPipeline
+
+    acq_dir = str(tmp_path / "acq")
+    write_synthetic_acquisition(acq_dir, grid_cols=2, grid_rows=2,
+                                tile_w=96, tile_h=96, overlap=16,
+                                dtype=np.uint8)
+    outs = {}
+    for comp in ('jpeg', 'deflate'):
+        p = StitchingParameters(input_folder=acq_dir,
+                                output_format='.ome.tiff')
+        pipe = StitchPipeline(p, EngineOptions(tiff_compression=comp))
+        path = pipe.run()
+        img = Image.open(path)
+        img.seek(0)
+        outs[comp] = np.asarray(img).copy()
+        assert img.tag_v2[259] == (7 if comp == 'jpeg' else 8)
+    assert outs['jpeg'].shape == outs['deflate'].shape
+    err = outs['jpeg'].astype(np.float64) - outs['deflate']
+    psnr = 10 * np.log10(255.0 ** 2 / max((err ** 2).mean(), 1e-12))
+    assert psnr > 30.0, psnr

@@ -65,11 +65,15 @@ def write_ome_zarr(volume: np.ndarray, out: str, chunk: int) -> None:
     _write_ome_zarr_impl(volume, out, chunk)
 
 
-def write_ome_tiff(volume: np.ndarray, out: str, chunk: int) -> None:
+def write_ome_tiff(volume: np.ndarray, out: str, chunk: int,
+                   compression: str = 'deflate') -> None:
     from ..io.tiffwriter import write_ome_tiff_pyramid
+    if compression == 'jpeg' and volume.dtype != np.uint8:
+        volume = (volume >> 8).astype(np.uint8)  # jpeg is 8-bit only
     write_ome_tiff_pyramid(out, [volume[0]], "bench",
                            [f"ch{i}" for i in range(volume.shape[1])],
-                           [0xFFFFFF] * volume.shape[1], 1.0, 1.0)
+                           [0xFFFFFF] * volume.shape[1], 1.0, 1.0,
+                           compression=compression)
 
 
 def write_raw_chunks(volume: np.ndarray, out: str, chunk: int) -> None:
@@ -100,6 +104,15 @@ WRITERS = {
     "ome_zarr_tensorstore": (write_ome_zarr, ".ome.zarr"),
     "zarr3_sharded": (write_zarr3_sharded, ".zarr"),
     "ome_tiff_pyramidal": (write_ome_tiff, ".ome.tiff"),
+    # TIFF codec A/B rows (VERDICT r4 #6): deflate (our default) vs raw
+    # vs jpeg (the reference's pyvips production default; uint16 input
+    # is >>8'd to uint8 first — jpeg is 8-bit only)
+    "tiff_raw": (
+        lambda v, o, c: write_ome_tiff(v, o, c, compression='raw'),
+        ".ome.tiff"),
+    "tiff_jpeg": (
+        lambda v, o, c: write_ome_tiff(v, o, c, compression='jpeg'),
+        ".ome.tiff"),
     "zlib_chunks": (write_raw_chunks, ".chunks"),
     # raw (compressor-null) rows: direct pwritev writer vs the same
     # store written through tensorstore — isolates io/raw_zarr.py

@@ -168,3 +168,23 @@ def test_numeric_regions_survive_float_coercion(tmp_path):
     acq = scan_acquisition(acq_dir)
     assert sorted(acq.regions) == ["5", "7"]
     assert len(acq.tiles) == 4
+
+
+def test_find_tile_float_perturbed_coords(tmp_path):
+    """Keys are quantized to 0.1 um: a coordinate that round-tripped
+    through JSON with its last ulp perturbed must still hit the index
+    (VERDICT r4 hardening)."""
+    import json
+    write_synthetic_acquisition(str(tmp_path / "acq"), grid_cols=2,
+                                grid_rows=1, tile_w=32, tile_h=32, overlap=8)
+    acq = scan_acquisition(str(tmp_path / "acq"))
+    xs, ys = acq.region_positions(0, "A1")
+    # simulate a float round-trip: 17 sig figs + tiny perturbation well
+    # under the 0.1 um quantum (coords are in mm; 1e-6 mm = 1 nm)
+    x = float(json.loads(json.dumps(xs[1]))) + 1e-6
+    y = ys[0] - 1e-6
+    rec = acq.find_tile(0, "A1", x, y, acq.channel_names[0], 0)
+    assert rec is not None and rec.fov_idx == 1
+    # but a genuinely different position (>= one tile pitch away) misses
+    assert acq.find_tile(0, "A1", xs[1] + 0.01, ys[0],
+                         acq.channel_names[0], 0) is None

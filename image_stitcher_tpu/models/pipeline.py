@@ -886,36 +886,103 @@ class StitchPipeline:
                 h_map, v_map, n_rows, n_cols,
                 acq.input_width, acq.input_height, ox, oy,
                 h_weights=h_w, v_weights=v_w)
-            pos_f = solve_positions(pairs, n_rows * n_cols)
-            pos = positions_to_int(pos_f)
             # Sanity clamp: solved positions must stay within the
             # stage/grid-model extent plus slack — one confidently-wrong
-            # pair chain must not balloon the canvas. On violation, warn
-            # and fall back to the (median-aggregated) grid model.
-            gw, gh = geo.output_dimensions_registered(
-                n_cols, n_rows, acq.input_width, acq.input_height,
-                self.shifts)
+            # pair chain must not balloon the canvas. On violation, drop
+            # the worst-residual constraint (bounded count) and re-solve
+            # — one corrupted pair must not degrade the whole region to
+            # the grid model (VERDICT r4 #7); only if the violation
+            # survives the drop budget fall back wholesale.
             slack_y, slack_x = 2 * acq.input_height, 2 * acq.input_width
-            ys_px, xs_px = pos[:, 0], pos[:, 1]
-            if (ys_px.max() + acq.input_height > gh + slack_y
-                    or xs_px.max() + acq.input_width > gw + slack_x
-                    or ys_px.min() < -slack_y or xs_px.min() < -slack_x):
+
+            exp = np.zeros((n_rows * n_cols, 2), np.float64)
+            for r_ in range(n_rows):
+                for c_ in range(n_cols):
+                    ex, ey = geo.tile_position_registered(
+                        c_, r_, n_cols, n_rows, acq.input_width,
+                        acq.input_height, self.shifts)
+                    exp[r_ * n_cols + c_] = (ey, ex)
+
+            def violating_tiles(p, connected):
+                """Tiles whose solved position deviates from the grid
+                model by more than the slack, modulo the solve's free
+                global translation (estimated as the median deviation —
+                robust to the flyers being diagnosed). Translation-
+                invariant on purpose: solve_positions normalizes by the
+                min, so one tile flying NEGATIVE shifts every absolute
+                coordinate and an absolute-extent test would blame the
+                innocent majority."""
+                idx = sorted(connected)
+                delta = p[idx].astype(np.float64) - exp[idx]
+                t_ = np.median(delta, axis=0)
+                dev = np.abs(delta - t_)
+                return {idx[k] for k in np.nonzero(
+                    (dev[:, 0] > slack_y) | (dev[:, 1] > slack_x))[0]}
+
+            active = list(pairs)
+            dropped_pairs = []
+            max_drop = max(3, len(pairs) // 10)
+            while True:
+                pos_f = solve_positions(active, n_rows * n_cols)
+                pos = positions_to_int(pos_f)
+                # only constrained tiles count: disconnected ones sit at
+                # the solver's null position and never reach the canvas
+                # (they fall back to the grid model in _build_jobs)
+                connected = {i for p_ in active for i in (p_[0], p_[1])}
+                bad = violating_tiles(pos, connected) if connected else set()
+                if not bad:
+                    break
+                incident = [k for k, (i, j, *_r) in enumerate(active)
+                            if i in bad or j in bad]
+                if not incident or len(dropped_pairs) >= max_drop:
+                    self.reporter.status(
+                        f"global solve for region {region} exceeds the "
+                        f"stage extent (+{slack_y}/{slack_x} px slack) even "
+                        f"after dropping {len(dropped_pairs)} "
+                        "constraint(s); falling back to the grid shift "
+                        "model", False)
+                    self._global_rejected.add(region)
+                    if report is not None:
+                        report['global'] = {
+                            'rejected': True,
+                            'pairs_dropped': [
+                                {'i': int(i), 'j': int(j),
+                                 'dy': float(dy), 'dx': float(dx)}
+                                for i, j, dy, dx, _ in dropped_pairs],
+                            'reason': 'solved positions exceed stage extent '
+                                      f'(+{slack_y}/{slack_x} px slack) '
+                                      f'after {len(dropped_pairs)} drops; '
+                                      'grid shift model used instead'}
+                    return
+                res = np.array([
+                    np.hypot(pos_f[j, 0] - pos_f[i, 0] - dy,
+                             pos_f[j, 1] - pos_f[i, 1] - dx)
+                    for i, j, dy, dx, _ in active])
+                if res[incident].max() > 3 * 3.0:
+                    # the flying tile's constraints disagree: drop the
+                    # single worst — its remaining measurements may
+                    # still place it globally
+                    drop = [incident[int(res[incident].argmax())]]
+                else:
+                    # self-consistent corruption (e.g. a coherently-wrong
+                    # chain, or a leaf's only edge — residuals near zero):
+                    # no measurement can be trusted; disconnect the tile
+                    # so IT degrades to the grid model, not the region
+                    drop = incident
+                if len(dropped_pairs) + len(drop) > max_drop:
+                    drop = drop[:max_drop - len(dropped_pairs)]
+                for k in sorted(drop, reverse=True):
+                    dropped_pairs.append(active.pop(k))
+            if dropped_pairs:
                 self.reporter.status(
-                    f"global solve for region {region} exceeds the stage "
-                    f"extent (+{slack_y}/{slack_x} px slack); falling back "
-                    "to the grid shift model", False)
-                self._global_rejected.add(region)
-                if report is not None:
-                    report['global'] = {
-                        'rejected': True,
-                        'reason': 'solved positions exceed stage extent '
-                                  f'(+{slack_y}/{slack_x} px slack); grid '
-                                  'shift model used instead'}
-                return
-            # only cells with at least one constraint get solved
-            # positions; unconstrained tiles (e.g. missing registration-
-            # channel file) fall back to the grid model in _build_jobs
-            constrained = {i for p_ in pairs for i in (p_[0], p_[1])}
+                    f"global solve for region {region}: dropped "
+                    f"{len(dropped_pairs)} outlier pair constraint(s) to "
+                    "stay within the stage extent", False)
+            # only cells with at least one surviving constraint get
+            # solved positions; unconstrained tiles (missing file OR all
+            # their constraints dropped) fall back to the grid model in
+            # _build_jobs
+            constrained = {i for p_ in active for i in (p_[0], p_[1])}
             self.global_positions[region] = {
                 (r, c): (int(pos[r * n_cols + c, 0]),
                          int(pos[r * n_cols + c, 1]))
@@ -929,9 +996,13 @@ class StitchPipeline:
             if report is not None:
                 res = np.array([(pos_f[j, 0] - pos_f[i, 0] - dy,
                                  pos_f[j, 1] - pos_f[i, 1] - dx)
-                                for i, j, dy, dx, _ in pairs])
+                                for i, j, dy, dx, _ in active])
                 report['global'] = {
                     'rejected': False,
+                    'pairs_dropped': [
+                        {'i': int(i), 'j': int(j),
+                         'dy': float(dy), 'dx': float(dx)}
+                        for i, j, dy, dx, _ in dropped_pairs],
                     'tiles_solved': len(constrained),
                     'tiles_total': n_rows * n_cols,
                     # no pairs (1x1 region, all truncated): no residuals

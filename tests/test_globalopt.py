@@ -148,3 +148,49 @@ def test_confidence_weights_downweight_bad_pair(tmp_path):
         gy0, gx0 = pos[(0, 0)]
         assert abs((gy - gy0) - (ty - ty0)) <= 1
         assert abs((gx - gx0) - (tx - tx0)) <= 1
+
+
+def test_corrupted_corner_chain_degrades_only_that_tile(tmp_path, monkeypatch):
+    """One tile whose pair measurements are coherently wrong (both its
+    constraints agree it sits 5000 px away — IRLS residuals are ~zero,
+    so reweighting can't catch it): the solve drops the tile's
+    constraints and keeps global positions for the REST of the region
+    instead of rejecting wholesale (VERDICT r4 #7)."""
+    from image_stitcher_tpu.ops import globalopt
+    real_pairs = globalopt.grid_pairs_from_shifts
+
+    def corrupt(h_shifts, v_shifts, n_rows, n_cols, *a, **kw):
+        pairs = real_pairs(h_shifts, v_shifts, n_rows, n_cols, *a, **kw)
+        corner = n_cols - 1  # tile (0, n_cols-1)
+        out = []
+        for i, j, dy, dx, w in pairs:
+            if j == corner:          # (0,nc-2) -> corner: pull it +5000
+                dy += 5000.0
+            elif i == corner:        # corner -> (1,nc-1): agree with it
+                dy -= 5000.0
+            out.append((i, j, dy, dx, w))
+        return out
+
+    monkeypatch.setattr(globalopt, "grid_pairs_from_shifts", corrupt)
+    acq_dir = str(tmp_path / "acq")
+    desc = write_synthetic_acquisition(
+        acq_dir, grid_cols=4, grid_rows=4, tile_w=256, tile_h=256,
+        overlap=64, jitter=4, seed=11,
+        acq_params_overrides={"pixel_binning": 2})
+    pipe = stitch(acq_dir, use_registration=True,
+                  options=EngineOptions(registration_scope='global'))
+    region_pos = pipe.global_positions["A1"]
+    # the poisoned corner fell back to the grid model; everyone else
+    # kept a global position
+    assert (0, 3) not in region_pos
+    assert len(region_pos) == 15
+    # and the surviving solve still recovers the true jitter
+    origins = {rc: desc.tile_origins[("A1", 0, rc[0], rc[1])]
+               for rc in region_pos}
+    base_true = origins[(0, 0)]
+    base_got = region_pos[(0, 0)]
+    errs = np.array([
+        (abs((region_pos[rc][0] - base_got[0]) - (ty - base_true[0])),
+         abs((region_pos[rc][1] - base_got[1]) - (tx - base_true[1])))
+        for rc, (ty, tx) in origins.items()])
+    assert errs.max() <= 1, errs

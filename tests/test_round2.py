@@ -157,8 +157,9 @@ def test_allpairs_drops_truncated_tile_pairs(tmp_path):
 
 def test_global_solve_canvas_clamp(tmp_path, monkeypatch):
     """A confidently-wrong pair chain must not balloon the canvas: the
-    solve's positions are bounded by the grid-model extent + 2-tile
-    slack, else the region falls back to the grid shift model."""
+    flying tile's constraints are dropped (it degrades to the grid
+    model) while the REST of the region keeps its global positions
+    (VERDICT r4 #7 partial rejection)."""
     from image_stitcher_tpu.ops import globalopt
     real_solve = globalopt.solve_positions
 
@@ -182,10 +183,46 @@ def test_global_solve_canvas_clamp(tmp_path, monkeypatch):
         p, EngineOptions(registration_scope='global'),
         reporter=ProgressReporter(status=lambda m, s=False: msgs.append(m)))
     pipe.run()
-    # fell back: no global positions kept, warning surfaced
+    # partial rejection: the flyer (last tile, (2,2)) lost its global
+    # position; every other tile kept one
+    region_pos = pipe.global_positions.get("A1", {})
+    assert region_pos and (2, 2) not in region_pos
+    assert len(region_pos) == 8
+    assert any("dropped" in m and "constraint" in m for m in msgs)
+    # canvas stayed grid-sized (not 50000+ px)
+    arr = _read_level0(acq_dir)
+    assert arr.shape[-1] < 1000 and arr.shape[-2] < 1000
+    assert (arr != 0).mean() > 0.5
+
+
+def test_global_solve_wholesale_fallback(tmp_path, monkeypatch):
+    """When the corruption exceeds the drop budget (every tile flying),
+    the region falls back to the grid shift model wholesale."""
+    from image_stitcher_tpu.ops import globalopt
+    real_solve = globalopt.solve_positions
+
+    def bad_solve(pairs, n, **kw):
+        pos = real_solve(pairs, n, **kw)
+        pos = np.asarray(pos).copy()
+        pos[::2] += 50000.0  # half the grid flies: beyond any budget
+        return pos
+
+    monkeypatch.setattr(globalopt, "solve_positions", bad_solve)
+    acq_dir = str(tmp_path / "acq")
+    write_synthetic_acquisition(acq_dir, grid_cols=3, grid_rows=3,
+                                tile_w=96, tile_h=96, overlap=32, jitter=2,
+                                acq_params_overrides={"pixel_binning": 2})
+    msgs = []
+    from image_stitcher_tpu.utils.progress import ProgressReporter
+    from image_stitcher_tpu import StitchingParameters
+    from image_stitcher_tpu.models.pipeline import StitchPipeline
+    p = StitchingParameters(input_folder=acq_dir, use_registration=True)
+    pipe = StitchPipeline(
+        p, EngineOptions(registration_scope='global'),
+        reporter=ProgressReporter(status=lambda m, s=False: msgs.append(m)))
+    pipe.run()
     assert not pipe.global_positions
     assert any("exceeds the stage extent" in m for m in msgs)
-    # canvas stayed grid-sized (not 50000+ px)
     arr = _read_level0(acq_dir)
     assert arr.shape[-1] < 1000 and arr.shape[-2] < 1000
     assert (arr != 0).mean() > 0.5

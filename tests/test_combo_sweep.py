@@ -98,8 +98,15 @@ def test_combo_runs_and_output_is_sane(tmp_path, seed):
             assert os.path.getsize(tiffs[0]) > 1024
             from PIL import Image
             with Image.open(tiffs[0]) as im:
-                arr = np.asarray(im)
-            assert (arr > 0).mean() > 0.3, f"combo {c}: empty tiff page"
+                # EVERY c/z page, not just the first: regressions that
+                # blank later pages (or break their dtype) must fail
+                n_main = len(chans) * c['num_z']
+                for page in range(n_main):
+                    im.seek(page)
+                    arr = np.asarray(im)
+                    assert arr.dtype == np.uint16, f"combo {c} page {page}"
+                    assert (arr > 0).mean() > 0.3, \
+                        f"combo {c}: empty tiff page {page}"
         else:
             zarrs = glob.glob(os.path.join(tdir, "*_stitched.ome.zarr"))
             assert zarrs, f"combo {c}: no zarr for t={t}"
@@ -113,3 +120,39 @@ def test_combo_runs_and_output_is_sane(tmp_path, seed):
     if c['merge_timepoints']:
         merged = glob.glob(os.path.join(out, "*_time_series*"))
         assert merged, f"combo {c}: merge_timepoints produced no output"
+
+
+# Hand-picked combos the seeded sweep under-samples (ADVICE r4):
+# subpixel placement x tiff output, and subpixel x forced streaming.
+@pytest.mark.parametrize("fmt,force_streaming", [
+    ('.ome.tiff', False),
+    ('.ome.zarr', True),
+])
+def test_subpixel_combo_coverage(tmp_path, fmt, force_streaming):
+    acq_dir = str(tmp_path / "acq")
+    write_synthetic_acquisition(acq_dir, grid_cols=3, grid_rows=2,
+                                tile_w=96, tile_h=96, overlap=24,
+                                jitter=2, seed=77)
+    params = StitchingParameters(input_folder=acq_dir, output_format=fmt,
+                                 use_registration=True)
+    options = EngineOptions(
+        registration_scope='global', subpixel_placement=True,
+        blend_method='feather',
+        streaming=('on' if force_streaming else 'auto'),
+        streaming_threshold_bytes=(1 << 16 if force_streaming
+                                   else 256 << 20))
+    StitchPipeline(params, options).run()
+    out = sorted(glob.glob(acq_dir + "_stitched_*"))[-1]
+    tdir = os.path.join(out, "0_stitched")
+    if fmt == '.ome.tiff':
+        from PIL import Image
+        tiffs = glob.glob(os.path.join(tdir, "*_stitched.ome.tiff"))
+        assert tiffs
+        with Image.open(tiffs[0]) as im:
+            arr = np.asarray(im)
+        assert arr.dtype == np.uint16 and (arr > 0).mean() > 0.3
+    else:
+        zarrs = glob.glob(os.path.join(tdir, "*_stitched.ome.zarr"))
+        data = np.asarray(
+            open_zarr_array(os.path.join(zarrs[0], "0")).read().result())
+        assert data.dtype == np.uint16 and (data[0, 0, 0] > 0).mean() > 0.3

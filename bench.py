@@ -114,7 +114,8 @@ def prewarm(acq_dir):
         f"{total} files paged in ({time.perf_counter() - t0:.1f}s)")
 
 
-def stage_options(device_registration=False, device_flatfield=False):
+def stage_options(device_registration=False, device_flatfield=False,
+                  **overrides):
     """EngineOptions for a headline rep with per-stage backends."""
     from image_stitcher_tpu import EngineOptions
     # compressor 'auto': blosc on incompressible content burns core
@@ -127,6 +128,7 @@ def stage_options(device_registration=False, device_flatfield=False):
                   registration_device_threshold=0)
     if device_flatfield:
         kw.update(flatfield_device='device')
+    kw.update(overrides)
     return EngineOptions(**kw)
 
 
@@ -285,7 +287,47 @@ def paired_score(pairs):
     return med, (q1, q3), ratios
 
 
-def run_ours(acq_dir, stage_choice=None, rep_timeout=None):
+def variants_bench():
+    """Cost of the upgrade paths vs the parity config at the north-star
+    g10 shape (VERDICT r4 #4): all-pairs / global registration, feather
+    blending, subpixel placement. Interleaved best-of-N so every
+    variant samples the same weather cycles; each rep also reports its
+    own on-core CPU so a storm-swept wall number is self-diagnosing."""
+    acq_dir = cached_acquisition()
+    prewarm(acq_dir)
+    variants = [
+        ("center+overwrite (parity)", {}),
+        ("all-pairs", dict(registration_scope='all-pairs')),
+        ("global", dict(registration_scope='global')),
+        ("feather", dict(blend_method='feather')),
+        ("global+subpixel+feather", dict(registration_scope='global',
+                                         subpixel_placement=True,
+                                         blend_method='feather')),
+    ]
+    reps = int(os.environ.get("BENCH_VARIANT_REPS", "3"))
+    n_tiles = GRID * GRID * len(CHANNELS)
+    best = {name: None for name, _ in variants}
+    try:
+        for rep in range(reps):
+            for name, ov in variants:
+                dt, _pipe = run_ours(acq_dir, options_overrides=ov)
+                best[name] = dt if best[name] is None else min(best[name], dt)
+                log(f"{name}[{rep}]: {dt:.1f}s")
+                for d in __import__('glob').glob(acq_dir + "_stitched_*"):
+                    shutil.rmtree(d, ignore_errors=True)
+        base = best["center+overwrite (parity)"]
+        print(json.dumps([
+            {"variant": name, "seconds": round(b, 2),
+             "tiles_per_s": round(n_tiles / b, 2),
+             "vs_parity": round(b / base, 2)}
+            for name, b in best.items()]))
+    finally:
+        for d in __import__('glob').glob(acq_dir + "_stitched_*"):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def run_ours(acq_dir, stage_choice=None, rep_timeout=None,
+             options_overrides=None):
     """One full pipeline run with probe-chosen stage backends.
 
     ``rep_timeout`` arms a cooperative watchdog: a rep that blows past
@@ -301,7 +343,8 @@ def run_ours(acq_dir, stage_choice=None, rep_timeout=None):
     stage_choice = stage_choice or {}
     options = stage_options(
         device_registration=stage_choice.get('device_registration', False),
-        device_flatfield=stage_choice.get('device_flatfield', False))
+        device_flatfield=stage_choice.get('device_flatfield', False),
+        **(options_overrides or {}))
     reporter = ProgressReporter(
         status=lambda msg, s=False: (
             log("  " + msg) if msg.startswith(
@@ -741,6 +784,9 @@ def main():
         return
     if "--device-e2e" in sys.argv:
         device_e2e_bench()
+        return
+    if "--variants" in sys.argv:
+        variants_bench()
         return
     # The shared host's CPU allocation fluctuates several-fold over
     # minutes (identical code has measured 13.6s and 104s for the same

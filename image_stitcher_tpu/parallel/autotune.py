@@ -34,7 +34,9 @@ def _probe_cache_path() -> str:
 _PROBE_DEADLINE_S = 30.0
 
 #: what a dead/stalled link probes as — forces the host backend
-DEAD_LINK = {'h2d_mbps': 1e-3, 'd2h_mbps': 1e-3}
+#: (rtt = the probe deadline: a dispatch through a dead link costs at
+#: least the time it took to declare the link dead)
+DEAD_LINK = {'h2d_mbps': 1e-3, 'd2h_mbps': 1e-3, 'rtt_s': 30.0}
 
 
 def _canonical(name):
@@ -116,7 +118,24 @@ def _probe_transfers(size_mb: int):
     t0 = time.perf_counter()
     np.asarray(dev_b)
     d2h = size_mb / max(time.perf_counter() - t0, 1e-9)
-    return backend, {'h2d_mbps': h2d, 'd2h_mbps': d2h}
+
+    # dispatch round-trip: tiny jit + data-dependent SCALAR readback.
+    # block_until_ready alone has been observed returning early through
+    # remote runtimes (r5 probe: it timed a 4096^2 matmul at 7000
+    # "TFLOP/s"); only a value readback proves the chip executed. This
+    # is the per-dispatch latency floor every device stage pays when it
+    # synchronizes — 0.1 ms DMA-attached, ~52 ms through the r5 tunnel.
+    import jax.numpy as jnp
+    f = jax.jit(lambda x: x + 1)
+    x = jax.device_put(np.zeros((8, 8), np.float32))
+    float(jnp.sum(f(x)))  # compile + warm the readback path
+    rtts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(jnp.sum(f(x)))
+        rtts.append(time.perf_counter() - t0)
+    rtt = sorted(rtts)[len(rtts) // 2]
+    return backend, {'h2d_mbps': h2d, 'd2h_mbps': d2h, 'rtt_s': rtt}
 
 
 def _run_probe(size_mb: int, deadline_s: float, platform=None):
@@ -229,6 +248,8 @@ def probe_link_bandwidth(size_mb: int = 16, force: bool = False) -> Dict[str, fl
                     and time.time() - entry.get('ts', 0) < _PROBE_TTL_S):
                 _PROBE_CACHE = {'h2d_mbps': entry['h2d_mbps'],
                                 'd2h_mbps': entry['d2h_mbps']}
+                if 'rtt_s' in entry:  # absent in pre-r5 cache files
+                    _PROBE_CACHE['rtt_s'] = entry['rtt_s']
                 return _PROBE_CACHE
         except Exception:
             pass
@@ -368,3 +389,45 @@ def choose_fusion_backend(canvas_bytes: int, tiles_bytes: int,
                 + canvas_bytes / (probe['d2h_mbps'] * mib))
     host_s = 2 * tiles_bytes / host_bps
     return 'device' if device_s < host_s else 'host'
+
+
+# ------------------------------------------------- dispatch crossover model
+#
+# Measured constants behind the model (r5 live window, PROBE_LOG_r5.md):
+# tunnel rtt ~52 ms/dispatch-sync, chip healthy underneath it (74 TFLOP/s
+# once chained); DMA-attached rtt is ~0.1 ms. The same pallas placement
+# kernel measured 4416 tiles/s at 10-tile dispatches and 7143 tiles/s at
+# 50-tile dispatches on the SAME link — per-dispatch latency, not the
+# kernel, is what a sick link taxes. Hence: fewer, bigger dispatches.
+
+def min_work_per_dispatch_s(rtt_s: float, device_speedup: float) -> float:
+    """Host-work seconds one dispatch must carry before the device wins.
+
+    A stage doing W s of host work per dispatch runs in W/S + rtt on
+    the device (S = device compute speedup); it beats the host iff
+    W > rtt * S / (S - 1). Through the r5 tunnel (rtt 52 ms, S ~ 10-50x)
+    that is ~55-58 ms of host work PER DISPATCH — the g10 center-pair
+    registration (0.28 s total, 2 dispatches) clears it only 2-3x,
+    which transfer time then erases; DMA-attached (rtt 0.1 ms) anything
+    over ~0.1 ms/dispatch wins. This is the model that decides
+    'host-only was optimal' for tunnel deployments (VERDICT r4 #1).
+    """
+    if device_speedup <= 1.0:
+        return float('inf')
+    return rtt_s * device_speedup / (device_speedup - 1.0)
+
+
+def device_stage_wall_s(bytes_in: int, bytes_out: int, n_dispatches: int,
+                        device_compute_s: float,
+                        probe: Optional[Dict[str, float]] = None) -> float:
+    """Modeled wall time of a device stage through the CURRENT link:
+    transfers at probed bandwidth + one rtt per synchronizing dispatch
+    + on-chip compute. Compare against the host twin's measured time to
+    decide placement; bench.py's stage probes measure instead of model,
+    this is for planning shapes too big to probe."""
+    probe = probe or probe_link_bandwidth()
+    mib = 1024 * 1024
+    rtt = probe.get('rtt_s', 0.0)
+    return (bytes_in / (probe['h2d_mbps'] * mib)
+            + bytes_out / (probe['d2h_mbps'] * mib)
+            + n_dispatches * rtt + device_compute_s)

@@ -357,3 +357,48 @@ def test_correct_tile_undersized_numpy_fallback():
     assert out.shape == (48, 40)
     expect = np.clip(tile * ff[1][:48, :40], 0, 65535).astype(np.uint16)
     np.testing.assert_array_equal(out, expect)
+
+
+def test_dispatch_crossover_model():
+    from image_stitcher_tpu.parallel import autotune
+    from image_stitcher_tpu.parallel.autotune import (
+        device_stage_wall_s, min_work_per_dispatch_s)
+    # r5 tunnel: rtt 52 ms, S=50 -> ~53 ms of host work per dispatch
+    assert 0.052 < min_work_per_dispatch_s(0.052, 50.0) < 0.055
+    # DMA-attached: sub-ms bar
+    assert min_work_per_dispatch_s(1e-4, 10.0) < 2e-4
+    # no speedup -> never worth a dispatch
+    assert min_work_per_dispatch_s(0.05, 1.0) == float('inf')
+
+    # wall model: dead link makes any device stage absurd
+    dead = dict(autotune.DEAD_LINK)
+    wall = device_stage_wall_s(1 << 20, 1 << 20, 3, 0.01, probe=dead)
+    assert wall > 90  # 3 dispatches x 30 s rtt alone
+    # healthy DMA link: dominated by the compute term
+    fast = {'h2d_mbps': 10000.0, 'd2h_mbps': 10000.0, 'rtt_s': 1e-4}
+    wall = device_stage_wall_s(1 << 30, 1 << 30, 10, 0.05, probe=fast)
+    assert wall < 0.3
+
+
+def test_probe_cache_round_trips_rtt(tmp_path, monkeypatch):
+    """A cache entry carrying rtt_s serves it back; a pre-r5 entry
+    without one still serves (no KeyError)."""
+    import json, time as _time
+    from image_stitcher_tpu.parallel import autotune
+    path = str(tmp_path / "probe.json")
+    monkeypatch.setattr(autotune, "_PROBE_FILE", path)
+    monkeypatch.setattr(autotune, "_PROBE_CACHE", None)
+    monkeypatch.setattr(autotune, "_expected_backend", lambda: "tpu")
+    with open(path, "w") as f:
+        json.dump({"links": {"tpu": {"h2d_mbps": 100.0, "d2h_mbps": 50.0,
+                                     "rtt_s": 0.052,
+                                     "ts": _time.time()}}}, f)
+    got = autotune.probe_link_bandwidth()
+    assert got["rtt_s"] == 0.052
+    # legacy entry without rtt_s
+    monkeypatch.setattr(autotune, "_PROBE_CACHE", None)
+    with open(path, "w") as f:
+        json.dump({"links": {"tpu": {"h2d_mbps": 100.0, "d2h_mbps": 50.0,
+                                     "ts": _time.time()}}}, f)
+    got = autotune.probe_link_bandwidth()
+    assert "rtt_s" not in got and got["h2d_mbps"] == 100.0

@@ -467,13 +467,9 @@ class StreamingFuser:
                 self._tl.blocks = None
             return
         if self.blend == 'feather':
+            from ..ops.host_fuse import finalize_feather_host
             acc, wsum = buf
-            out = acc / np.maximum(wsum, 1e-6)
-            out[wsum == 0] = 0
-            if np.issubdtype(self.dtype, np.integer):
-                info = np.iinfo(self.dtype)
-                out = np.clip(np.round(out), info.min, info.max)
-            buf = out.astype(self.dtype)
+            buf = finalize_feather_host(acc, wsum, self.dtype)
         elif buf.shape[1] != self.width:
             # the writer sees the canvas-width view of the padded pool
             buf = buf[:, :self.width]

@@ -145,6 +145,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
             for f in (lib.downsample2x_u16, lib.downsample2x_u8,
                       lib.downsample2x2_mean_u16, lib.downsample2x2_mean_u8):
                 f.restype = None
+            lib.finalize_feather_u16.argtypes = [vp, vp, pd, vp, pd, pd, pd]
+            lib.finalize_feather_u8.argtypes = list(
+                lib.finalize_feather_u16.argtypes)
+            for f in (lib.finalize_feather_u16, lib.finalize_feather_u8):
+                f.restype = None
             _LIB = lib
         except Exception:
             _LIB = None

@@ -285,3 +285,55 @@ void feather_u16(
         }
     }
 }
+
+/* Feather finalize: (acc, wsum) f32 pair -> storage dtype, one pass.
+ *
+ * Replaces the NumPy chain acc/np.maximum(wsum,1e-6) -> zero-where-
+ * unwritten -> round -> clip -> astype, which materializes ~5 float
+ * temporaries per band (measured 50 s of on-core CPU for a g10 canvas,
+ * BENCH_NOTES r5 variants table). Semantics are kept bit-identical:
+ * rintf = round-half-to-even like np.round; the 1e-6 guard divide and
+ * the exact wsum==0 zeroing match the NumPy twin, so the byte-parity
+ * tests hold across backends.
+ */
+#include <math.h>
+
+void finalize_feather_u16(
+    const float *acc, const float *wsum, ptrdiff_t src_stride,
+    uint16_t *out, ptrdiff_t out_stride, ptrdiff_t h, ptrdiff_t w)
+{
+    for (ptrdiff_t y = 0; y < h; ++y) {
+        const float *a = acc + y * src_stride;
+        const float *ws = wsum + y * src_stride;
+        uint16_t *o = out + y * out_stride;
+        for (ptrdiff_t x = 0; x < w; ++x) {
+            float wv = ws[x];
+            float v = a[x] / (wv > 1e-6f ? wv : 1e-6f);
+            if (wv == 0.0f) v = 0.0f;
+            v = rintf(v);
+            if (v < 0.0f) v = 0.0f;
+            if (v > 65535.0f) v = 65535.0f;
+            o[x] = (uint16_t)v;
+        }
+    }
+}
+
+void finalize_feather_u8(
+    const float *acc, const float *wsum, ptrdiff_t src_stride,
+    uint8_t *out, ptrdiff_t out_stride, ptrdiff_t h, ptrdiff_t w)
+{
+    for (ptrdiff_t y = 0; y < h; ++y) {
+        const float *a = acc + y * src_stride;
+        const float *ws = wsum + y * src_stride;
+        uint8_t *o = out + y * out_stride;
+        for (ptrdiff_t x = 0; x < w; ++x) {
+            float wv = ws[x];
+            float v = a[x] / (wv > 1e-6f ? wv : 1e-6f);
+            if (wv == 0.0f) v = 0.0f;
+            v = rintf(v);
+            if (v < 0.0f) v = 0.0f;
+            if (v > 255.0f) v = 255.0f;
+            o[x] = (uint8_t)v;
+        }
+    }
+}

@@ -224,14 +224,55 @@ class HostCanvas:
 
     def finalize(self) -> np.ndarray:
         if self.blend == 'feather':
-            out = self.acc / np.maximum(self.wsum, 1e-6)
-            out[self.wsum == 0] = 0
-            if np.issubdtype(self.dtype, np.integer):
-                info = np.iinfo(self.dtype)
-                out = np.clip(np.round(out), info.min, info.max)
-            self.canvas = out.astype(self.dtype)
+            self.canvas = finalize_feather_host(self.acc, self.wsum,
+                                                self.dtype)
         self.pool.shutdown(wait=True)
         return self.canvas
+
+
+def finalize_feather_host(acc: np.ndarray, wsum: np.ndarray,
+                          dtype) -> np.ndarray:
+    """(acc, wsum) f32 -> storage dtype, semantics of the NumPy chain
+    ``clip(round(acc / maximum(wsum, 1e-6))); 0 where wsum==0`` in a
+    single native pass (native/hostops.c finalize_feather_*). The NumPy
+    fallback IS that chain, so results are bit-identical either way
+    (rintf == np.round: both round half to even).
+
+    Accepts any leading shape with C-contiguous trailing rows; the
+    native path additionally requires acc/wsum to share a layout.
+    """
+    dtype = np.dtype(dtype)
+    from ..native import get_lib
+    lib = get_lib()
+    fn = None
+    if lib is not None and hasattr(lib, 'finalize_feather_u16'):
+        fn = {np.dtype(np.uint16): lib.finalize_feather_u16,
+              np.dtype(np.uint8): lib.finalize_feather_u8}.get(dtype)
+    es = acc.dtype.itemsize
+    if (fn is not None and acc.dtype == np.float32
+            and wsum.dtype == np.float32
+            and acc.shape == wsum.shape and acc.strides == wsum.strides
+            and acc.strides[-1] == es and acc.ndim >= 2):
+        out = np.empty(acc.shape, dtype)
+        a3 = acc.reshape((-1,) + acc.shape[-2:]) \
+            if acc.ndim != 2 else acc[None]
+        w3 = wsum.reshape((-1,) + wsum.shape[-2:]) \
+            if wsum.ndim != 2 else wsum[None]
+        o3 = out.reshape((-1,) + out.shape[-2:]) \
+            if out.ndim != 2 else out[None]
+        if a3.strides[-1] == es and a3.strides == w3.strides:
+            for i in range(a3.shape[0]):
+                fn(a3[i].ctypes.data, w3[i].ctypes.data,
+                   a3[i].strides[0] // es,
+                   o3[i].ctypes.data, o3[i].strides[0] // dtype.itemsize,
+                   a3.shape[-2], a3.shape[-1])
+            return out
+    out_f = acc / np.maximum(wsum, 1e-6)
+    out_f[wsum == 0] = 0
+    if np.issubdtype(dtype, np.integer):
+        info = np.iinfo(dtype)
+        out_f = np.clip(np.round(out_f), info.min, info.max)
+    return out_f.astype(dtype)
 
 
 def _downsample2x_native(x: np.ndarray, out_h: int, out_w: int,

@@ -130,3 +130,35 @@ def test_downsample2x2_mean_native_matches_numpy(lib, rng, dtype, shape):
     assert got is not None
     assert got.dtype == expected.dtype and got.shape == expected.shape
     assert (got == expected).all()
+
+
+def test_finalize_feather_native_matches_numpy():
+    """Native single-pass finalize is bit-identical to the NumPy chain
+    for both dtypes, all supported leading shapes, and the wsum==0 /
+    clip edges (the 50x hot path of feather blending, BENCH_NOTES r5)."""
+    import numpy as np
+    from image_stitcher_tpu.ops.host_fuse import finalize_feather_host
+    import image_stitcher_tpu.native as nat
+    rng = np.random.default_rng(3)
+    for shape in [(2, 130, 257), (64, 64), (1, 1, 33, 500)]:
+        acc = (rng.random(shape, np.float32) * 70000).astype(np.float32)
+        wsum = (rng.random(shape, np.float32) * 2).astype(np.float32)
+        wsum[rng.random(shape) < 0.15] = 0.0
+        # exact half values exercise round-half-to-even
+        acc.flat[::7] = 1.5
+        wsum.flat[::7] = 1.0
+        for dtype, maxv in ((np.uint16, 65535), (np.uint8, 255)):
+            ref = acc / np.maximum(wsum, 1e-6)
+            ref[wsum == 0] = 0
+            ref = np.clip(np.round(ref), 0, maxv).astype(dtype)
+            got = finalize_feather_host(acc, wsum, dtype)
+            assert got.dtype == np.dtype(dtype)
+            np.testing.assert_array_equal(ref, got), (shape, dtype)
+            # and the forced-NumPy fallback agrees too
+            saved = nat._LIB, nat._TRIED
+            nat._LIB, nat._TRIED = None, True
+            try:
+                np.testing.assert_array_equal(
+                    ref, finalize_feather_host(acc, wsum, dtype))
+            finally:
+                nat._LIB, nat._TRIED = saved

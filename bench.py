@@ -912,11 +912,15 @@ def main():
                 continue  # no finished pipeline to hand the baseline
 
             # pair this ours rep with a baseline run in the same window,
-            # until the pair target is met or the remaining budget can't
-            # absorb another baseline (est. by the best one seen)
+            # until the pair target is met or pairing would eat into the
+            # budget tail reserved for ours-only reps (the best-of
+            # number needs weather samples too: a baseline costs ~25x
+            # an ours rep, so unreserved pairing would leave the
+            # headline tiles/s with 3-4 chances instead of ~10)
             est_base = base_best if base_best is not None else 200.0
             elapsed = time.perf_counter() - bench_t0
-            if len(pairs) >= pair_target or elapsed + est_base > time_budget:
+            if (len(pairs) >= pair_target
+                    or elapsed + est_base > 0.75 * time_budget):
                 continue  # enough pairs; spend the budget on ours
             base_dt, base_shifts = run_baseline(acq_dir,
                                                 pipe.num_pyramid_levels)
